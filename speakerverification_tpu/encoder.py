@@ -1,0 +1,59 @@
+"""SpeakerEncoder: frontend + backbone + loss head composition.
+
+TPU-native equivalent of the reference's ``SpeakerEncoder``
+(src/model.py:36-135): an optional on-device feature extractor
+(mel-spectrogram / MFCC, or ``raw`` passthrough) feeding a backbone
+encoder; called with labels it groups embeddings per speaker
+(``nPerSpeaker``) and applies the loss head, returning ``(loss, prec1)``;
+without labels it returns embeddings.
+
+Unlike the reference, the frontend here is a pure GEMM pipeline traced
+into the same XLA program as the backbone, so feature extraction fuses
+with the first conv instead of running as a separate CUDA module.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from speakerverification_tpu.ops.frontend import FrontendConfig, make_frontend
+
+__all__ = ["SpeakerEncoder"]
+
+
+class SpeakerEncoder(nn.Module):
+    backbone: nn.Module
+    loss: Optional[nn.Module] = None
+    feature_type: str = "melspectrogram"
+    frontend: FrontendConfig = FrontendConfig()
+
+    def _embed(self, wave: jax.Array, train: bool) -> jax.Array:
+        feats = make_frontend(self.frontend, self.feature_type)(wave)
+        return self.backbone(feats, train=train)
+
+    @nn.compact
+    def __call__(self, wave: jax.Array, label: Optional[jax.Array] = None,
+                 train: bool = False) -> Any:
+        """``wave``: [B, T] or [B, nPerSpeaker, T] raw audio at sample rate.
+
+        Returns embeddings ``[B(, nPerSpeaker), D]`` when ``label`` is None,
+        else ``(loss, prec1)`` (parity: src/model.py:104-135).
+        """
+        grouped = wave.ndim == 3
+        n_per = wave.shape[1] if grouped else 1
+        flat = wave.reshape(-1, wave.shape[-1])
+
+        emb = self._embed(flat, train)
+
+        if label is None:
+            if grouped:
+                emb = emb.reshape(-1, n_per, emb.shape[-1])
+            return emb
+
+        assert self.loss is not None, "SpeakerEncoder built without a loss head"
+        emb = emb.reshape(-1, n_per, emb.shape[-1])
+        return self.loss(emb, jnp.asarray(label))

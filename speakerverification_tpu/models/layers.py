@@ -1,0 +1,243 @@
+"""Shared NN building blocks (channels-last / NLC layout).
+
+TPU-first equivalents of the reference's SpeechBrain-style layer library
+(reference: src/models/layers/cnn.py, normalization.py, pooling.py,
+utils.py). Everything here operates on ``[batch, time, channels]`` arrays —
+the layout XLA prefers on TPU — instead of the reference's ``[B, C, L]``.
+
+All convolutions use 'SAME' padding with dilation, matching SpeechBrain's
+auto-padding for stride-1 odd kernels (reference: src/models/layers/cnn.py:787
+``get_padding_elem``).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "gelu_exact",
+    "length_to_mask",
+    "Conv1d",
+    "BatchNorm1d",
+    "TDNNBlock",
+    "Res2NetBlock",
+    "SEBlock",
+    "AttentiveStatisticsPooling",
+    "SERes2NetBlock",
+    "StatisticsPooling",
+    "SelfAttentionPooling",
+]
+
+
+def gelu_exact(x: jax.Array) -> jax.Array:
+    """Exact (erf) GELU — torch.nn.GELU's default, unlike jax.nn.gelu."""
+    return jax.nn.gelu(x, approximate=False)
+
+
+def length_to_mask(lengths: jax.Array, max_len: int) -> jax.Array:
+    """``[B] -> [B, max_len]`` boolean mask (parity: src/models/layers/utils.py:13)."""
+    pos = jnp.arange(max_len)[None, :]
+    return (pos < lengths[:, None]).astype(jnp.float32)
+
+
+class Conv1d(nn.Module):
+    """1-D conv over NLC input with SAME padding and dilation."""
+    features: int
+    kernel_size: int = 1
+    dilation: int = 1
+    stride: int = 1
+    groups: int = 1
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return nn.Conv(
+            features=self.features,
+            kernel_size=(self.kernel_size,),
+            strides=(self.stride,),
+            kernel_dilation=(self.dilation,),
+            feature_group_count=self.groups,
+            padding="SAME",
+            use_bias=self.use_bias,
+        )(x)
+
+
+class BatchNorm1d(nn.Module):
+    """BatchNorm over the channel axis, torch-compatible momentum/eps.
+
+    torch's ``momentum=0.1`` update ``running = 0.9*running + 0.1*batch``
+    corresponds to flax ``momentum=0.9`` (reference:
+    src/models/layers/normalization.py:13-84).
+    """
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        return nn.BatchNorm(
+            use_running_average=not train,
+            momentum=self.momentum,
+            epsilon=self.epsilon,
+            axis=-1,
+        )(x)
+
+
+class TDNNBlock(nn.Module):
+    """Conv → activation → BatchNorm (parity: src/models/ECAPA_TDNN.py:27-69)."""
+    features: int
+    kernel_size: int
+    dilation: int = 1
+    groups: int = 1
+    activation: Callable = gelu_exact
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        x = Conv1d(self.features, self.kernel_size, self.dilation,
+                   groups=self.groups)(x)
+        x = self.activation(x)
+        return BatchNorm1d()(x, train=train)
+
+
+class Res2NetBlock(nn.Module):
+    """Multi-scale residual block (parity: src/models/ECAPA_TDNN.py:72-127).
+
+    Channels are split into ``scale`` groups; group 0 passes through, each
+    subsequent group is TDNN-processed with the previous output added in.
+    """
+    features: int
+    scale: int = 8
+    kernel_size: int = 3
+    dilation: int = 1
+    activation: Callable = gelu_exact
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        assert x.shape[-1] % self.scale == 0
+        assert self.features % self.scale == 0
+        hidden = self.features // self.scale
+        chunks = jnp.split(x, self.scale, axis=-1)
+        outputs = [chunks[0]]
+        y = None
+        for i in range(1, self.scale):
+            inp = chunks[i] if i == 1 else chunks[i] + y
+            y = TDNNBlock(hidden, self.kernel_size, self.dilation,
+                          activation=self.activation)(inp, train=train)
+            outputs.append(y)
+        return jnp.concatenate(outputs, axis=-1)
+
+
+class SEBlock(nn.Module):
+    """Squeeze-and-excitation (parity: src/models/ECAPA_TDNN.py:132-178)."""
+    se_channels: int
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array, lengths: Optional[jax.Array] = None,
+                 ) -> jax.Array:
+        if lengths is not None:
+            mask = length_to_mask(lengths * x.shape[1], x.shape[1])[..., None]
+            total = mask.sum(axis=1, keepdims=True)
+            s = (x * mask).sum(axis=1, keepdims=True) / total
+        else:
+            s = x.mean(axis=1, keepdims=True)               # [B, 1, C]
+        s = jax.nn.relu(Conv1d(self.se_channels, 1)(s))
+        s = jax.nn.sigmoid(Conv1d(self.out_channels, 1)(s))
+        return s * x
+
+
+class AttentiveStatisticsPooling(nn.Module):
+    """Channel-wise attentive mean∥std pooling with global context.
+
+    Parity: src/models/ECAPA_TDNN.py:180-260. Input ``[B, L, C]`` →
+    output ``[B, 2C]``.
+    """
+    attention_channels: int = 128
+    global_context: bool = True
+    eps: float = 1e-12
+
+    @nn.compact
+    def __call__(self, x: jax.Array, lengths: Optional[jax.Array] = None,
+                 train: bool = False) -> jax.Array:
+        B, L, C = x.shape
+        if lengths is None:
+            lengths = jnp.ones((B,), dtype=x.dtype)
+        mask = length_to_mask(lengths * L, L)[..., None]     # [B, L, 1]
+
+        def statistics(x, m):
+            mean = (m * x).sum(axis=1)
+            var = (m * (x - mean[:, None, :]) ** 2).sum(axis=1)
+            std = jnp.sqrt(jnp.clip(var, self.eps))
+            return mean, std
+
+        if self.global_context:
+            total = mask.sum(axis=1, keepdims=True)
+            mean, std = statistics(x, mask / total)
+            attn_in = jnp.concatenate(
+                [x,
+                 jnp.broadcast_to(mean[:, None, :], (B, L, C)),
+                 jnp.broadcast_to(std[:, None, :], (B, L, C))], axis=-1)
+        else:
+            attn_in = x
+
+        attn = TDNNBlock(self.attention_channels, 1)(attn_in, train=train)
+        attn = Conv1d(C, 1)(jnp.tanh(attn))
+        attn = jnp.where(mask == 0, -jnp.inf, attn)
+        attn = jax.nn.softmax(attn, axis=1)
+
+        mean, std = statistics(x, attn)
+        return jnp.concatenate([mean, std], axis=-1)         # [B, 2C]
+
+
+class SERes2NetBlock(nn.Module):
+    """TDNN → Res2Net → TDNN → SE with residual shortcut.
+
+    Parity: src/models/ECAPA_TDNN.py:263-337.
+    """
+    features: int
+    res2net_scale: int = 8
+    se_channels: int = 128
+    kernel_size: int = 1
+    dilation: int = 1
+    activation: Callable = gelu_exact
+
+    @nn.compact
+    def __call__(self, x: jax.Array, lengths: Optional[jax.Array] = None,
+                 train: bool = False) -> jax.Array:
+        residual = x
+        if x.shape[-1] != self.features:
+            residual = Conv1d(self.features, 1)(x)
+        x = TDNNBlock(self.features, 1, 1, activation=self.activation)(x, train=train)
+        x = Res2NetBlock(self.features, self.res2net_scale, self.kernel_size,
+                         self.dilation, self.activation)(x, train=train)
+        x = TDNNBlock(self.features, 1, 1, activation=self.activation)(x, train=train)
+        x = SEBlock(self.se_channels, self.features)(x, lengths)
+        return x + residual
+
+
+class StatisticsPooling(nn.Module):
+    """Plain mean∥std pooling (parity: src/models/layers/pooling.py Statistics)."""
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        mean = x.mean(axis=1)
+        std = jnp.sqrt(jnp.clip(x.var(axis=1), self.eps))
+        return jnp.concatenate([mean, std], axis=-1)
+
+
+class SelfAttentionPooling(nn.Module):
+    """SAP head (parity: src/models/ResNetBaseline.py:196 SAP branch)."""
+    features: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        # x: [B, L, C]
+        h = jnp.tanh(nn.Dense(self.features)(x))
+        w = self.param("attention", nn.initializers.xavier_normal(),
+                       (self.features, 1))
+        attn = jax.nn.softmax(h @ w, axis=1)                 # [B, L, 1]
+        return (x * attn).sum(axis=1)

@@ -1,0 +1,25 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh.
+
+Multi-chip hardware is not available in CI; sharding paths are validated
+on host-platform virtual devices (SURVEY.md §4 test-strategy note).
+
+The ambient environment pins ``JAX_PLATFORMS=axon`` (a tunneled real TPU
+chip) and its site hook re-asserts it programmatically, so we must both
+set the env var and override ``jax_platforms`` via ``jax.config`` after
+import — otherwise every test compiles over the TPU tunnel.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu"
+assert len(jax.devices()) == 8
