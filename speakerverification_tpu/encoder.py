@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from speakerverification_tpu.ops.frontend import FrontendConfig, make_frontend
+from speakerverification_tpu.ops.specaugment import SpecAugmentConfig, spec_augment
 
 __all__ = ["SpeakerEncoder"]
 
@@ -30,9 +31,15 @@ class SpeakerEncoder(nn.Module):
     loss: Optional[nn.Module] = None
     feature_type: str = "melspectrogram"
     frontend: FrontendConfig = FrontendConfig()
+    # SpecAugment inside the train step when the config's augment_chain
+    # includes 'spec_domain' (reference: src/models/ECAPA_TDNN.py:471-473).
+    spec_augment: Optional[SpecAugmentConfig] = None
 
     def _embed(self, wave: jax.Array, train: bool) -> jax.Array:
         feats = make_frontend(self.frontend, self.feature_type)(wave)
+        if train and self.spec_augment is not None and feats.ndim == 3:
+            feats = spec_augment(self.make_rng("specaug"), feats,
+                                 self.spec_augment)
         return self.backbone(feats, train=train)
 
     @nn.compact

@@ -1,0 +1,103 @@
+"""On-device SpecAugment: time warp + frequency/time masking.
+
+TPU-native rebuild of the reference's SpecAugment
+(src/models/OnStreamAugment/specaugment.py:8-80, arXiv:1904.08779).
+Everything is expressed with static shapes and vectorized masks so it
+traces into the training step:
+
+* masking builds boolean interval masks from uniform random (pos, len)
+  pairs — identical math to the reference's ``mask_along_axis``;
+* time warp uses a piecewise-linear index remap (the reference uses
+  bicubic ``F.interpolate`` of the two segments; linear resampling of
+  coordinates is the standard JAX formulation and is within the same
+  augmentation family).
+
+Input layout is ``[B, T, F]`` (channels-last), the frontend's output.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["SpecAugmentConfig", "spec_augment"]
+
+
+@dataclasses.dataclass(frozen=True)
+class SpecAugmentConfig:
+    time_warp: bool = True
+    time_warp_window: int = 5
+    freq_mask: bool = True
+    freq_mask_width: Tuple[int, int] = (0, 20)
+    n_freq_mask: int = 2
+    time_mask: bool = True
+    time_mask_width: Tuple[int, int] = (0, 20)
+    n_time_mask: int = 2
+    replace_with_zero: bool = True
+
+
+def _mask_along_axis(rng: jax.Array, x: jax.Array, axis_len: int,
+                     n_mask: int, width: Tuple[int, int], axis: int,
+                     fill: jax.Array) -> jax.Array:
+    """Randomly zero ``n_mask`` intervals of width ∈ [w0, w1) along ``axis``.
+
+    Math parity with src/models/OnStreamAugment/specaugment.py:131-180:
+    per-example mask lengths then positions in [0, D - max_len).
+    """
+    B = x.shape[0]
+    k_len, k_pos = jax.random.split(rng)
+    w0, w1 = width
+    w1 = max(w1, w0 + 1)
+    mask_len = jax.random.randint(k_len, (B, n_mask, 1), w0, w1)
+    max_len = jnp.max(mask_len)
+    mask_pos = jax.random.randint(k_pos, (B, n_mask, 1), 0,
+                                  jnp.maximum(1, axis_len - max_len))
+    arange = jnp.arange(axis_len)[None, None, :]
+    mask = (mask_pos <= arange) & (arange < mask_pos + mask_len)
+    mask = jnp.any(mask, axis=1)                      # [B, axis_len]
+    shape = [B, 1, 1]
+    shape[axis] = axis_len
+    mask = mask.reshape(shape)
+    return jnp.where(mask, fill, x)
+
+
+def _time_warp(rng: jax.Array, x: jax.Array, window: int) -> jax.Array:
+    """Piecewise-linear time warp: pivot frame c moves to w (|w−c| ≤ window)."""
+    B, T, F = x.shape
+    if T - window <= window:
+        return x
+    k_c, k_w = jax.random.split(rng)
+    c = jax.random.randint(k_c, (), window, T - window)
+    w = jax.random.randint(k_w, (), c - window, c + window) + 1
+
+    t = jnp.arange(T)
+    cf = c.astype(jnp.float32)
+    wf = w.astype(jnp.float32)
+    tf = t.astype(jnp.float32)
+    # output position t < w samples source t*c/w; t >= w samples
+    # c + (t-w) * (T-c)/(T-w)
+    src = jnp.where(tf < wf, tf * cf / jnp.maximum(wf, 1.0),
+                    cf + (tf - wf) * (T - cf) / jnp.maximum(T - wf, 1.0))
+    lo = jnp.clip(jnp.floor(src).astype(jnp.int32), 0, T - 1)
+    hi = jnp.clip(lo + 1, 0, T - 1)
+    frac = (src - lo.astype(jnp.float32))[None, :, None]
+    return x[:, lo, :] * (1 - frac) + x[:, hi, :] * frac
+
+
+def spec_augment(rng: jax.Array, x: jax.Array,
+                 cfg: SpecAugmentConfig = SpecAugmentConfig()) -> jax.Array:
+    """Apply SpecAugment to ``[B, T, F]`` features under a PRNG key."""
+    k_warp, k_freq, k_time = jax.random.split(rng, 3)
+    fill = jnp.zeros((), x.dtype) if cfg.replace_with_zero else jnp.mean(x)
+    if cfg.time_warp:
+        x = _time_warp(k_warp, x, cfg.time_warp_window)
+    if cfg.freq_mask:
+        x = _mask_along_axis(k_freq, x, x.shape[2], cfg.n_freq_mask,
+                             cfg.freq_mask_width, axis=2, fill=fill)
+    if cfg.time_mask:
+        x = _mask_along_axis(k_time, x, x.shape[1], cfg.n_time_mask,
+                             cfg.time_mask_width, axis=1, fill=fill)
+    return x

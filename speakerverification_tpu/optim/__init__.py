@@ -1,0 +1,137 @@
+"""Optimizer zoo (optax-based).
+
+Parity with the reference's optimizer plugin protocol
+(src/model.py:178-183: ``Optimizer(params, weight_decay=..., lr_decay=...,
+**config)``) and its 28-file zoo (SURVEY.md §2.6). Each entry here is a
+factory ``fn(learning_rate, weight_decay=..., **kw) ->
+optax.GradientTransformation`` registered under the reference's YAML name
+(``optimizer.name``). ``build_optimizer`` wraps the factory in
+``optax.inject_hyperparams`` so the learning rate lives in the optimizer
+state and can be driven per-step by host-side schedules (including
+reduce-on-plateau, which torch mutates imperatively).
+
+Torch-style *coupled* L2 weight decay (decay added to the gradient before
+the moment updates, as ``torch.optim.Adam(weight_decay=...)`` does) is
+used where the reference optimizer couples it; decoupled decay where the
+reference decouples (AdaBelief ``weight_decouple``, SGDW, AdamW-style).
+"""
+
+from __future__ import annotations
+
+import inspect
+
+import optax
+
+from speakerverification_tpu.optim import custom  # noqa: F401  (registers)
+from speakerverification_tpu.optim.schedulers import (  # noqa: F401
+    EarlyStopping,
+    ReduceOnPlateau,
+    build_scheduler,
+)
+from speakerverification_tpu.registry import OPTIMIZERS
+
+__all__ = ["build_optimizer", "OPTIMIZERS", "build_scheduler",
+           "ReduceOnPlateau", "EarlyStopping"]
+
+
+def _l2(weight_decay: float) -> optax.GradientTransformation:
+    """Coupled (torch-style) L2: grad += wd * param, before moments."""
+    if weight_decay:
+        return optax.add_decayed_weights(weight_decay)
+    return optax.identity()
+
+
+@OPTIMIZERS.register("adam", aliases=("Adam",))
+def adam(learning_rate, weight_decay=0.0, b1=0.9, b2=0.999, eps=1e-8, **kw):
+    return optax.chain(_l2(weight_decay), optax.scale_by_adam(b1, b2, eps),
+                       optax.scale(-learning_rate))
+
+
+@OPTIMIZERS.register("sgd", aliases=("SGD",))
+def sgd(learning_rate, weight_decay=0.0, momentum=0.0, nesterov=False, **kw):
+    return optax.chain(
+        _l2(weight_decay),
+        optax.trace(decay=momentum, nesterov=nesterov) if momentum
+        else optax.identity(),
+        optax.scale(-learning_rate))
+
+
+@OPTIMIZERS.register("AdaBelief")
+def adabelief(learning_rate, weight_decay=0.0, b1=0.9, b2=0.999,
+              eps=1e-16, eps_root=1e-16, **kw):
+    # Reference AdaBelief defaults to decoupled decay (weight_decouple=True).
+    return optax.chain(optax.scale_by_belief(b1, b2, eps, eps_root),
+                       optax.add_decayed_weights(weight_decay),
+                       optax.scale(-learning_rate))
+
+
+@OPTIMIZERS.register("RAdam")
+def radam(learning_rate, weight_decay=0.0, b1=0.9, b2=0.999, eps=1e-8, **kw):
+    return optax.chain(_l2(weight_decay), optax.scale_by_radam(b1, b2, eps),
+                       optax.scale(-learning_rate))
+
+
+@OPTIMIZERS.register("Lamb")
+def lamb(learning_rate, weight_decay=0.0, b1=0.9, b2=0.999, eps=1e-6, **kw):
+    return optax.lamb(learning_rate, b1=b1, b2=b2, eps=eps,
+                      weight_decay=weight_decay)
+
+
+@OPTIMIZERS.register("LARS")
+def lars(learning_rate, weight_decay=0.0, momentum=0.9, **kw):
+    return optax.lars(learning_rate, weight_decay=weight_decay,
+                      momentum=momentum)
+
+
+@OPTIMIZERS.register("NovoGrad")
+def novograd(learning_rate, weight_decay=0.0, b1=0.9, b2=0.25, eps=1e-8, **kw):
+    return optax.novograd(learning_rate, b1=b1, b2=b2, eps=eps,
+                          weight_decay=weight_decay)
+
+
+@OPTIMIZERS.register("Yogi")
+def yogi(learning_rate, weight_decay=0.0, b1=0.9, b2=0.999, eps=1e-3, **kw):
+    return optax.chain(_l2(weight_decay), optax.scale_by_yogi(b1, b2, eps),
+                       optax.scale(-learning_rate))
+
+
+@OPTIMIZERS.register("Adafactor")
+def adafactor(learning_rate, weight_decay=0.0, **kw):
+    return optax.adafactor(learning_rate, weight_decay_rate=weight_decay or None)
+
+
+@OPTIMIZERS.register("Lookahead")
+def lookahead(learning_rate, weight_decay=0.0, k=5, alpha=0.5,
+              inner: str = "adam", **kw):
+    """Lookahead wrapper (reference: src/optimizer/lookahead.py) around an
+    inner optimizer (default adam, matching the common usage)."""
+    fast = OPTIMIZERS.get(inner)(learning_rate, weight_decay, **kw)
+    return optax.lookahead(fast, sync_period=k, slow_step_size=alpha)
+
+
+def build_optimizer(name: str, learning_rate: float, weight_decay: float = 0.0,
+                    lr_decay: float | None = None, **kwargs):
+    """Build an optimizer with an injectable ``learning_rate`` hyperparam.
+
+    ``lr_decay`` is accepted for config parity (the reference passes it to
+    every optimizer, src/model.py:180-183) but is consumed by schedulers.
+    """
+    factory = OPTIMIZERS.get(name)
+    accepted = set(inspect.signature(factory).parameters)
+    clean = {k: v for k, v in kwargs.items()
+             if k in accepted and k not in ("learning_rate", "weight_decay")}
+    # Only the learning rate is a dynamic hyperparameter (driven by
+    # host-side schedules); everything else — including defaulted numeric
+    # args, which inject_hyperparams would otherwise trace — stays static
+    # so factories can branch on it in Python.
+    static = tuple(p for p in accepted
+                   if p not in ("learning_rate", "kw"))
+    return optax.inject_hyperparams(factory, static_args=static)(
+        learning_rate=learning_rate, weight_decay=weight_decay, **clean)
+
+
+def set_learning_rate(opt_state, lr):
+    """Functionally set the injected learning rate (works inside jit)."""
+    hp = dict(opt_state.hyperparams)
+    hp["learning_rate"] = lr
+    return opt_state._replace(hyperparams=hp)

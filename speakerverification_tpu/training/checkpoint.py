@@ -1,0 +1,159 @@
+"""Checkpointing: msgpack serialization + best/last/top-k retention.
+
+Replaces the reference's ``.pt`` state-dict files and retention policy
+(src/trainer.py:143-232: ``best_state.pt`` + rotating
+``best_state_top{1..3}.pt`` on loss improvement, ``last_state.pt`` or
+per-epoch ``model_state_%06d.pt``, time-based keep-3 checkpoints, and a
+``model_state_log.txt`` resume record) with flax msgpack bytes plus a
+JSON sidecar of training metadata. Load tolerates missing/extra keys the
+way the reference's ``loadParameters`` tolerates name/shape mismatches
+(src/model.py:718-746) — unmatched entries are reported, not fatal.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+from typing import Any, Optional
+
+import flax.serialization as fser
+import jax
+
+__all__ = ["save_checkpoint", "load_checkpoint", "restore_into",
+           "CheckpointManager"]
+
+
+def save_checkpoint(path: str | Path, state, meta: Optional[dict] = None) -> Path:
+    """Serialize a TrainState (or any pytree) + JSON meta sidecar."""
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    state = jax.device_get(state)
+    path.write_bytes(fser.to_bytes(state))
+    if meta is not None:
+        path.with_suffix(path.suffix + ".json").write_text(json.dumps(meta))
+    return path
+
+
+def load_checkpoint(path: str | Path, target) -> Any:
+    """Deserialize into the structure of ``target`` (a template pytree)."""
+    return fser.from_bytes(target, Path(path).read_bytes())
+
+
+def load_meta(path: str | Path) -> dict:
+    side = Path(str(path) + ".json")
+    return json.loads(side.read_text()) if side.exists() else {}
+
+
+def restore_into(params, saved_params) -> tuple[Any, list[str]]:
+    """Merge ``saved_params`` into ``params`` leaf-by-leaf, skipping
+    missing names and shape mismatches (parity: src/model.py:718-746).
+
+    Returns (merged_params, skipped_paths).
+    """
+    skipped: list[str] = []
+
+    def merge(path: str, cur, saved):
+        if isinstance(cur, dict):
+            if not isinstance(saved, dict):
+                skipped.append(path or "<root>")
+                return cur
+            out = {}
+            for k, v in cur.items():
+                if k in saved:
+                    out[k] = merge(f"{path}/{k}", v, saved[k])
+                else:
+                    skipped.append(f"{path}/{k}")
+                    out[k] = v
+            return out
+        if saved is None or getattr(saved, "shape", None) != getattr(cur, "shape", None):
+            skipped.append(path)
+            return cur
+        return saved
+
+    return merge("", params, saved_params), skipped
+
+
+class CheckpointManager:
+    """best/top-k/last retention with a resume log.
+
+    Layout inside ``run_dir`` mirrors the reference's artifacts:
+    ``best_state.msgpack``, ``best_state_top{1..k}.msgpack``,
+    ``last_state.msgpack``, optional per-epoch ``model_state_{e:06d}``
+    and time-based ``ckpt_YYYYmmdd_HH_MM`` (keep 3), and
+    ``model_state_log.json`` recording epoch/step/lr/loss.
+    """
+
+    SUFFIX = ".msgpack"
+
+    def __init__(self, run_dir: str | Path, top_k: int = 3,
+                 save_per_epoch: bool = False, time_interval_min: float = -1):
+        self.run_dir = Path(run_dir)
+        self.run_dir.mkdir(parents=True, exist_ok=True)
+        self.top_k = top_k
+        self.save_per_epoch = save_per_epoch
+        self.time_interval_min = time_interval_min
+        self._best_loss = float("inf")
+        self._last_time_save = time.time()
+        self._log_path = self.run_dir / "model_state_log.json"
+
+    def _p(self, name: str) -> Path:
+        return self.run_dir / (name + self.SUFFIX)
+
+    def save_epoch(self, state, epoch: int, loss: float, lr: float,
+                   extra_meta: Optional[dict] = None) -> dict:
+        """Apply the full retention policy for one finished epoch."""
+        meta = {"epoch": epoch, "step": int(jax.device_get(state.step)),
+                "loss": float(loss), "lr": float(lr), **(extra_meta or {})}
+        saved = {"best": False}
+
+        if loss < self._best_loss:
+            self._best_loss = loss
+            # rotate top-k: top1 -> top2 -> ... -> topk (dropped)
+            for i in range(self.top_k, 1, -1):
+                src = self._p(f"best_state_top{i - 1}")
+                if src.exists():
+                    src.replace(self._p(f"best_state_top{i}"))
+                    js = Path(str(src) + ".json")
+                    if js.exists():
+                        js.replace(Path(str(self._p(f'best_state_top{i}')) + ".json"))
+            save_checkpoint(self._p("best_state_top1"), state, meta)
+            save_checkpoint(self._p("best_state"), state, meta)
+            saved["best"] = True
+
+        if self.save_per_epoch:
+            save_checkpoint(self._p(f"model_state_{epoch:06d}"), state, meta)
+        else:
+            save_checkpoint(self._p("last_state"), state, meta)
+
+        if (self.time_interval_min > 0 and
+                time.time() - self._last_time_save > self.time_interval_min * 60):
+            stamp = time.strftime("ckpt_%Y%m%d_%H_%M")
+            save_checkpoint(self._p(stamp), state, meta)
+            self._last_time_save = time.time()
+            stamps = sorted(self.run_dir.glob("ckpt_*" + self.SUFFIX))
+            for old in stamps[:-3]:
+                old.unlink(missing_ok=True)
+                Path(str(old) + ".json").unlink(missing_ok=True)
+
+        self._log_path.write_text(json.dumps(meta))
+        return saved
+
+    def latest(self) -> Optional[Path]:
+        """Resume priority: last_state > newest per-epoch > best
+        (parity: src/trainer.py:349-365)."""
+        if self._p("last_state").exists():
+            return self._p("last_state")
+        epochs = sorted(self.run_dir.glob("model_state_*" + self.SUFFIX))
+        if epochs:
+            return epochs[-1]
+        if self._p("best_state").exists():
+            return self._p("best_state")
+        return None
+
+    def best(self) -> Optional[Path]:
+        p = self._p("best_state")
+        return p if p.exists() else None
+
+    def resume_meta(self) -> dict:
+        return json.loads(self._log_path.read_text()) if self._log_path.exists() else {}

@@ -1,0 +1,89 @@
+"""Jitted train/eval steps, single-chip and shard_map data-parallel.
+
+TPU-native replacement for the reference's ``ModelHandling.fit`` inner
+loop (src/model.py:247-278: forward → AMP backward → allreduce via DDP →
+optimizer step). Here a whole step is one XLA program; under data
+parallelism the gradient mean is a ``psum`` over the ``data`` mesh axis
+inside ``shard_map`` (replacing torch DDP's NCCL allreduce,
+src/trainer.py:100-101).
+
+The learning rate is fed as a scalar argument each step and written into
+the optimizer's injected hyperparams, so host-side schedules — including
+reduce-on-plateau — drive it without recompilation.
+
+Mixed precision: on TPU, bf16 compute needs no loss scaling (unlike the
+reference's CUDA AMP GradScaler, src/model.py:169,256-261); a bf16 policy
+is applied by casting batch inputs; params stay fp32.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from speakerverification_tpu.optim import set_learning_rate
+from speakerverification_tpu.training.state import TrainState
+
+__all__ = ["make_train_step", "make_eval_embed_fn"]
+
+
+def make_train_step(model, tx: optax.GradientTransformation,
+                    axis_name: Optional[str] = None) -> Callable:
+    """Build ``step(state, wave, label, rng, lr) -> (state, metrics)``.
+
+    With ``axis_name`` set, the step is meant to run inside ``shard_map``
+    over that mesh axis: gradients and metrics are ``psum``-averaged.
+    """
+
+    def step(state: TrainState, wave, label, rng, lr):
+        def loss_fn(params):
+            (loss, prec1), mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                wave, label, train=True,
+                mutable=["batch_stats"], rngs={"specaug": rng})
+            return loss, (prec1, mutated.get("batch_stats", state.batch_stats))
+
+        (loss, (prec1, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            loss = jax.lax.pmean(loss, axis_name)
+            prec1 = jax.lax.pmean(prec1, axis_name)
+            # Cross-replica batch-stat averaging keeps replicas bit-identical
+            # (the reference keeps per-rank BN — DDP default; averaging is
+            # the sane choice for SPMD, documented in SURVEY.md §7 (d)).
+            new_stats = jax.lax.pmean(new_stats, axis_name)
+
+        opt_state = set_learning_rate(state.opt_state, lr)
+        updates, opt_state = tx.update(grads, opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+
+        new_state = state.replace(step=state.step + 1, params=params,
+                                  batch_stats=new_stats, opt_state=opt_state)
+        return new_state, {"loss": loss, "prec1": prec1}
+
+    return step
+
+
+def make_eval_embed_fn(model, normalize: bool = True) -> Callable:
+    """Build a jitted ``embed(state, wave [B, T]) -> [B, D]`` extractor.
+
+    Replaces the reference's file-by-file batch-size-1 embedding loop
+    (src/model.py:369-394) with batched extraction; L2 normalization per
+    the loss head's ``test_normalize``.
+    """
+
+    @jax.jit
+    def embed(params, batch_stats, wave):
+        emb = model.apply({"params": params, "batch_stats": batch_stats}, wave)
+        if normalize:
+            emb = emb / jnp.clip(
+                jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-12)
+        return emb
+
+    return embed

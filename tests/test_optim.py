@@ -1,0 +1,145 @@
+"""Optimizer/scheduler zoo tests."""
+
+import math
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from speakerverification_tpu.optim import (
+    EarlyStopping,
+    OPTIMIZERS,
+    ReduceOnPlateau,
+    build_optimizer,
+    build_scheduler,
+    set_learning_rate,
+)
+
+ALL_NAMES = ["adam", "sgd", "AdaBelief", "RAdam", "Lamb", "LARS", "NovoGrad",
+             "Yogi", "Adafactor", "SGDW", "QHM", "QHAdam", "DiffGrad",
+             "MADGRAD", "AdaBound", "AdaMod", "AdamP", "SGDP", "AggMo",
+             "PID", "AccSGD", "SWATS"]
+
+
+@pytest.mark.parametrize("name", ALL_NAMES)
+def test_optimizer_reduces_quadratic(name):
+    """Each optimizer must make progress on a convex quadratic."""
+    params = {"w": jnp.array([1.0, -2.0, 3.0])}
+
+    def loss(p):
+        return jnp.sum(p["w"] ** 2)
+
+    lr = 0.05 if name not in ("LARS",) else 0.5
+    # AdaMod's momental bound (EMA of per-element LRs from zero) makes the
+    # first steps intentionally tiny; use a faster bound EMA in the test.
+    extra = {"b3": 0.5} if name == "AdaMod" else {}
+    tx = build_optimizer(name, learning_rate=lr, weight_decay=0.0,
+                         momentum=0.9, **extra)
+    opt_state = tx.init(params)
+    l0 = float(loss(params))
+    for _ in range(50):
+        grads = jax.grad(loss)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+    l1 = float(loss(params))
+    assert l1 < l0 * 0.9, f"{name}: {l0} -> {l1}"
+
+
+def test_weight_decay_coupled():
+    """torch-style L2: with wd, zero-grad params still shrink (adam)."""
+    params = {"w": jnp.ones(4)}
+    tx = build_optimizer("adam", learning_rate=0.1, weight_decay=0.5)
+    s = tx.init(params)
+    g = {"w": jnp.zeros(4)}
+    u, s = tx.update(g, s, params)
+    assert float(jnp.sum(jnp.abs(u["w"]))) > 0
+
+
+def test_set_learning_rate_inside_jit():
+    params = {"w": jnp.ones(3)}
+    tx = build_optimizer("sgd", learning_rate=1.0, weight_decay=0.0)
+    s = tx.init(params)
+
+    @jax.jit
+    def step(s, lr):
+        s = set_learning_rate(s, lr)
+        g = {"w": jnp.ones(3)}
+        u, s = tx.update(g, s, params)
+        return u
+
+    u1 = step(s, 0.1)
+    u2 = step(s, 0.2)
+    np.testing.assert_allclose(np.asarray(u1["w"]), -0.1, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(u2["w"]), -0.2, rtol=1e-6)
+
+
+def test_steplr_schedule():
+    sched, unit = build_scheduler("steplr", lr=1.0, step_size=10, lr_decay=0.5)
+    assert unit == "epoch"
+    assert sched(0) == 1.0
+    assert sched(9) == 1.0
+    assert sched(10) == 0.5
+    assert sched(25) == 0.25
+
+
+def test_cosine_annealing_pt_schedule():
+    """Closed form of torch CosineAnnealingLR at eta_min=1e-6."""
+    lr, T = 0.003, 1000
+    sched, unit = build_scheduler("cosine_annealinglr_pt", lr=lr, T_max=T)
+    assert unit == "iteration"
+    assert sched(0) == pytest.approx(lr)
+    assert sched(T) == pytest.approx(1e-6)
+    mid = 1e-6 + (lr - 1e-6) * 0.5 * (1 + math.cos(math.pi * 0.5))
+    assert sched(T // 2) == pytest.approx(mid)
+
+
+def test_warm_restarts_schedule():
+    sched, _ = build_scheduler("cosine_annealing_warm_restarts", lr=1.0,
+                               T_max=100, eta_min=0.0)
+    assert sched(0) == pytest.approx(1.0)
+    assert sched(50) == pytest.approx(0.5)
+    assert sched(100) == pytest.approx(1.0)      # restart
+
+
+def test_cyclic_triangular2():
+    sched, _ = build_scheduler("cycliclr", lr=None, base_lr=0.0, max_lr=1.0,
+                               T_max=200, mode="triangular2")
+    assert sched(0) == pytest.approx(0.0)
+    assert sched(100) == pytest.approx(1.0)      # peak of first cycle
+    assert sched(300) == pytest.approx(0.5)      # peak of second cycle halved
+
+
+def test_reduce_on_plateau():
+    pl = ReduceOnPlateau(lr=1.0, patience=2, factor=0.5, min_lr=0.1)
+    losses = [1.0, 0.9, 0.9, 0.95, 0.92]   # no improvement after 0.9
+    lrs = [pl(l) for l in losses]
+    assert lrs[-1] == pytest.approx(0.5)    # reduced after patience exceeded
+    for _ in range(20):
+        pl(2.0)
+    assert pl.lr >= 0.1
+
+
+def test_early_stopping():
+    es = EarlyStopping(patience=3)
+    for l in [1.0, 0.9, 0.8]:
+        assert not es(l)
+    assert not es(0.85)
+    assert not es(0.85)
+    assert es(0.85)          # third bad epoch hits patience
+    assert es.early_stop
+
+
+def test_unknown_optimizer():
+    with pytest.raises(KeyError):
+        build_optimizer("NoSuchOpt", learning_rate=0.1)
+
+
+def test_registry_covers_reference_names():
+    # Reference zoo names that must resolve (SURVEY.md §2.6)
+    for n in ["adam", "sgd", "AdaBelief", "RAdam", "AdamP", "AdaBound",
+              "AdaMod", "Adafactor", "DiffGrad", "LARS", "Lamb", "Lookahead",
+              "MADGRAD", "NovoGrad", "PID", "QHAdam", "QHM", "AccSGD",
+              "AggMo", "SGDP", "SGDW", "SWATS", "Yogi"]:
+        assert n in OPTIMIZERS, n

@@ -1,0 +1,141 @@
+"""Train step, specaugment, checkpointing."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from speakerverification_tpu.encoder import SpeakerEncoder
+from speakerverification_tpu.losses import build_loss
+from speakerverification_tpu.models import build_model
+from speakerverification_tpu.ops.specaugment import SpecAugmentConfig, spec_augment
+from speakerverification_tpu.optim import build_optimizer
+from speakerverification_tpu.training import (
+    create_train_state,
+    make_eval_embed_fn,
+    make_train_step,
+)
+from speakerverification_tpu.training.checkpoint import (
+    CheckpointManager,
+    load_checkpoint,
+    restore_into,
+    save_checkpoint,
+)
+
+SMALL = dict(channels=(32, 32, 32, 32, 96), kernel_sizes=(5, 3, 3, 3, 1),
+             dilations=(1, 2, 3, 4, 1), attention_channels=8,
+             res2net_scale=4, se_channels=8)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = SpeakerEncoder(
+        backbone=build_model("ECAPA_TDNN", nOut=16, **SMALL),
+        loss=build_loss("AAmSoftmax", nOut=16, nClasses=4, margin=0.2, scale=30),
+    )
+    tx = build_optimizer("adam", learning_rate=1e-3)
+    rng = np.random.default_rng(0)
+    wave = jnp.asarray(rng.normal(0, 0.1, (4, 2, 8000)).astype(np.float32))
+    label = jnp.asarray([0, 1, 2, 3])
+    state = create_train_state(model, tx, jax.random.PRNGKey(0), wave, label)
+    return model, tx, state, wave, label
+
+
+def test_train_step_reduces_loss(setup):
+    model, tx, state, wave, label = setup
+    step = jax.jit(make_train_step(model, tx))
+    losses = []
+    for i in range(8):
+        state, metrics = step(state, wave, label,
+                              jax.random.PRNGKey(i), jnp.float32(1e-3))
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
+    assert int(state.step) == 8
+
+
+def test_train_step_with_specaugment_compiles():
+    """SpecAugment traces into the train step (random masks per step)."""
+    model = SpeakerEncoder(
+        backbone=build_model("ECAPA_TDNN", nOut=16, **SMALL),
+        loss=build_loss("AAmSoftmax", nOut=16, nClasses=4),
+        spec_augment=SpecAugmentConfig(time_warp=False),
+    )
+    tx = build_optimizer("adam", learning_rate=1e-3)
+    rng = np.random.default_rng(1)
+    wave = jnp.asarray(rng.normal(0, 0.1, (2, 2, 8000)).astype(np.float32))
+    label = jnp.asarray([0, 1])
+    state = create_train_state(model, tx, jax.random.PRNGKey(0), wave, label)
+    step = jax.jit(make_train_step(model, tx))
+    state, m = step(state, wave, label, jax.random.PRNGKey(0), jnp.float32(1e-3))
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_eval_embed(setup):
+    model, tx, state, wave, label = setup
+    embed = make_eval_embed_fn(model, normalize=True)
+    out = embed(state.params, state.batch_stats, wave[:, 0, :])
+    assert out.shape == (4, 16)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(out), axis=-1),
+                               1.0, rtol=1e-5)
+
+
+def test_specaugment_masks():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(5.0, 1.0, (2, 100, 80)).astype(np.float32))
+    cfg = SpecAugmentConfig(time_warp=False, freq_mask_width=(5, 10),
+                            time_mask_width=(5, 10))
+    y = spec_augment(jax.random.PRNGKey(0), x, cfg)
+    assert y.shape == x.shape
+    # some values must be zeroed
+    assert float(jnp.mean((y == 0).astype(jnp.float32))) > 0.01
+    # deterministic per key
+    y2 = spec_augment(jax.random.PRNGKey(0), x, cfg)
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(y2))
+    # different keys differ
+    y3 = spec_augment(jax.random.PRNGKey(1), x, cfg)
+    assert not np.array_equal(np.asarray(y), np.asarray(y3))
+
+
+def test_specaugment_time_warp_shape():
+    x = jnp.ones((2, 100, 80))
+    cfg = SpecAugmentConfig(time_warp=True, freq_mask=False, time_mask=False)
+    y = spec_augment(jax.random.PRNGKey(0), x, cfg)
+    assert y.shape == x.shape
+    assert np.all(np.isfinite(np.asarray(y)))
+
+
+def test_checkpoint_roundtrip(tmp_path, setup):
+    model, tx, state, wave, label = setup
+    p = save_checkpoint(tmp_path / "state.msgpack", state, {"epoch": 3})
+    restored = load_checkpoint(p, state)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        state.params, restored.params)
+
+
+def test_restore_into_tolerates_mismatch():
+    params = {"a": {"w": jnp.zeros((3, 3))}, "b": jnp.zeros(2)}
+    saved = {"a": {"w": jnp.ones((3, 3))}, "b": jnp.ones(5)}   # b mismatched
+    merged, skipped = restore_into(params, saved)
+    np.testing.assert_array_equal(np.asarray(merged["a"]["w"]), 1.0)
+    np.testing.assert_array_equal(np.asarray(merged["b"]), 0.0)
+    assert any("b" in s for s in skipped)
+
+
+def test_checkpoint_manager_policy(tmp_path, setup):
+    model, tx, state, wave, label = setup
+    mgr = CheckpointManager(tmp_path, top_k=3)
+    r1 = mgr.save_epoch(state, epoch=0, loss=1.0, lr=1e-3)
+    assert r1["best"]
+    r2 = mgr.save_epoch(state, epoch=1, loss=0.5, lr=1e-3)
+    assert r2["best"]
+    r3 = mgr.save_epoch(state, epoch=2, loss=0.9, lr=1e-3)   # worse
+    assert not r3["best"]
+    assert (tmp_path / "best_state.msgpack").exists()
+    assert (tmp_path / "best_state_top1.msgpack").exists()
+    assert (tmp_path / "best_state_top2.msgpack").exists()
+    assert (tmp_path / "last_state.msgpack").exists()
+    assert mgr.latest().name == "last_state.msgpack"
+    assert mgr.resume_meta()["epoch"] == 2
