@@ -1,0 +1,120 @@
+"""CLI entry point: train / infer / export / dataprep.
+
+Flag-surface parity with the reference's ``src/main.py:11-96``:
+``--do_train | --do_infer | --do_export`` with ``--eval/--test/--predict/
+--prepare`` sub-modes, ``--config`` YAML, and CLI overrides that clobber
+YAML keys (src/utils.py:196-200). Run directories are laid out as
+``save/<model>/<loss>/{model,result,config}`` with a frozen config copy
+(src/main.py:106-122). Training metadata is generated when missing
+(src/main.py:124-132).
+
+Usage:
+    python -m speakerverification_tpu.cli.main --do_train --config y.yaml
+    python -m speakerverification_tpu.cli.main --do_infer --eval --config y.yaml
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+from speakerverification_tpu.config import dump_config, read_config
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("speakerverification_tpu")
+    p.add_argument("--config", type=str, required=True)
+    p.add_argument("--do_train", action="store_true")
+    p.add_argument("--do_infer", action="store_true")
+    p.add_argument("--do_export", action="store_true")
+    # infer sub-modes (parity: main.py:36-56)
+    p.add_argument("--eval", action="store_true")
+    p.add_argument("--test", action="store_true")
+    p.add_argument("--prepare", action="store_true")
+    p.add_argument("--predict", nargs="*", default=None,
+                   help="audio files for identification")
+    # common overrides
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--augment", action="store_true", default=None)
+    p.add_argument("--early_stopping", action="store_true", default=None)
+    p.add_argument("--test_interval", type=int, default=None)
+    p.add_argument("--number_of_epochs", type=int, default=None)
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--initial_model_infer", type=str, default=None)
+    p.add_argument("--test_threshold", type=float, default=None)
+    p.add_argument("--scoring_mode", type=str, default=None)
+    p.add_argument("--sys_info", action="store_true")
+    return p
+
+
+# CLI mode flags that must not clobber same-named YAML config keys
+# (e.g. the YAML `prepare: cohorts|embed` selector vs the --prepare flag).
+_MODE_FLAGS = {"config", "do_train", "do_infer", "do_export",
+               "eval", "test", "prepare", "predict", "sys_info"}
+
+
+def load_hparams(args: argparse.Namespace) -> dict:
+    overrides = {k: v for k, v in vars(args).items()
+                 if v is not None and k not in _MODE_FLAGS}
+    hparams = read_config(args.config, overrides=overrides)
+    return hparams
+
+
+def ensure_metadata(hparams: dict) -> None:
+    """Generate train/dev manifests when absent (parity: main.py:124-132)."""
+    ann = hparams.get("train_annotation")
+    if not ann or Path(ann).exists() or hparams.get("skip_prep"):
+        return
+    from speakerverification_tpu.data.manifest import generate_metadata
+    data_folder = hparams.get("data_folder")
+    if not data_folder or not Path(data_folder).exists():
+        raise FileNotFoundError(
+            f"train_annotation {ann} missing and data_folder "
+            f"{data_folder!r} not found — cannot generate metadata")
+    stats = generate_metadata(
+        data_folder, Path(ann).parent,
+        split_ratio=float(hparams.get("dataloader_options", {})
+                          .get("split_ratio", -1)),
+        seed=int(hparams.get("seed", 0)))
+    print(f"[INFO] generated metadata: {stats}")
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    hparams = load_hparams(args)
+
+    if args.sys_info:
+        import jax
+        print(f"jax {jax.__version__}; devices: {jax.devices()}")
+
+    from speakerverification_tpu.training.trainer import run_dirs
+    dirs = run_dirs(hparams)
+    dump_config(hparams, dirs["config"] / "config_frozen.yaml")
+
+    if args.do_train:
+        ensure_metadata(hparams)
+        from speakerverification_tpu.training.trainer import Trainer
+        result = Trainer(hparams).fit()
+        print(f"[DONE] min_loss {result['min_loss']:.4f}")
+        return 0
+
+    if args.do_infer:
+        from speakerverification_tpu.inference import inference
+        inference(hparams, eval_=args.eval, test=args.test,
+                  prepare=args.prepare, predict=args.predict)
+        return 0
+
+    if args.do_export:
+        from speakerverification_tpu.export import export_model
+        export_model(hparams)
+        return 0
+
+    print("nothing to do: pass --do_train / --do_infer / --do_export",
+          file=sys.stderr)
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,238 @@
+"""Trial evaluation, cohort/enrollment preparation, decision runs.
+
+TPU-native replacement for the reference's evaluation paths:
+
+* ``evaluate_from_list`` — parse a trial file, embed each unique file
+  once in *batched* forward passes, then score the whole trial list on
+  device (replaces src/model.py:306-450's batch-size-1 file loop +
+  per-pair Python loop).
+* ``prepare_cohorts`` — up to 3 utterances per speaker from the train
+  manifest → normalized crop embeddings → per-speaker mean → cohort bank
+  (parity: src/model.py:578-609; saved as .npy).
+* ``prepare_embeddings`` — per-speaker mean embeddings + class map for
+  open-set identification (parity: src/model.py:612-649).
+* ``test_from_list`` — score labeled/unlabeled pairs and emit decisions
+  at a threshold (parity: src/model.py:455-554).
+* ``predict_identity`` — nearest-enrolled-speaker with score 1 − d²/2
+  (parity: src/inference.py:254-327).
+
+Trial-file format: ``label file1 file2`` with comma/space autodetection
+(the reference skips the first line of comma files as a header,
+src/model.py:348-355 — we skip it only when it doesn't parse, a sane
+version of that behavior).
+"""
+
+from __future__ import annotations
+
+import csv
+from pathlib import Path
+from typing import Callable, Mapping, Optional, Sequence
+
+import numpy as np
+
+from speakerverification_tpu.data.loader import EvalDataLoader
+from speakerverification_tpu.evaluation.scoring import l2_normalize, score_trials
+
+__all__ = ["parse_trials", "extract_embeddings", "evaluate_from_list",
+           "prepare_cohorts", "prepare_embeddings", "test_from_list",
+           "predict_identity"]
+
+
+def parse_trials(listfile: str | Path, with_label: bool = True):
+    """Parse trial lines → (labels, ref_files, com_files).
+
+    Lines are ``[label ]file1 file2`` delimited by comma or whitespace.
+    A first line that doesn't parse (header) is skipped.
+    """
+    labels, refs, coms = [], [], []
+    with open(listfile) as f:
+        lines = [ln.strip() for ln in f if ln.strip()]
+    for i, line in enumerate(lines):
+        delim = "," if "," in line else None
+        parts = [p.strip() for p in line.split(delim)]
+        try:
+            if with_label:
+                labels.append(int(parts[0]))
+                refs.append(parts[-2])
+                coms.append(parts[-1])
+            else:
+                refs.append(parts[-2])
+                coms.append(parts[-1])
+        except (ValueError, IndexError):
+            if i == 0:
+                continue              # header line
+            raise ValueError(f"bad trial line {i}: {line!r}") from None
+    return np.asarray(labels), refs, coms
+
+
+def extract_embeddings(embed_fn: Callable, files: Sequence[str],
+                       audio_spec: Mapping, num_eval: int = 10,
+                       batch_size: int = 32, num_workers: int = 8,
+                       ) -> np.ndarray:
+    """Embed unique files in fixed-shape batches → ``[n_files, E, D]``."""
+    loader = EvalDataLoader(files, audio_spec, num_eval=num_eval,
+                            batch_size=batch_size, num_workers=num_workers)
+    out = []
+    for waves, _paths in loader:
+        B, E, T = waves.shape
+        emb = np.asarray(embed_fn(waves.reshape(B * E, T)))
+        out.append(emb.reshape(B, E, -1))
+    return np.concatenate(out, axis=0)
+
+
+def evaluate_from_list(embed_fn: Callable, listfile: str | Path,
+                       audio_spec: Mapping, num_eval: int = 10,
+                       scoring_mode: str = "cosine",
+                       cohorts: Optional[np.ndarray] = None,
+                       top: int = 200, normalize: bool = True,
+                       batch_size: int = 32, num_workers: int = 8):
+    """Returns (scores, labels, trials) like src/model.py:306-450."""
+    labels, refs, coms = parse_trials(listfile, with_label=True)
+    setfiles = sorted(set(refs) | set(coms))
+    index = {f: i for i, f in enumerate(setfiles)}
+
+    emb = extract_embeddings(embed_fn, setfiles, audio_spec, num_eval,
+                             batch_size, num_workers)
+    ridx = np.asarray([index[f] for f in refs], np.int32)
+    cidx = np.asarray([index[f] for f in coms], np.int32)
+
+    if scoring_mode in ("norm", "zt_norm") and cohorts is None:
+        raise ValueError("scoring_mode='norm' requires a cohort bank "
+                         "(run prepare_cohorts first)")
+    mode = scoring_mode if cohorts is not None or scoring_mode in (
+        "cosine", "pnorm") else "distance"
+    scores = score_trials(emb, ridx, cidx, mode=mode, cohorts=cohorts,
+                          top=top, normalize=normalize)
+    trials = [f"{r} {c}" for r, c in zip(refs, coms)]
+    return scores, labels, trials
+
+
+def _read_manifest_pairs(source: str | Path):
+    """Accept both the CSV manifest (header) and space-delimited lists."""
+    pairs = []
+    with open(source, newline="") as f:
+        sample = f.read(4096)
+        f.seek(0)
+        if "," in sample.splitlines()[0]:
+            reader = csv.reader(f)
+            next(reader, None)
+            for row in reader:
+                if len(row) >= 2:
+                    pairs.append((row[0], row[1]))
+        else:
+            for line in f:
+                parts = line.split()
+                if len(parts) >= 2:
+                    pairs.append((parts[0], parts[1]))
+    return pairs
+
+
+def prepare_cohorts(embed_fn: Callable, source: str | Path,
+                    audio_spec: Mapping, num_eval: int = 10,
+                    n_emb_per_spk: int = 3, save_path: Optional[str] = None,
+                    batch_size: int = 32, num_workers: int = 8) -> np.ndarray:
+    """Cohort bank: per-speaker mean of normalized crop embeddings
+    (parity: src/model.py:578-609)."""
+    pairs = _read_manifest_pairs(source)
+    by_spk: dict[str, list[str]] = {}
+    for spk, path in pairs:
+        by_spk.setdefault(spk, []).append(path)
+
+    files, owner = [], []
+    for spk, paths in by_spk.items():
+        for p in paths[:n_emb_per_spk]:
+            files.append(p)
+            owner.append(spk)
+
+    emb = extract_embeddings(embed_fn, files, audio_spec, num_eval,
+                             batch_size, num_workers)
+    emb = np.asarray(l2_normalize(emb))            # normalize per crop
+    speakers = list(by_spk.keys())
+    cohort = np.stack([
+        emb[[i for i, o in enumerate(owner) if o == spk]].reshape(-1, emb.shape[-1]).mean(0)
+        for spk in speakers])
+    if save_path:
+        Path(save_path).parent.mkdir(parents=True, exist_ok=True)
+        np.save(save_path, cohort)
+    return cohort
+
+
+def prepare_embeddings(embed_fn: Callable, source: str | Path,
+                       audio_spec: Mapping, num_eval: int = 10,
+                       save_dir: Optional[str] = None, normalize: bool = True,
+                       batch_size: int = 32, num_workers: int = 8):
+    """Enrollment bank from ``source/<speaker>/*.wav`` dirs
+    (parity: src/model.py:612-649). Returns (embeds [n_spk, D], classes)."""
+    speaker_dirs = sorted(p for p in Path(source).iterdir() if p.is_dir())
+    classes = {i: d.stem for i, d in enumerate(speaker_dirs)}
+    means = []
+    for d in speaker_dirs:
+        files = sorted(str(f) for f in d.glob("*.wav"))
+        emb = extract_embeddings(embed_fn, files, audio_spec, num_eval,
+                                 batch_size, num_workers)
+        if normalize:
+            emb = np.asarray(l2_normalize(emb))
+        means.append(emb.reshape(-1, emb.shape[-1]).mean(0))
+    embeds = np.stack(means)
+    if save_dir:
+        Path(save_dir).mkdir(parents=True, exist_ok=True)
+        np.save(Path(save_dir) / "embeds.npy", embeds)
+        np.save(Path(save_dir) / "classes.npy", classes)
+    return embeds, classes
+
+
+def test_from_list(embed_fn: Callable, listfile: str | Path,
+                   audio_spec: Mapping, threshold: float,
+                   num_eval: int = 10, scoring_mode: str = "cosine",
+                   cohorts: Optional[np.ndarray] = None, top: int = 200,
+                   normalize: bool = True, output_file: Optional[str] = None,
+                   batch_size: int = 32, num_workers: int = 8):
+    """Decision run: scores + predictions at a threshold
+    (parity: src/model.py:455-554). Trial file may be unlabeled."""
+    with open(listfile) as f:
+        first = f.readline()
+    has_label = first.strip() and first.split("," if "," in first else None)[0].strip().isdigit()
+
+    if has_label:
+        labels, refs, coms = parse_trials(listfile, with_label=True)
+    else:
+        _, refs, coms = parse_trials(listfile, with_label=False)
+        labels = None
+
+    setfiles = sorted(set(refs) | set(coms))
+    index = {f: i for i, f in enumerate(setfiles)}
+    emb = extract_embeddings(embed_fn, setfiles, audio_spec, num_eval,
+                             batch_size, num_workers)
+    ridx = np.asarray([index[f] for f in refs], np.int32)
+    cidx = np.asarray([index[f] for f in coms], np.int32)
+    scores = score_trials(emb, ridx, cidx, mode=scoring_mode,
+                          cohorts=cohorts, top=top, normalize=normalize)
+    preds = (scores >= threshold).astype(int)
+
+    if output_file:
+        Path(output_file).parent.mkdir(parents=True, exist_ok=True)
+        with open(output_file, "w") as f:
+            for r, c, s, p in zip(refs, coms, scores, preds):
+                f.write(f"{p} {s:.6f} {r} {c}\n")
+    return scores, preds, labels
+
+
+def predict_identity(embed_fn: Callable, files: Sequence[str],
+                     enrolled: np.ndarray, classes: Mapping,
+                     audio_spec: Mapping, num_eval: int = 10,
+                     threshold: float = 0.0, batch_size: int = 32,
+                     num_workers: int = 8):
+    """Nearest enrolled speaker; score = 1 − d²/2 on normalized means
+    (parity: src/inference.py:254-327). Returns (names, scores)."""
+    emb = extract_embeddings(embed_fn, list(files), audio_spec, num_eval,
+                             batch_size, num_workers)
+    emb = np.asarray(l2_normalize(emb)).mean(axis=1)          # [n, D]
+    emb = np.asarray(l2_normalize(emb))
+    enr = np.asarray(l2_normalize(np.asarray(enrolled)))
+    d2 = (np.sum(emb**2, -1)[:, None] + np.sum(enr**2, -1)[None, :]
+          - 2.0 * emb @ enr.T)
+    best = np.argmin(d2, axis=-1)
+    scores = 1.0 - d2[np.arange(len(best)), best] / 2.0
+    names = [classes[int(b)] if scores[i] >= threshold else "unknown"
+             for i, b in enumerate(best)]
+    return names, scores

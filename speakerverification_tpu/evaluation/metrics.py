@@ -87,7 +87,8 @@ def auc(x, y) -> float:
             direction = -1.0
         else:
             raise ValueError("x is neither increasing nor decreasing")
-    return float(direction * np.trapz(y, x))
+    trapezoid = getattr(np, "trapezoid", np.trapz)
+    return float(direction * trapezoid(y, x))
 
 
 def tune_threshold_from_score(scores, labels, target_fa: Sequence[float],

@@ -1,0 +1,204 @@
+"""Inference verbs: --eval / --test / --prepare / --predict.
+
+Behavioral parity with the reference's ``inference(args)``
+(src/inference.py:25-327): weight selection priority
+``initial_model_infer`` > ``best_state`` > latest (src/inference.py:56-63),
+trial evaluation + threshold tuning + minDCF, decision runs against a
+threshold, cohort/enrollment preparation, and nearest-speaker
+identification. Artifacts (evaluation results CSV, Inference_log.txt)
+mirror the reference's result files (src/inference.py:129-173).
+
+The interactive ``input()`` confirmation inside the reference's eval path
+(src/inference.py:176-181) is intentionally not reproduced.
+"""
+
+from __future__ import annotations
+
+import csv
+import time
+from pathlib import Path
+from typing import Mapping, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from speakerverification_tpu.builder import encoder_from_hparams
+from speakerverification_tpu.evaluation.evaluator import (
+    evaluate_from_list,
+    predict_identity,
+    prepare_cohorts,
+    prepare_embeddings,
+    test_from_list,
+)
+from speakerverification_tpu.evaluation.metrics import (
+    compute_error_rates,
+    compute_min_dcf,
+    tune_threshold_from_score,
+)
+from speakerverification_tpu.training.checkpoint import load_checkpoint
+from speakerverification_tpu.training.state import create_train_state
+from speakerverification_tpu.training.train_step import make_eval_embed_fn
+from speakerverification_tpu.training.trainer import run_dirs
+from speakerverification_tpu.optim import build_optimizer
+
+__all__ = ["InferenceEngine", "inference"]
+
+
+def _select_weights(hparams: Mapping, model_dir: Path) -> Optional[Path]:
+    """initial_model_infer > best_state > last_state > newest epoch."""
+    cand = hparams.get("initial_model_infer")
+    if cand and Path(str(cand)).exists():
+        return Path(str(cand))
+    for name in ("best_state.msgpack", "last_state.msgpack"):
+        p = model_dir / name
+        if p.exists():
+            return p
+    epochs = sorted(model_dir.glob("model_state_*.msgpack"))
+    return epochs[-1] if epochs else None
+
+
+class InferenceEngine:
+    def __init__(self, hparams: Mapping, weights: Optional[str] = None):
+        self.hparams = dict(hparams)
+        self.dirs = run_dirs(hparams)
+        self.model = encoder_from_hparams(hparams, with_loss=True)
+
+        # template state for deserialization
+        spec = hparams.get("audio_spec", {})
+        T = int(spec.get("sentence_len", 2.0) * spec.get("sample_rate", 8000))
+        import jax
+        dummy = jnp.zeros((1, 1, T), jnp.float32)
+        tx = build_optimizer("adam", learning_rate=1e-3)
+        self.state = create_train_state(self.model, tx, jax.random.PRNGKey(0),
+                                        dummy, jnp.zeros((1,), jnp.int32))
+
+        path = Path(weights) if weights else _select_weights(
+            hparams, self.dirs["model"])
+        self.weights_path = path
+        if path is not None and path.exists():
+            self.state = load_checkpoint(path, self.state)
+            print(f"[INFO] loaded weights: {path}")
+        else:
+            print("[WARN] no weights found — using random initialization")
+
+        normalize = bool(getattr(self.model.loss, "test_normalize", True))
+        self._embed = make_eval_embed_fn(self.model, normalize=normalize)
+
+    def embed_fn(self, waves: np.ndarray) -> np.ndarray:
+        return np.asarray(self._embed(self.state.params,
+                                      self.state.batch_stats,
+                                      jnp.asarray(waves)))
+
+    # ------------------------------------------------------------------
+    def evaluate(self, listfile: Optional[str] = None) -> dict:
+        h = self.hparams
+        listfile = listfile or h["evaluation_file"]
+        cohorts = None
+        mode = h.get("scoring_mode", "cosine")
+        if mode in ("norm", "zt_norm"):
+            cohorts = np.load(str(h["cohorts_path"]))
+        t0 = time.time()
+        scores, labels, trials = evaluate_from_list(
+            self.embed_fn, listfile, h["audio_spec"],
+            num_eval=int(h.get("num_eval", 10)), scoring_mode=mode,
+            cohorts=cohorts,
+            batch_size=int(h.get("eval_batch_size", 32)),
+            num_workers=int(h.get("dataloader_options", {}).get("num_workers", 8)))
+        elapsed = time.time() - t0
+
+        res = tune_threshold_from_score(scores, labels, [1, 0.1])
+        fnrs, fprs, thresholds = compute_error_rates(scores, labels)
+        dcf = h.get("dcf", {}) or {}
+        mindcf, dcf_thr = compute_min_dcf(
+            fnrs, fprs, thresholds,
+            p_target=float(dcf.get("dcf_p_target", 0.05)),
+            c_miss=float(dcf.get("dcf_c_miss", 1)),
+            c_fa=float(dcf.get("dcf_c_fa", 1)))
+
+        result_dir = self.dirs["result"]
+        with open(result_dir / "evaluation_results.csv", "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["label", "score", "trial"])
+            for s, l, t in zip(scores, labels, trials):
+                w.writerow([int(l), float(s), t])
+        report = {
+            "eer": res["roc"][1], "auc": res["roc"][2],
+            "threshold": res["roc"][3], "min_dcf": mindcf,
+            "dcf_threshold": dcf_thr, "gmean": res["gmean"][1],
+            "n_trials": len(scores), "seconds": elapsed,
+        }
+        with open(result_dir / "Inference_log.txt", "a") as f:
+            f.write(f"{time.strftime('%Y-%m-%d %H:%M:%S')} eval {listfile} "
+                    f"-> EER {report['eer']:.4f}% minDCF {mindcf:.4f} "
+                    f"thr {report['threshold']:.4f} ({elapsed:.1f}s)\n")
+        print(f"[RESULT] EER {report['eer']:.4f}%  minDCF {mindcf:.4f}  "
+              f"AUC {report['auc']:.4f}  thr {report['threshold']:.4f}")
+        return report
+
+    def test(self, listfile: Optional[str] = None,
+             threshold: Optional[float] = None) -> dict:
+        h = self.hparams
+        listfile = listfile or h["verification_file"]
+        threshold = threshold if threshold is not None else \
+            float(h.get("test_threshold", 0))
+        if threshold == 0:
+            # tune on the evaluation file first (parity: inference.py:187-215)
+            threshold = float(self.evaluate()["threshold"])
+        cohorts = None
+        mode = h.get("scoring_mode", "cosine")
+        if mode in ("norm", "zt_norm"):
+            cohorts = np.load(str(h["cohorts_path"]))
+        out = self.dirs["result"] / (Path(listfile).stem + "_results.txt")
+        scores, preds, labels = test_from_list(
+            self.embed_fn, listfile, h["audio_spec"], threshold,
+            num_eval=int(h.get("num_eval", 10)), scoring_mode=mode,
+            cohorts=cohorts, output_file=str(out))
+        report = {"threshold": threshold, "n": len(scores),
+                  "accept_rate": float(np.mean(preds)), "output": str(out)}
+        if labels is not None and len(labels):
+            report["accuracy"] = float(np.mean(preds == labels))
+        print(f"[RESULT] test: {report}")
+        return report
+
+    def prepare(self, prepare_type: Optional[str] = None):
+        h = self.hparams
+        prepare_type = prepare_type or h.get("prepare", "cohorts")
+        if prepare_type == "cohorts":
+            return prepare_cohorts(
+                self.embed_fn, h["train_annotation"], h["audio_spec"],
+                num_eval=int(h.get("num_eval", 10)),
+                save_path=str(h.get("cohorts_path", "cohorts.npy")))
+        if prepare_type == "embed":
+            return prepare_embeddings(
+                self.embed_fn, h["data_folder"], h["audio_spec"],
+                num_eval=int(h.get("num_eval", 10)),
+                save_dir=str(self.dirs["model"]))
+        raise ValueError(f"unknown prepare type {prepare_type!r}")
+
+    def predict(self, files, threshold: float = 0.0):
+        h = self.hparams
+        embeds = np.load(self.dirs["model"] / "embeds.npy")
+        classes = np.load(self.dirs["model"] / "classes.npy",
+                          allow_pickle=True).item()
+        return predict_identity(self.embed_fn, files, embeds, classes,
+                                h["audio_spec"],
+                                num_eval=int(h.get("num_eval", 10)),
+                                threshold=threshold)
+
+
+def inference(hparams: Mapping, eval_: bool = False, test: bool = False,
+              prepare: bool = False, predict=None) -> dict:
+    """CLI-facing dispatcher (parity: src/inference.py:25 + main.py:17-19)."""
+    engine = InferenceEngine(hparams)
+    out = {}
+    if prepare:
+        engine.prepare()
+        out["prepared"] = True
+    if eval_:
+        out["eval"] = engine.evaluate()
+    if test:
+        out["test"] = engine.test()
+    if predict:
+        names, scores = engine.predict(predict)
+        out["predict"] = list(zip(names, [float(s) for s in scores]))
+    return out

@@ -1,0 +1,231 @@
+"""Training orchestration: epochs, schedules, checkpoints, logging.
+
+TPU-native counterpart of the reference's ``train``/``main_worker`` +
+``ModelHandling.fit`` (src/trainer.py:38-243, src/model.py:225-301):
+
+* one jitted train step per batch (forward+backward+update fused into a
+  single XLA program);
+* learning-rate schedules stepped per epoch or per iteration
+  (src/model.py:277-296 semantics) by feeding the lr scalar each step;
+* best/top-k/last checkpoint retention + resume (src/trainer.py:143-232);
+* ``scores.txt`` append log and optional TensorBoard scalars
+  (src/trainer.py:126-236);
+* optional periodic validation EER (``test_interval``) and early stopping.
+
+Multi-host data parallelism replaces torch DDP with per-rank sampler
+shards feeding a shard_map'd step (see parallel/).
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Mapping, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from speakerverification_tpu.builder import (
+    encoder_from_hparams,
+    optimizer_from_hparams,
+    scheduler_from_hparams,
+)
+from speakerverification_tpu.data.loader import train_data_loader
+from speakerverification_tpu.evaluation.evaluator import evaluate_from_list
+from speakerverification_tpu.evaluation.metrics import tune_threshold_from_score
+from speakerverification_tpu.optim import EarlyStopping
+from speakerverification_tpu.training.checkpoint import (
+    CheckpointManager,
+    load_checkpoint,
+)
+from speakerverification_tpu.training.state import create_train_state
+from speakerverification_tpu.training.train_step import (
+    make_eval_embed_fn,
+    make_train_step,
+)
+
+__all__ = ["Trainer", "run_dirs"]
+
+
+def run_dirs(hparams: Mapping) -> dict:
+    """save/<model>/<loss>/{model,result,config} layout
+    (parity: src/main.py:106-122)."""
+    base = Path(hparams.get("save_folder", "save"))
+    model = hparams.get("model", {}).get("name", "model")
+    crit = hparams.get("criterion", {}).get("name", "loss")
+    root = base / str(model) / str(crit)
+    dirs = {"root": root, "model": root / "model", "result": root / "result",
+            "config": root / "config"}
+    for d in dirs.values():
+        d.mkdir(parents=True, exist_ok=True)
+    return dirs
+
+
+class Trainer:
+    def __init__(self, hparams: Mapping, num_replicas: int = 1, rank: int = 0):
+        self.hparams = dict(hparams)
+        self.rank = rank
+        self.dirs = run_dirs(hparams)
+
+        self.loader = train_data_loader(hparams, num_replicas, rank)
+        if self.loader.manifest.num_classes != int(hparams.get("nClasses", 0)):
+            print(f"[WARN] nClasses={hparams.get('nClasses')} in config but "
+                  f"{self.loader.manifest.num_classes} speakers in manifest; "
+                  f"using the manifest count")
+            self.hparams["nClasses"] = self.loader.manifest.num_classes
+
+        self.model = encoder_from_hparams(self.hparams)
+        self.tx = optimizer_from_hparams(self.hparams)
+        steps_per_epoch = max(len(self.loader), 1)
+        self.schedule, self.lr_unit = scheduler_from_hparams(
+            self.hparams, steps_per_epoch)
+        self.steps_per_epoch = steps_per_epoch
+
+        self.step_fn = jax.jit(make_train_step(self.model, self.tx),
+                               donate_argnums=(0,))
+        self.embed_fn = None    # built lazily for validation
+
+        self.ckpt = CheckpointManager(
+            self.dirs["model"],
+            top_k=3,
+            save_per_epoch=not hparams.get("save_model_last", True),
+            time_interval_min=float(hparams.get("ckpt_interval_minutes", -1)))
+
+        self.early_stopping: Optional[EarlyStopping] = None
+        if hparams.get("early_stopping"):
+            self.early_stopping = EarlyStopping(
+                patience=int(hparams.get("es_patience", 15)))
+
+        self._writer = None
+        if rank == 0:
+            try:
+                from tensorboardX import SummaryWriter
+                runs = self.dirs["result"] / "runs"
+                runs.mkdir(exist_ok=True)
+                self._writer = SummaryWriter(log_dir=str(runs))
+            except ImportError:
+                pass
+
+        self.state = None
+        self.init_epoch = 1
+        self.min_loss = float("inf")
+        self.min_eer = float("inf")
+
+    # ------------------------------------------------------------------
+    def _init_state(self, batch):
+        wave = jnp.asarray(batch["wave"])
+        label = jnp.asarray(batch["label"])
+        self.state = create_train_state(self.model, self.tx,
+                                        jax.random.PRNGKey(
+                                            int(self.hparams.get("seed", 0))),
+                                        wave, label)
+        # resume (priority: configured pretrained > previous run > scratch —
+        # parity: src/trainer.py:349-365)
+        resume = None
+        pre = self.hparams.get("pretrained", {}) or {}
+        if pre.get("use") and pre.get("path") and Path(str(pre["path"])).exists():
+            resume = Path(str(pre["path"]))
+        elif self.ckpt.latest() is not None:
+            resume = self.ckpt.latest()
+        if resume is not None:
+            self.state = load_checkpoint(resume, self.state)
+            meta = self.ckpt.resume_meta()
+            self.init_epoch = int(meta.get("epoch", 0)) + 1
+            self.min_loss = float(meta.get("loss", float("inf")))
+            print(f"[INFO] resumed from {resume} at epoch {self.init_epoch}")
+
+    def _lr(self, epoch: int, it: int, global_it: int) -> float:
+        if self.lr_unit == "iteration":
+            return float(self.schedule(global_it))
+        if self.lr_unit == "epoch":
+            return float(self.schedule(epoch - 1))
+        return float(self.schedule.lr)          # plateau: current lr
+
+    # ------------------------------------------------------------------
+    def train_epoch(self, epoch: int) -> tuple[float, float]:
+        self.loader.set_epoch(epoch)
+        losses, accs = [], []
+        t0 = time.time()
+        n_utts = 0
+        base_rng = jax.random.PRNGKey(
+            int(self.hparams.get("seed", 0)) * 1000 + epoch)
+        for it, batch in enumerate(self.loader):
+            lr = self._lr(epoch, it, (epoch - 1) * self.steps_per_epoch + it)
+            rng = jax.random.fold_in(base_rng, it)
+            self.state, metrics = self.step_fn(
+                self.state, jnp.asarray(batch["wave"]),
+                jnp.asarray(batch["label"]), rng, jnp.float32(lr))
+            losses.append(metrics["loss"])
+            accs.append(metrics["prec1"])
+            n_utts += batch["wave"].shape[0] * batch["wave"].shape[1]
+        # device sync once per epoch
+        loss = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
+        acc = float(jnp.mean(jnp.stack(accs))) if accs else float("nan")
+        dt = time.time() - t0
+        if self.rank == 0:
+            print(f"[E{epoch:03d}] loss {loss:.4f} acc {acc:5.2f}% "
+                  f"lr {self._lr(epoch, 0, (epoch - 1) * self.steps_per_epoch):.2e} "
+                  f"({n_utts / max(dt, 1e-9):.1f} utt/s)")
+        return loss, acc
+
+    def validate(self) -> float:
+        if self.embed_fn is None:
+            normalize = bool(getattr(self.model.loss, "test_normalize", True))
+            self.embed_fn = make_eval_embed_fn(self.model, normalize=normalize)
+        sc, lab, _ = evaluate_from_list(
+            lambda w: self.embed_fn(self.state.params, self.state.batch_stats,
+                                    jnp.asarray(w)),
+            self.hparams["valid_annotation"],
+            self.hparams["audio_spec"],
+            num_eval=int(self.hparams.get("num_eval", 10)),
+            scoring_mode="cosine")
+        return tune_threshold_from_score(sc, lab, [1, 0.1])["roc"][1]
+
+    # ------------------------------------------------------------------
+    def fit(self) -> dict:
+        n_epochs = int(self.hparams.get("number_of_epochs", 1))
+        score_path = self.dirs["result"] / "scores.txt"
+        test_interval = int(self.hparams.get("test_interval", -1) or -1)
+
+        first_batch = next(iter(self.loader))
+        self._init_state(first_batch)
+
+        for epoch in range(self.init_epoch, n_epochs + 1):
+            loss, acc = self.train_epoch(epoch)
+            lr_now = self._lr(epoch, 0, epoch * self.steps_per_epoch)
+
+            if self.lr_unit == "plateau":
+                self.schedule(loss)
+
+            if self.rank != 0:
+                continue
+
+            line = f"epoch {epoch}, LR {lr_now:.8f}, TEER/TAcc {acc:2.2f}, TLOSS {loss:f}"
+            if test_interval > 0 and epoch % test_interval == 0 and \
+                    self.hparams.get("valid_annotation"):
+                veer = self.validate()
+                self.min_eer = min(self.min_eer, veer)
+                line += f", VEER {veer:2.4f}, MINEER {self.min_eer:2.4f}"
+            with open(score_path, "a") as f:
+                f.write(line + "\n")
+
+            saved = self.ckpt.save_epoch(self.state, epoch, loss, lr_now)
+            if saved["best"]:
+                self.min_loss = loss
+                if self.early_stopping is not None:
+                    self.early_stopping.counter = 0
+
+            if self._writer is not None:
+                self._writer.add_scalar("Loss/train", loss, epoch)
+                self._writer.add_scalar("Accuracy/train", acc, epoch)
+                self._writer.add_scalar("Params/learning_rate", lr_now, epoch)
+
+            if self.early_stopping is not None and self.early_stopping(loss):
+                print("[INFO] early stopping")
+                break
+
+        if self._writer is not None:
+            self._writer.close()
+        return {"min_loss": self.min_loss, "min_eer": self.min_eer,
+                "state": self.state}

@@ -1,0 +1,261 @@
+"""Data layer: WAV I/O, crop loading, manifests, sampler, loader, augment."""
+
+import numpy as np
+import pytest
+
+from speakerverification_tpu.data import (
+    AudioSpec,
+    EvalDataLoader,
+    Manifest,
+    SpeakerBatchSampler,
+    TrainDataLoader,
+    generate_metadata,
+    load_wav,
+    read_wav,
+    write_wav,
+)
+from speakerverification_tpu.data import wavio
+from speakerverification_tpu.data.augment import (
+    AugmentWav,
+    augment_pitch,
+    augment_speed,
+    augment_volume,
+)
+
+SPEC = {"sample_rate": 8000, "channels": 1, "sentence_len": 2.0,
+        "win_len": 0.025, "hop_len": 0.01}
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    """Synthetic 6-speaker dataset + MUSAN/RIR-style augment folders."""
+    root = tmp_path_factory.mktemp("ds")
+    rng = np.random.default_rng(0)
+    data = root / "raw"
+    for spk in range(6):
+        for utt in range(8):
+            t = np.arange(12000) / 8000.0
+            sig = 0.3 * np.sin(2 * np.pi * (150 + 80 * spk) * t) \
+                + rng.normal(0, 0.02, len(t))
+            write_wav(data / f"spk{spk:02d}" / f"u{utt}.wav",
+                      sig.astype(np.float32), 8000)
+    aug = root / "aug"
+    for cat, sub in [("noise", "free"), ("music", "fma"), ("speech", "lb")]:
+        for i in range(3):
+            write_wav(aug / "musan_split" / cat / sub / f"x{i}" / f"{i}.wav",
+                      rng.normal(0, 0.1, 20000).astype(np.float32), 8000)
+    for i in range(2):
+        write_wav(aug / "RIRS_NOISES" / "simulated_rirs" / "small" /
+                  f"Room{i}" / f"r{i}.wav",
+                  np.exp(-np.arange(4000) / 500.0).astype(np.float32) *
+                  rng.normal(0, 1, 4000).astype(np.float32), 8000)
+        write_wav(aug / "RIRS_NOISES" / "pointsource_noises" / f"p{i}.wav",
+                  rng.normal(0, 0.1, 16000).astype(np.float32), 8000)
+    return root
+
+
+def test_wav_roundtrip_24bit(tmp_path):
+    """Python fallback decodes PCM_24 written by raw bytes."""
+    rng = np.random.default_rng(1)
+    x = rng.uniform(-0.5, 0.5, 1000).astype(np.float32)
+    ints = (x * 8388607).astype(np.int32)
+    b = np.zeros((1000, 3), np.uint8)
+    b[:, 0] = ints & 0xFF
+    b[:, 1] = (ints >> 8) & 0xFF
+    b[:, 2] = (ints >> 16) & 0xFF
+    import struct
+    payload = b.tobytes()
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(payload)) + b"WAVE"
+    hdr += b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 8000 * 3, 3, 24)
+    hdr += b"data" + struct.pack("<I", len(payload))
+    p = tmp_path / "t24.wav"
+    p.write_bytes(hdr + payload)
+    y, sr = read_wav(p)
+    assert sr == 8000
+    np.testing.assert_allclose(y, x, atol=2e-7)
+
+
+def test_native_matches_python(tmp_path):
+    rng = np.random.default_rng(2)
+    x = rng.normal(0, 0.2, 5000).clip(-1, 1).astype(np.float32)
+    p = tmp_path / "a.wav"
+    write_wav(p, x, 16000)
+    if not wavio.native_available():
+        pytest.skip("native lib unavailable")
+    yn, srn = wavio.read_wav(p)
+    yp, srp = wavio._read_wav_python(p)
+    np.testing.assert_array_equal(yn, yp)
+    assert srn == srp == 16000
+
+
+def test_load_wav_padwrap_and_crops(tmp_path):
+    x = np.sin(np.arange(4000) / 50).astype(np.float32)   # 0.5 s < 2 s
+    p = tmp_path / "short.wav"
+    write_wav(p, x, 8000, "FLOAT")
+    out = load_wav(str(p), SPEC, evalmode=False, rng=np.random.default_rng(0))
+    assert out.shape == (1, 16000)
+    # pad-wrap: content repeats with period 4000
+    np.testing.assert_allclose(out[0, :4000], out[0, 4000:8000], atol=1e-4)
+
+    ev = load_wav(str(p), SPEC, evalmode=True, num_eval=5)
+    assert ev.shape == (5, 16000)
+    full = load_wav(str(p), SPEC, evalmode=True, num_eval=0)
+    assert full.shape[0] == 1 and full.shape[1] >= 16000
+
+
+def test_load_wav_sr_mismatch(tmp_path):
+    p = tmp_path / "sr16.wav"
+    write_wav(p, np.zeros(1000, np.float32), 16000)
+    with pytest.raises(ValueError):
+        load_wav(str(p), SPEC)
+
+
+def test_metadata_and_manifest(dataset, tmp_path):
+    stats = generate_metadata(dataset / "raw", tmp_path / "meta",
+                              num_val_utts=2, seed=0)
+    assert stats["n_speakers"] == 6
+    assert stats["n_train"] == 6 * 6 and stats["n_dev"] == 6 * 2
+    m = Manifest.read(tmp_path / "meta" / "train.csv")
+    assert m.num_classes == 6
+    assert len(m) == 36
+    assert sorted(set(m.labels)) == list(range(6))
+
+
+def test_sampler_no_same_speaker_in_batch(dataset, tmp_path):
+    generate_metadata(dataset / "raw", tmp_path / "meta2", num_val_utts=0)
+    m = Manifest.read(tmp_path / "meta2" / "train.csv")
+    s = SpeakerBatchSampler(m.labels, batch_size=4, nPerSpeaker=2,
+                            max_seg_per_spk=100, seed=1)
+    for batch in s:
+        assert len(batch) == 4
+        spk = [m.labels[t[0]] for t in batch]
+        assert len(set(spk)) == len(spk)          # all distinct
+        for tup in batch:
+            assert len(tup) == 2
+            assert m.labels[tup[0]] == m.labels[tup[1]]
+
+
+def test_sampler_rank_sharding(dataset, tmp_path):
+    generate_metadata(dataset / "raw", tmp_path / "meta3", num_val_utts=0)
+    m = Manifest.read(tmp_path / "meta3" / "train.csv")
+    shards = []
+    for rank in range(2):
+        s = SpeakerBatchSampler(m.labels, batch_size=2, nPerSpeaker=2,
+                                seed=3, num_replicas=2, rank=rank)
+        shards.append([tuple(map(tuple, b)) for b in s])
+    assert len(shards[0]) == len(shards[1]) == len(
+        SpeakerBatchSampler(m.labels, 2, 2, seed=3, num_replicas=2, rank=0))
+    flat0 = {t for b in shards[0] for t in b}
+    flat1 = {t for b in shards[1] for t in b}
+    assert not flat0 & flat1                      # disjoint
+
+
+def test_sampler_epoch_reshuffle(dataset, tmp_path):
+    generate_metadata(dataset / "raw", tmp_path / "meta4", num_val_utts=0)
+    m = Manifest.read(tmp_path / "meta4" / "train.csv")
+    s = SpeakerBatchSampler(m.labels, batch_size=2, nPerSpeaker=2, seed=0)
+    e0 = [tuple(map(tuple, b)) for b in s]
+    s.set_epoch(1)
+    e1 = [tuple(map(tuple, b)) for b in s]
+    assert e0 != e1
+    s.set_epoch(0)
+    assert [tuple(map(tuple, b)) for b in s] == e0   # reproducible
+
+
+def test_train_loader_shapes(dataset, tmp_path):
+    generate_metadata(dataset / "raw", tmp_path / "meta5", num_val_utts=0)
+    m = Manifest.read(tmp_path / "meta5" / "train.csv")
+    loader = TrainDataLoader(m, SPEC, batch_size=3, nPerSpeaker=2,
+                             num_workers=2, seed=0)
+    n = 0
+    for batch in loader:
+        assert batch["wave"].shape == (3, 2, 16000)
+        assert batch["wave"].dtype == np.float32
+        assert batch["label"].shape == (3,)
+        assert np.all(np.isfinite(batch["wave"]))
+        n += 1
+    assert n == len(loader) > 0
+
+
+def test_train_loader_with_augment(dataset, tmp_path):
+    generate_metadata(dataset / "raw", tmp_path / "meta6", num_val_utts=0)
+    m = Manifest.read(tmp_path / "meta6" / "train.csv")
+    opts = {
+        "augment_paths": {
+            "musan": str(dataset / "aug" / "musan_split"),
+            "noise_vad": str(dataset / "aug" / "noise_vad"),
+            "rirs": str(dataset / "aug" / "RIRS_NOISES"),
+        },
+        "augment_chain": ["env_corrupt", "time_domain"],
+        "noise_snr": {"noise": [0, 5], "speech": [3, 20], "music": [5, 15],
+                      "noise_vad": [3, 15], "noise_rirs": [3, 15]},
+        "noise_samples": {"noise": [1, 1], "speech": [1, 2], "music": [1, 1],
+                          "noise_vad": [1, 1], "noise_rirs": [1, 1]},
+        "noise_proportion": [0.2, 0.1, 0.2, 0.25, 0.25],
+        "augment_time_domain": {"volume": 4, "speed": [0.95, 1.05],
+                                "pitch": [-0.5, 0.5],
+                                "proportion": [0.25, 0.25, 0.25],
+                                "combined": False},
+    }
+    loader = TrainDataLoader(m, SPEC, batch_size=2, nPerSpeaker=2,
+                             augment=True, augment_options=opts,
+                             num_workers=2, seed=0)
+    assert loader.augmentor is not None
+    batch = next(iter(loader))
+    assert batch["wave"].shape == (2, 2, 16000)
+    assert np.all(np.isfinite(batch["wave"]))
+
+
+def test_augment_snr_math(dataset):
+    """Additive noise must land near the requested SNR."""
+    opts = {
+        "augment_paths": {"musan": str(dataset / "aug" / "musan_split"),
+                          "noise_vad": "/nonexistent",
+                          "rirs": str(dataset / "aug" / "RIRS_NOISES")},
+        "augment_chain": ["env_corrupt"],
+        "noise_snr": {"noise": [10, 10]},
+        "noise_samples": {"noise": [1, 1]},
+    }
+    eng = AugmentWav(opts, SPEC, rng=np.random.default_rng(0))
+    clean = np.sin(np.arange(16000) / 20)[None, :].astype(np.float32) * 0.3
+    noisy = eng.additive_noise("noise", clean)
+    noise = noisy - clean
+    snr = 10 * np.log10((np.mean(clean**2) + 1e-4) / (np.mean(noise**2) + 1e-4))
+    assert snr == pytest.approx(10.0, abs=1.5)
+
+
+def test_reverb_shape(dataset):
+    opts = {
+        "augment_paths": {"musan": "/nonexistent", "noise_vad": "/nonexistent",
+                          "rirs": str(dataset / "aug" / "RIRS_NOISES")},
+        "augment_chain": ["env_corrupt"],
+        "noise_snr": {}, "noise_samples": {},
+    }
+    eng = AugmentWav(opts, SPEC, rng=np.random.default_rng(0))
+    clean = np.random.default_rng(0).normal(
+        0, 0.1, (1, 16000)).astype(np.float32)
+    out = eng.reverberate(clean)
+    assert out.shape == (1, 16000)
+    assert np.all(np.isfinite(out))
+
+
+def test_time_domain_augments():
+    rng = np.random.default_rng(0)
+    x = rng.normal(0, 0.1, (1, 16000)).astype(np.float32)
+    v = augment_volume(x, 4.0, rng=np.random.default_rng(1))
+    assert v.shape == x.shape
+    s = augment_speed(x, 0.9, 0.9, rng=np.random.default_rng(2))
+    assert abs(s.shape[-1] - 16000 / 0.9) < 200
+    p = augment_pitch(x, 2.0, 2.0, rng=np.random.default_rng(3))
+    assert p.shape == x.shape
+
+
+def test_eval_loader(dataset, tmp_path):
+    files = sorted(str(p) for p in (dataset / "raw" / "spk00").glob("*.wav"))
+    loader = EvalDataLoader(files, SPEC, num_eval=4, batch_size=3)
+    seen = []
+    for waves, paths in loader:
+        assert waves.shape[1:] == (4, 16000)
+        assert waves.shape[0] == len(paths)
+        seen.extend(paths)
+    assert seen == files

@@ -1,0 +1,202 @@
+"""End-to-end smoke: CLI train → infer --eval → --test → export on a
+synthetic dataset (the tiny e2e test SURVEY.md §4 calls for)."""
+
+import textwrap
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from speakerverification_tpu.cli.main import main as cli_main
+from speakerverification_tpu.data import write_wav
+
+N_SPK = 4
+SR = 8000
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    root = tmp_path_factory.mktemp("e2e")
+    rng = np.random.default_rng(0)
+    data = root / "data"
+    # distinct per-speaker spectra so the tiny model can separate them
+    for spk in range(N_SPK):
+        for utt in range(6):
+            t = np.arange(int(1.2 * SR)) / SR
+            f0 = 120 + 90 * spk
+            sig = sum(0.25 / (h + 1) * np.sin(2 * np.pi * f0 * (h + 1) * t
+                                              + rng.uniform(0, 6))
+                      for h in range(3))
+            sig = sig + rng.normal(0, 0.01, len(t))
+            write_wav(data / f"spk{spk}" / f"u{utt}.wav",
+                      sig.astype(np.float32), SR)
+
+    # trial list over held-out utterances (use train files; smoke only)
+    trials = root / "trials.txt"
+    lines = []
+    rng2 = np.random.default_rng(1)
+    files = {s: [str(data / f"spk{s}" / f"u{u}.wav") for u in range(6)]
+             for s in range(N_SPK)}
+    for _ in range(40):
+        s1 = int(rng2.integers(N_SPK))
+        if rng2.random() < 0.5:
+            a, b = rng2.choice(6, 2, replace=False)
+            lines.append(f"1 {files[s1][a]} {files[s1][b]}")
+        else:
+            s2 = int((s1 + 1 + rng2.integers(N_SPK - 1)) % N_SPK)
+            lines.append(f"0 {files[s1][0]} {files[s2][int(rng2.integers(6))]}")
+    trials.write_text("\n".join(lines) + "\n")
+
+    cfg = root / "config.yaml"
+    cfg.write_text(textwrap.dedent(f"""\
+        device: cpu
+        seed: 7
+        output_folder: {root}/run
+        save_folder: !ref <output_folder>/save
+        skip_prep: False
+        data_folder: {data}
+        train_annotation: !ref <save_folder>/metadata/train.csv
+        valid_annotation: !ref <save_folder>/metadata/dev.csv
+        evaluation_file: {trials}
+        verification_file: {trials}
+        number_of_epochs: 3
+        batch_size: 4
+        lr: 0.005
+        base_lr: 0.000001
+        nClasses: {N_SPK}
+        save_model_last: True
+        ckpt_interval_minutes: -1
+        dataloader_options:
+          batch_size: !ref <batch_size>
+          num_workers: 2
+          max_seg_per_spk: 100
+          nPerSpeaker: 2
+          split_ratio: -1
+        audio_spec:
+          sample_rate: {SR}
+          channels: 1
+          sentence_len: 1.0
+          win_len: 0.025
+          hop_len: 0.01
+        n_mels: 40
+        n_mfcc: 40
+        features: melspectrogram
+        model:
+          name: ECAPA_TDNN
+          feature_type: !ref <features>
+          nOut: 32
+          channels: [32, 32, 32, 32, 96]
+          kernel_sizes: [5, 3, 3, 3, 1]
+          dilations: [1, 2, 3, 4, 1]
+          attention_channels: 8
+          res2net_scale: 4
+          se_channels: 8
+        criterion:
+          name: AAmSoftmax
+          margin: 0.2
+          scale: 30
+        optimizer:
+          name: adam
+          weight_decay: 0.0
+          lr_decay: 0.95
+        callbacks:
+          name: cosine_annealinglr_pt
+        early_stopping: False
+        augment: False
+        augment_options:
+          augment_chain: []
+        test_interval: -1
+        num_eval: 3
+        dcf:
+          dcf_p_target: 0.05
+          dcf_c_miss: 1
+          dcf_c_fa: 1
+        test_threshold: 0
+        scoring_mode: cosine
+        prepare: cohorts
+        pretrained:
+          use: False
+          path: ""
+        initial_model_infer: null
+        cohorts_path: {root}/run/cohorts.npy
+        """))
+    return root, cfg
+
+
+def test_cli_train(workspace):
+    root, cfg = workspace
+    rc = cli_main(["--do_train", "--config", str(cfg)])
+    assert rc == 0
+    model_dir = root / "run" / "save" / "ECAPA_TDNN" / "AAmSoftmax" / "model"
+    assert (model_dir / "best_state.msgpack").exists()
+    assert (model_dir / "last_state.msgpack").exists()
+    scores = (root / "run" / "save" / "ECAPA_TDNN" / "AAmSoftmax" / "result"
+              / "scores.txt").read_text()
+    assert "epoch 3" in scores
+    # metadata was generated
+    assert (root / "run" / "save" / "metadata" / "train.csv").exists()
+
+
+def test_cli_infer_eval(workspace):
+    root, cfg = workspace
+    rc = cli_main(["--do_infer", "--eval", "--config", str(cfg)])
+    assert rc == 0
+    result_dir = root / "run" / "save" / "ECAPA_TDNN" / "AAmSoftmax" / "result"
+    csv_path = result_dir / "evaluation_results.csv"
+    assert csv_path.exists()
+    assert len(csv_path.read_text().strip().splitlines()) == 41  # header + 40
+    log = (result_dir / "Inference_log.txt").read_text()
+    assert "EER" in log
+
+
+def test_cli_infer_prepare_and_norm_eval(workspace):
+    root, cfg = workspace
+    rc = cli_main(["--do_infer", "--prepare", "--config", str(cfg)])
+    assert rc == 0
+    cohorts = np.load(root / "run" / "cohorts.npy")
+    assert cohorts.shape == (N_SPK, 32)
+    # AS-norm scored eval
+    rc = cli_main(["--do_infer", "--eval", "--config", str(cfg),
+                   "--scoring_mode", "norm"])
+    assert rc == 0
+
+
+def test_cli_infer_test_mode(workspace):
+    root, cfg = workspace
+    rc = cli_main(["--do_infer", "--test", "--config", str(cfg),
+                   "--test_threshold", "0.5"])
+    assert rc == 0
+    out = (root / "run" / "save" / "ECAPA_TDNN" / "AAmSoftmax" / "result"
+           / "trials_results.txt")
+    assert out.exists()
+    assert len(out.read_text().strip().splitlines()) == 40
+
+
+def test_cli_export(workspace):
+    root, cfg = workspace
+    rc = cli_main(["--do_export", "--config", str(cfg)])
+    assert rc == 0
+    exp = (root / "run" / "save" / "ECAPA_TDNN" / "AAmSoftmax" / "model"
+           / "export")
+    assert (exp / "model.stablehlo").exists()
+    assert (exp / "params.msgpack").exists()
+
+    from speakerverification_tpu.export import load_exported
+    fn = load_exported(exp)
+    out = np.asarray(fn(np.zeros((3, SR), np.float32)))
+    assert out.shape == (3, 32)
+
+
+def test_cli_resume_training(workspace):
+    """Second --do_train run must resume from last checkpoint."""
+    root, cfg = workspace
+    import json
+    log = (root / "run" / "save" / "ECAPA_TDNN" / "AAmSoftmax" / "model"
+           / "model_state_log.json")
+    before = json.loads(log.read_text())
+    assert before["epoch"] == 3
+    rc = cli_main(["--do_train", "--config", str(cfg),
+                   "--number_of_epochs", "4"])
+    assert rc == 0
+    after = json.loads(log.read_text())
+    assert after["epoch"] == 4
