@@ -1,0 +1,6 @@
+from speakerverification_tpu.parallel.mesh import make_mesh  # noqa: F401
+from speakerverification_tpu.parallel.dp import (  # noqa: F401
+    make_dp_train_step,
+    replicate_state,
+    shard_batch,
+)

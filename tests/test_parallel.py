@@ -1,0 +1,149 @@
+"""Data-parallel shard_map training on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from speakerverification_tpu.encoder import SpeakerEncoder
+from speakerverification_tpu.losses import build_loss
+from speakerverification_tpu.models import build_model
+from speakerverification_tpu.optim import build_optimizer
+from speakerverification_tpu.parallel import (
+    make_dp_train_step,
+    make_mesh,
+    replicate_state,
+    shard_batch,
+)
+from speakerverification_tpu.training import create_train_state, make_train_step
+
+SMALL = dict(channels=(32, 32, 32, 32, 96), kernel_sizes=(5, 3, 3, 3, 1),
+             dilations=(1, 2, 3, 4, 1), attention_channels=8,
+             res2net_scale=4, se_channels=8)
+
+
+@pytest.fixture(scope="module")
+def model_and_tx():
+    model = SpeakerEncoder(
+        backbone=build_model("ECAPA_TDNN", nOut=16, **SMALL),
+        loss=build_loss("AAmSoftmax", nOut=16, nClasses=8),
+    )
+    tx = build_optimizer("adam", learning_rate=1e-3)
+    return model, tx
+
+
+def test_mesh_all_devices():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    assert mesh.axis_names == ("data",)
+
+
+def test_mesh_shape_mismatch():
+    with pytest.raises(ValueError):
+        make_mesh(("data",), shape=[3])
+
+
+def test_dp_step_runs_and_replicates(model_and_tx):
+    model, tx = model_and_tx
+    mesh = make_mesh()
+    rng = np.random.default_rng(0)
+    wave = rng.normal(0, 0.1, (8, 2, 8000)).astype(np.float32)
+    label = np.arange(8, dtype=np.int32)
+
+    state = create_train_state(model, tx, jax.random.PRNGKey(0),
+                               jnp.asarray(wave), jnp.asarray(label))
+    state = replicate_state(state, mesh)
+    batch = shard_batch({"wave": wave, "label": label}, mesh)
+
+    step = make_dp_train_step(model, tx, mesh, donate=False)
+    new_state, metrics = step(state, batch["wave"], batch["label"],
+                              jax.random.PRNGKey(1), jnp.float32(1e-3))
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(new_state.step) == 1
+
+
+class _BNFreeBackbone(__import__("flax").linen.Module):
+    """Mean-pooled linear encoder: no BatchNorm, so DP == single-device
+    exactly (ECAPA's per-shard BN makes DP differ by design — the same
+    per-rank-BN semantics torch DDP has, SURVEY.md §7 hard part (d))."""
+    n_out: int = 16
+
+    @__import__("flax").linen.compact
+    def __call__(self, x, train=False):
+        import flax.linen as nn
+        return nn.Dense(self.n_out)(x.mean(axis=1))
+
+
+def test_dp_matches_single_device():
+    """8-way DP gradient-mean must equal the single-device full-batch step."""
+    model = SpeakerEncoder(backbone=_BNFreeBackbone(16),
+                           loss=build_loss("AAmSoftmax", nOut=16, nClasses=8))
+    tx = build_optimizer("adam", learning_rate=1e-3)
+    mesh = make_mesh()
+    rng = np.random.default_rng(1)
+    wave = rng.normal(0, 0.1, (8, 2, 8000)).astype(np.float32)
+    label = np.arange(8, dtype=np.int32)
+
+    state0 = create_train_state(model, tx, jax.random.PRNGKey(0),
+                                jnp.asarray(wave), jnp.asarray(label))
+
+    # single device, full batch
+    single = jax.jit(make_train_step(model, tx))
+    s1, m1 = single(state0, jnp.asarray(wave), jnp.asarray(label),
+                    jax.random.PRNGKey(9), jnp.float32(1e-3))
+
+    # 8-way DP
+    dp = make_dp_train_step(model, tx, mesh, donate=False)
+    sd = replicate_state(state0, mesh)
+    batch = shard_batch({"wave": wave, "label": label}, mesh)
+    s2, m2 = dp(sd, batch["wave"], batch["label"],
+                jax.random.PRNGKey(9), jnp.float32(1e-3))
+
+    # Losses must match: AAmSoftmax is per-example, so mean-of-shard-means
+    # with equal shard sizes == full-batch mean.
+    assert float(m2["loss"]) == pytest.approx(float(m1["loss"]), rel=1e-4)
+
+    # Parameters after one step must match within numeric tolerance.
+    flat1 = jax.tree_util.tree_leaves(s1.params)
+    flat2 = jax.tree_util.tree_leaves(s2.params)
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-5)
+
+
+def test_dp_with_batchnorm_runs(model_and_tx):
+    """ECAPA (per-shard BN) under DP: finite and steps (exact equality with
+    single-device is not expected — per-rank BN, like torch DDP)."""
+    model, tx = model_and_tx
+    mesh = make_mesh()
+    rng = np.random.default_rng(3)
+    wave = rng.normal(0, 0.1, (8, 2, 8000)).astype(np.float32)
+    label = np.arange(8, dtype=np.int32)
+    state = create_train_state(model, tx, jax.random.PRNGKey(0),
+                               jnp.asarray(wave), jnp.asarray(label))
+    state = replicate_state(state, mesh)
+    batch = shard_batch({"wave": wave, "label": label}, mesh)
+    step = make_dp_train_step(model, tx, mesh, donate=False)
+    state, metrics = step(state, batch["wave"], batch["label"],
+                          jax.random.PRNGKey(1), jnp.float32(1e-3))
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_dp_multiple_steps_stay_finite(model_and_tx):
+    model, tx = model_and_tx
+    mesh = make_mesh()
+    rng = np.random.default_rng(2)
+    state = create_train_state(
+        model, tx, jax.random.PRNGKey(0),
+        jnp.zeros((8, 2, 8000), jnp.float32), jnp.zeros((8,), jnp.int32))
+    state = replicate_state(state, mesh)
+    step = make_dp_train_step(model, tx, mesh, donate=False)
+    for i in range(3):
+        wave = rng.normal(0, 0.1, (8, 2, 8000)).astype(np.float32)
+        label = rng.integers(0, 8, 8).astype(np.int32)
+        batch = shard_batch({"wave": wave, "label": label}, mesh)
+        state, metrics = step(state, batch["wave"], batch["label"],
+                              jax.random.PRNGKey(i), jnp.float32(1e-3))
+        assert np.isfinite(float(metrics["loss"]))
+    assert int(state.step) == 3
