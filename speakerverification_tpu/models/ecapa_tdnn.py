@@ -49,6 +49,7 @@ class ECAPA_TDNN(nn.Module):
     activation: Callable = gelu_exact
     feature_type: str = "melspectrogram"
     log_input: bool = True
+    input_norm: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, lengths: Optional[jax.Array] = None,
@@ -62,6 +63,16 @@ class ECAPA_TDNN(nn.Module):
             # via no_grad; the frontend carries no gradient anyway).
             x = jnp.log(x + 1e-6)
             x = x - jnp.mean(x, axis=1, keepdims=True)
+        if self.input_norm:
+            # per-utterance instance norm over time with per-mel affine
+            # (parity: src/models/ECAPA_TDNN.py:416-419,477-478)
+            mean = jnp.mean(x, axis=1, keepdims=True)
+            var = jnp.var(x, axis=1, keepdims=True)
+            w = self.param("input_norm_scale", nn.initializers.ones,
+                           (x.shape[-1],))
+            b = self.param("input_norm_bias", nn.initializers.zeros,
+                           (x.shape[-1],))
+            x = (x - mean) / jnp.sqrt(var + 1e-5) * w + b
 
         x = TDNNBlock(self.channels[0], self.kernel_sizes[0], self.dilations[0],
                       activation=self.activation)(x, train=train)
@@ -96,6 +107,12 @@ def build_ecapa_tdnn(nOut: int = 192, **kwargs) -> ECAPA_TDNN:
     """``MainModel`` factory parity (reference: src/models/ECAPA_TDNN.py:505)."""
     known = {k: kwargs[k] for k in (
         "channels", "kernel_sizes", "dilations", "attention_channels",
-        "res2net_scale", "se_channels", "global_context") if k in kwargs}
+        "res2net_scale", "se_channels", "global_context", "input_norm",
+        "log_input", "activation") if k in kwargs}
+    if "channels" in known:
+        known["channels"] = tuple(known["channels"])
+    for k in ("kernel_sizes", "dilations"):
+        if k in known:
+            known[k] = tuple(known[k])
     feature_type = kwargs.get("feature_type", kwargs.get("features", "melspectrogram"))
     return ECAPA_TDNN(lin_neurons=nOut, feature_type=feature_type, **known)

@@ -1,0 +1,116 @@
+"""Two-branch hybrid encoders: raw-waveform branch ∥ mel-ECAPA branch.
+
+Parity targets: the ``Raw*_ECAPA`` family —
+* ``Raw3_ECAPA``       (src/models/Raw3_ECAPA.py:9-60) — the reference's
+  DEFAULT model (yaml/configuration.yaml:76): RawNet3(nOut−192) on raw
+  audio ∥ ECAPA-192 (channels 512.../1536, GELU, input_norm) on in-model
+  mel features, embeddings concatenated.
+* ``Raw_ECAPA`` / ``Raw_ECAPA_sinc_asp`` / ``Raw_ECAPA_conv_asp`` /
+  ``Raw_ECAPA_sinc_gru`` (src/models/Raw_ECAPA*.py) — same pattern over
+  RawNet2_custom variants (sinc/conv front × asp/gru aggregation).
+
+Note: the hybrid's ECAPA branch consumes *linear-power* mel (the
+reference's config sets ``features: raw`` so ECAPA's log-compression
+branch is skipped, src/models/ECAPA_TDNN.py:472-476) — ``log_input`` is
+therefore False here, with instance-norm enabled where the reference
+enables it.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from speakerverification_tpu.models.ecapa_tdnn import ECAPA_TDNN
+from speakerverification_tpu.models.rawnet2_custom import RawNet2Custom
+from speakerverification_tpu.models.rawnet3 import RawNet3
+from speakerverification_tpu.ops.frontend import FrontendConfig, make_frontend
+from speakerverification_tpu.registry import MODELS
+
+__all__ = ["RawECAPAHybrid"]
+
+
+class RawECAPAHybrid(nn.Module):
+    raw_branch: nn.Module
+    ecapa: nn.Module
+    frontend: FrontendConfig = FrontendConfig()
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        """``x``: raw waveform [B, T] → concat embeddings [B, nOut]."""
+        mel = make_frontend(self.frontend, "melspectrogram")(x)
+        out1 = self.ecapa(mel, train=train)
+        out2 = self.raw_branch(x, train=train)
+        return jnp.concatenate([out1, out2], axis=-1)
+
+
+def _frontend_cfg(kwargs) -> FrontendConfig:
+    spec = kwargs.get("audio_spec") or {}
+    sr = int(kwargs.get("sample_rate", spec.get("sample_rate", 8000)))
+    return FrontendConfig(
+        sample_rate=sr,
+        n_fft=int(kwargs.get("n_fft", 512)),
+        win_length=int(kwargs.get("win_length",
+                                  round(spec.get("win_len", 0.025) * sr))),
+        hop_length=int(kwargs.get("hop_length",
+                                  round(spec.get("hop_len", 0.01) * sr))),
+        n_mels=int(kwargs.get("n_mels", 80)),
+        fmin=float(kwargs.get("fmin", 10.0)),
+        fmax=kwargs.get("fmax", min(4000.0, sr / 2)),
+    )
+
+
+def _hybrid_ecapa(n_mels: int, input_norm: bool) -> ECAPA_TDNN:
+    return ECAPA_TDNN(lin_neurons=192,
+                      channels=(512, 512, 512, 512, 1536),
+                      feature_type="melspectrogram",
+                      log_input=False, input_norm=input_norm)
+
+
+@MODELS.register("Raw3_ECAPA")
+def build_raw3_ecapa(nOut: int = 512, **kwargs) -> RawECAPAHybrid:
+    """MainModel parity (src/models/Raw3_ECAPA.py:58-60)."""
+    cfg = _frontend_cfg(kwargs)
+    raw = RawNet3(nOut=nOut - 192, model_scale=8, context=True, summed=True,
+                  out_bn=False, log_sinc=True, norm_sinc="mean",
+                  encoder_type="ASP", sinc_stride=10,
+                  sample_rate=cfg.sample_rate)
+    return RawECAPAHybrid(raw_branch=raw,
+                          ecapa=_hybrid_ecapa(cfg.n_mels, input_norm=True),
+                          frontend=cfg)
+
+
+def _rawnet2_hybrid(nOut, front, agg, kwargs) -> RawECAPAHybrid:
+    cfg = _frontend_cfg(kwargs)
+    raw = RawNet2Custom(nOut=nOut - 192, front_proc=front, aggregate=agg,
+                        att_dim=128, sample_rate=cfg.sample_rate)
+    return RawECAPAHybrid(raw_branch=raw,
+                          ecapa=_hybrid_ecapa(cfg.n_mels, input_norm=False),
+                          frontend=cfg)
+
+
+@MODELS.register("Raw_ECAPA")
+def build_raw_ecapa(nOut: int = 512, **kwargs) -> RawECAPAHybrid:
+    """Parity: src/models/Raw_ECAPA.py (sinc front, ASP aggregation)."""
+    return _rawnet2_hybrid(nOut, "sinc", "asp", kwargs)
+
+
+@MODELS.register("Raw_ECAPA_sinc_asp")
+def build_raw_ecapa_sinc_asp(nOut: int = 512, **kwargs) -> RawECAPAHybrid:
+    """Parity: src/models/Raw_ECAPA_sinc_asp.py:19-57."""
+    return _rawnet2_hybrid(nOut, "sinc", "asp", kwargs)
+
+
+@MODELS.register("Raw_ECAPA_conv_asp")
+def build_raw_ecapa_conv_asp(nOut: int = 512, **kwargs) -> RawECAPAHybrid:
+    """Parity: src/models/Raw_ECAPA_conv_asp.py."""
+    return _rawnet2_hybrid(nOut, "conv", "asp", kwargs)
+
+
+@MODELS.register("Raw_ECAPA_sinc_gru")
+def build_raw_ecapa_sinc_gru(nOut: int = 512, **kwargs) -> RawECAPAHybrid:
+    """Parity: src/models/Raw_ECAPA_sinc_gru.py."""
+    return _rawnet2_hybrid(nOut, "sinc", "gru", kwargs)

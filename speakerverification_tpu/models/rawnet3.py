@@ -1,0 +1,125 @@
+"""RawNet3 raw-waveform speaker encoder (Flax, channels-last).
+
+Parity target: src/models/RawNet3.py:10-163 — ParamSincFB frontend
+(|·| + optional log + mean/mean_std normalization), three Bottle2neck
+layers (dilations 2/3/4, maxpools 5/3/-), summed skip topology, MFA
+concat → 1×1 conv to a 1536-dim context, global-context ASP/ECA
+attention pooling, BN → linear to the embedding.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from speakerverification_tpu.models.rawnet_blocks import Bottle2neckRaw, max_pool1d
+from speakerverification_tpu.ops.frontend import pre_emphasis
+from speakerverification_tpu.ops.sinc import SincConv
+from speakerverification_tpu.registry import MODELS
+
+__all__ = ["RawNet3"]
+
+
+class RawNet3(nn.Module):
+    nOut: int = 512
+    C: int = 1024
+    model_scale: int = 8
+    context: bool = True
+    summed: bool = True
+    out_bn: bool = False
+    log_sinc: bool = True
+    norm_sinc: str = "mean"          # 'mean' | 'mean_std' | 'none'
+    encoder_type: str = "ASP"        # 'ASP' | 'ECA'
+    sinc_stride: int = 10
+    sample_rate: int = 16000
+    context_dim: int = 1536
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        """``x``: raw waveform [B, T] → embeddings [B, nOut]."""
+        # preprocess: pre-emphasis + per-utterance instance norm
+        # (parity: RawNet3.py:32-34, InstanceNorm1d(1, eps=1e-4, affine))
+        x = pre_emphasis(x)
+        mean = x.mean(axis=-1, keepdims=True)
+        var = x.var(axis=-1, keepdims=True)
+        w = self.param("inorm_scale", nn.initializers.ones, (1,))
+        b = self.param("inorm_bias", nn.initializers.zeros, (1,))
+        x = (x - mean) / jnp.sqrt(var + 1e-4) * w + b
+
+        # sinc filterbank frontend (|·|, log, mean-norm over time)
+        x = SincConv(self.C // 4, kernel_size=251, stride=self.sinc_stride,
+                     sample_rate=self.sample_rate)(x)       # [B, F, C/4]
+        x = jnp.abs(x)
+        if self.log_sinc:
+            x = jnp.log(x + 1e-6)
+        if self.norm_sinc == "mean":
+            x = x - jnp.mean(x, axis=1, keepdims=True)
+        elif self.norm_sinc == "mean_std":
+            m = jnp.mean(x, axis=1, keepdims=True)
+            s = jnp.maximum(jnp.std(x, axis=1, keepdims=True), 1e-3)
+            x = (x - m) / s
+
+        x1 = Bottle2neckRaw(self.C, 3, 2, self.model_scale, pool=5)(
+            x, train=train)
+        x2 = Bottle2neckRaw(self.C, 3, 3, self.model_scale, pool=3)(
+            x1, train=train)
+        if self.summed:
+            x3 = Bottle2neckRaw(self.C, 3, 4, self.model_scale)(
+                max_pool1d(x1, 3) + x2, train=train)
+        else:
+            x3 = Bottle2neckRaw(self.C, 3, 4, self.model_scale)(
+                x2, train=train)
+
+        # multi-layer aggregation (truncate to common length before concat;
+        # the torch maxpools already make lengths agree for 2 s crops)
+        L = min(max_pool1d(x1, 3).shape[1], x2.shape[1], x3.shape[1])
+        agg = jnp.concatenate([max_pool1d(x1, 3)[:, :L], x2[:, :L],
+                               x3[:, :L]], axis=-1)
+        x = jax.nn.relu(nn.Conv(self.context_dim, (1,))(agg))  # [B, L, 1536]
+
+        if self.context:
+            t = x.shape[1]
+            mu = jnp.mean(x, axis=1, keepdims=True)
+            sg = jnp.sqrt(jnp.clip(jnp.var(x, axis=1, keepdims=True),
+                                   1e-4, 1e4))
+            glob = jnp.concatenate(
+                [x, jnp.broadcast_to(mu, x.shape),
+                 jnp.broadcast_to(sg, x.shape)], axis=-1)
+        else:
+            glob = x
+
+        # attention head (parity: RawNet3.py:66-72)
+        attn = nn.Conv(128, (1,))(glob)
+        attn = jax.nn.relu(attn)
+        attn = nn.BatchNorm(use_running_average=not train, momentum=0.9)(attn)
+        out_ch = self.context_dim if self.encoder_type == "ECA" else 1
+        attn = nn.Conv(out_ch, (1,))(attn)
+        w = jax.nn.softmax(attn, axis=1)                     # [B, L, out_ch]
+
+        mu = jnp.sum(x * w, axis=1)
+        sg = jnp.sqrt(jnp.clip(jnp.sum((x ** 2) * w, axis=1) - mu ** 2,
+                               1e-4, 1e4))
+        x = jnp.concatenate([mu, sg], axis=-1)               # [B, 3072]
+
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
+        x = nn.Dense(self.nOut)(x)
+        if self.out_bn:
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
+        return x
+
+
+@MODELS.register("RawNet3")
+def build_rawnet3(nOut: int = 512, model_scale: int = 8, context: bool = True,
+                  summed: bool = True, out_bn: bool = False,
+                  log_sinc: bool = True, norm_sinc: str = "mean",
+                  encoder_type: str = "ASP", sinc_stride: int = 10,
+                  C: int = 1024, **kwargs) -> RawNet3:
+    """MainModel parity (src/models/RawNet3.py:148-163)."""
+    sr = int(kwargs.get("sample_rate",
+                        (kwargs.get("audio_spec") or {}).get("sample_rate",
+                                                             16000)))
+    return RawNet3(nOut=nOut, C=C, model_scale=model_scale, context=context,
+                   summed=summed, out_bn=out_bn, log_sinc=log_sinc,
+                   norm_sinc=norm_sinc, encoder_type=encoder_type,
+                   sinc_stride=sinc_stride, sample_rate=sr)

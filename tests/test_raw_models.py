@@ -1,0 +1,127 @@
+"""Raw-waveform model family: SincConv, RawNet2/3, hybrids."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from speakerverification_tpu.models import MODELS, build_model
+from speakerverification_tpu.ops.sinc import SincConv, sinc_init_frequencies
+
+SR = 16000
+T = 16000  # 1 s keeps CPU compile time reasonable
+
+
+def _run(model, x, train=False):
+    variables = model.init(jax.random.PRNGKey(0), x)
+    if train:
+        out, _ = model.apply(variables, x, train=True,
+                             mutable=["batch_stats"])
+        return out, variables
+    return model.apply(variables, x), variables
+
+
+def test_sinc_init_mel_spaced():
+    low, band = sinc_init_frequencies(64, SR)
+    assert low.shape == (64,) and band.shape == (64,)
+    assert low[0] == pytest.approx(30.0, abs=1.0)
+    assert np.all(np.diff(low) > 0)           # monotone increasing
+    assert np.all(band > 0)
+
+
+def test_sinc_conv_is_bandpass():
+    """Energy response must peak inside each filter's band."""
+    sc = SincConv(out_channels=16, kernel_size=251, stride=1,
+                  sample_rate=SR)
+    t = np.arange(4000) / SR
+    x_lo = jnp.asarray(np.sin(2 * np.pi * 100 * t)[None].astype(np.float32))
+    x_hi = jnp.asarray(np.sin(2 * np.pi * 6000 * t)[None].astype(np.float32))
+    variables = sc.init(jax.random.PRNGKey(0), x_lo)
+    e_lo = np.asarray(jnp.mean(sc.apply(variables, x_lo) ** 2, axis=1))[0]
+    e_hi = np.asarray(jnp.mean(sc.apply(variables, x_hi) ** 2, axis=1))[0]
+    # low tone excites the lowest filters more than the highest, vice versa
+    assert e_lo[:3].mean() > e_lo[-3:].mean()
+    assert e_hi[-3:].mean() > e_hi[:3].mean()
+
+
+def test_sinc_conv_shapes_and_stride():
+    sc = SincConv(out_channels=32, kernel_size=251, stride=10, sample_rate=SR)
+    x = jnp.zeros((2, T))
+    variables = sc.init(jax.random.PRNGKey(0), x)
+    out = sc.apply(variables, x)
+    assert out.shape == (2, (T - 251) // 10 + 1, 32)
+
+
+@pytest.mark.parametrize("name,kw", [
+    ("RawNet3", dict(C=128, model_scale=4)),
+    ("RawNet2", dict()),
+    ("RawNet2_custom", dict(front_proc="sinc", aggregate="asp")),
+    ("RawNet2_custom", dict(front_proc="conv", aggregate="gru")),
+])
+def test_raw_models_forward(name, kw):
+    model = build_model(name, nOut=64, sample_rate=SR, **kw)
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        0, 0.1, (2, T)).astype(np.float32))
+    out, _ = _run(model, x)
+    assert out.shape == (2, 64)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_rawnet3_train_mode_batchstats():
+    model = build_model("RawNet3", nOut=32, C=128, model_scale=4,
+                        sample_rate=SR)
+    x = jnp.asarray(np.random.default_rng(1).normal(
+        0, 0.1, (2, T)).astype(np.float32))
+    out, variables = _run(model, x, train=True)
+    assert out.shape == (2, 32)
+
+
+def test_raw3_ecapa_hybrid():
+    """Default reference model: concat of ECAPA-192 and RawNet3 branches."""
+    model = build_model("Raw3_ECAPA", nOut=256,
+                        audio_spec={"sample_rate": 8000, "win_len": 0.025,
+                                    "hop_len": 0.01},
+                        n_mels=40)
+    # shrink the raw branch for CPU test speed
+    from speakerverification_tpu.models.hybrids import RawECAPAHybrid
+    from speakerverification_tpu.models.rawnet3 import RawNet3
+    from speakerverification_tpu.models.ecapa_tdnn import ECAPA_TDNN
+    model = RawECAPAHybrid(
+        raw_branch=RawNet3(nOut=64, C=128, model_scale=4, sample_rate=8000),
+        ecapa=ECAPA_TDNN(lin_neurons=32, channels=(32, 32, 32, 32, 96),
+                         attention_channels=8, res2net_scale=4, se_channels=8,
+                         log_input=False, input_norm=True),
+        frontend=model.frontend)
+    x = jnp.asarray(np.random.default_rng(2).normal(
+        0, 0.1, (2, 8000)).astype(np.float32))
+    out, _ = _run(model, x)
+    assert out.shape == (2, 32 + 64)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_hybrid_registry_names():
+    for name in ["Raw3_ECAPA", "Raw_ECAPA", "Raw_ECAPA_sinc_asp",
+                 "Raw_ECAPA_conv_asp", "Raw_ECAPA_sinc_gru", "RawNet2",
+                 "RawNet2_custom", "RawNet3"]:
+        assert name in MODELS, name
+
+
+def test_raw_model_differentiable():
+    model = build_model("RawNet3", nOut=16, C=64, model_scale=4,
+                        sample_rate=SR)
+    x = jnp.asarray(np.random.default_rng(3).normal(
+        0, 0.1, (2, T)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x)
+
+    def f(params):
+        out, _ = model.apply({**variables, "params": params}, x,
+                             train=True, mutable=["batch_stats"])
+        return jnp.sum(out ** 2)
+
+    g = jax.grad(f)(variables["params"])
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+    # sinc params must receive gradients
+    gsinc = g["SincConv_0"]
+    assert float(jnp.abs(gsinc["low_hz"]).sum()) > 0
