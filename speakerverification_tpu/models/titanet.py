@@ -1,0 +1,129 @@
+"""TitaNet speaker encoder (Flax, channels-last).
+
+Parity target: src/models/TitaNet.py:10-443 (arXiv:2110.04410) —
+prolog ConvBlock (k=3) → N mega blocks (3 depthwise-separable
+conv sub-blocks + squeeze-excitation + 1×1 skip, relu + dropout 0.5) →
+epilog ConvBlock to 1536 → attentive stats pooling → BN → linear → BN.
+Sizes: S (hidden 256, k=3), M (512, k=7), L (1024, k=11); default
+n_mega_blocks uses the reference's published depths.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from speakerverification_tpu.registry import MODELS
+
+__all__ = ["TitaNet"]
+
+
+class ConvBlock1d(nn.Module):
+    """(depthwise-separable) conv → BN → relu [→ dropout]."""
+    features: int
+    kernel_size: int
+    depthwise: bool = False
+    dropout: float = 0.0
+    activation: Optional[str] = "relu"
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        if self.depthwise:
+            x = nn.Conv(x.shape[-1], (self.kernel_size,), padding="SAME",
+                        feature_group_count=x.shape[-1])(x)
+            x = nn.Conv(self.features, (1,))(x)
+        else:
+            x = nn.Conv(self.features, (self.kernel_size,), padding="SAME")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
+        if self.activation == "relu":
+            x = jax.nn.relu(x)
+        elif self.activation == "tanh":
+            x = jnp.tanh(x)
+        if self.dropout > 0:
+            x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        return x
+
+
+class MegaBlock(nn.Module):
+    features: int
+    kernel_size: int
+    n_sub_blocks: int = 3
+    se_reduction: int = 16
+    dropout: float = 0.5
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        skip = nn.Conv(self.features, (1,))(x)
+        skip = nn.BatchNorm(use_running_average=not train, momentum=0.9)(skip)
+
+        h = x
+        for _ in range(self.n_sub_blocks):
+            h = ConvBlock1d(self.features, self.kernel_size, depthwise=True,
+                            dropout=self.dropout)(h, train=train)
+        # squeeze-excitation over the temporal context
+        s = h.mean(axis=1)
+        s = jax.nn.relu(nn.Dense(self.features // self.se_reduction)(s))
+        s = jax.nn.sigmoid(nn.Dense(self.features)(s))
+        h = h * s[:, None, :]
+
+        out = jax.nn.relu(skip + h)
+        return nn.Dropout(self.dropout, deterministic=not train)(out)
+
+
+class TitaNet(nn.Module):
+    nOut: int = 192
+    hidden_size: int = 256
+    mega_block_kernel: int = 3
+    n_mega_blocks: int = 6
+    n_sub_blocks: int = 3
+    encoder_output_size: int = 1536
+    attention_hidden_size: int = 128
+    dropout: float = 0.5
+    simple_pool: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        """``x``: features [B, frames, n_mels] → embeddings [B, nOut]."""
+        h = ConvBlock1d(self.hidden_size, 3)(x, train=train)      # prolog
+        for _ in range(self.n_mega_blocks):
+            h = MegaBlock(self.hidden_size, self.mega_block_kernel,
+                          self.n_sub_blocks, dropout=self.dropout)(
+                h, train=train)
+        h = ConvBlock1d(self.encoder_output_size, 1)(h, train=train)  # epilog
+
+        if self.simple_pool:
+            pooled = nn.Dense(self.encoder_output_size * 2)(h.mean(axis=1))
+        else:
+            # attentive stats pooling (per-channel energies,
+            # parity: TitaNet.py:379-433)
+            e = nn.Dense(self.encoder_output_size)(
+                jnp.tanh(nn.Dense(self.attention_hidden_size)(h)))
+            alphas = jax.nn.softmax(e, axis=1)
+            means = jnp.sum(alphas * h, axis=1)
+            stds = jnp.sqrt(jnp.clip(
+                jnp.sum(alphas * h ** 2, axis=1) - means ** 2, 1e-6))
+            pooled = jnp.concatenate([means, stds], axis=-1)
+            pooled = nn.BatchNorm(use_running_average=not train,
+                                  momentum=0.9)(pooled)
+
+        emb = nn.Dense(self.nOut)(pooled)
+        return nn.BatchNorm(use_running_average=not train, momentum=0.9)(emb)
+
+
+_SIZES = {"s": (256, 3), "m": (512, 7), "l": (1024, 11)}
+# published depths (the reference auto-searches block counts against the
+# paper's target parameter budgets, TitaNet.py:79-107)
+_DEPTHS = {"s": 6, "m": 10, "l": 14}
+
+
+@MODELS.register("TitaNet")
+def build_titanet(nOut: int = 512, model_size: str = "l",
+                  n_mega_blocks: Optional[int] = None, **kwargs) -> TitaNet:
+    """MainModel parity (src/models/TitaNet.py:434-443)."""
+    size = model_size.lower()
+    hidden, kernel = _SIZES[size]
+    return TitaNet(nOut=nOut, hidden_size=hidden, mega_block_kernel=kernel,
+                   n_mega_blocks=n_mega_blocks or _DEPTHS[size])

@@ -28,7 +28,8 @@ def create_train_state(model, tx: optax.GradientTransformation,
     ``example_batch`` must carry the static shapes used in training
     (XLA compiles one program per shape).
     """
-    init_rngs = {"params": rng, "specaug": jax.random.fold_in(rng, 1)}
+    init_rngs = {"params": rng, "specaug": jax.random.fold_in(rng, 1),
+                 "dropout": jax.random.fold_in(rng, 2)}
     variables = model.init(init_rngs, example_batch, example_label, train=False)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})

@@ -44,7 +44,9 @@ def make_train_step(model, tx: optax.GradientTransformation,
             (loss, prec1), mutated = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 wave, label, train=True,
-                mutable=["batch_stats"], rngs={"specaug": rng})
+                mutable=["batch_stats"],
+                rngs={"specaug": rng,
+                      "dropout": jax.random.fold_in(rng, 1)})
             return loss, (prec1, mutated.get("batch_stats", state.batch_stats))
 
         (loss, (prec1, new_stats)), grads = jax.value_and_grad(
