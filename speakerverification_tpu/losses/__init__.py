@@ -25,6 +25,10 @@ from speakerverification_tpu.losses.combined import (  # noqa: F401
     AmSoftmaxProto,
     SoftmaxAngularProto,
 )
+import speakerverification_tpu.losses.margin_extra  # noqa: F401
+import speakerverification_tpu.losses.proxy  # noqa: F401
+import speakerverification_tpu.losses.similarity  # noqa: F401
+import speakerverification_tpu.losses.triplet  # noqa: F401
 from speakerverification_tpu.registry import LOSSES
 
 

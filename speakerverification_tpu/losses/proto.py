@@ -117,3 +117,63 @@ class GE2ELoss(nn.Module):
         labels = jnp.tile(jnp.arange(N)[:, None], (1, M)).reshape(-1)
         prec1 = top1_percent(sim.reshape(N * M, N), labels)
         return loss, prec1
+
+
+@LOSSES.register("GE2ELossV2")
+class GE2ELossV2(nn.Module):
+    """GE2E with cosine values clamped to ≥1e-6
+    (parity: src/losses/GE2ELossV2.py:10-70, cvqluu/GE2E-Loss lineage)."""
+    init_w: float = 10.0
+    init_b: float = -5.0
+    loss_method: str = "softmax"
+    test_normalize: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array, label: jax.Array | None = None):
+        assert x.ndim == 3 and x.shape[1] >= 2
+        N, M, D = x.shape
+        w = self.param("w", nn.initializers.constant(self.init_w), ())
+        b = self.param("b", nn.initializers.constant(self.init_b), ())
+
+        centroids = jnp.mean(x, axis=1)
+        loo = (jnp.sum(x, axis=1, keepdims=True) - x) / (M - 1)
+        xn = x / jnp.clip(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+        cn = centroids / jnp.clip(
+            jnp.linalg.norm(centroids, axis=-1, keepdims=True), 1e-12)
+        ln = loo / jnp.clip(jnp.linalg.norm(loo, axis=-1, keepdims=True),
+                            1e-12)
+        cos = jnp.einsum("jid,kd->jik", xn, cn)
+        own = jnp.einsum("jid,jid->ji", xn, ln)
+        eye = jnp.eye(N, dtype=bool)[:, None, :]
+        cos = jnp.where(eye, own[:, :, None], cos)
+        cos = jnp.clip(cos, 1e-6)                 # the V2 clamp
+
+        sim = cos * jnp.clip(w, 1e-6) + b
+        if self.loss_method == "softmax":
+            logp = jax.nn.log_softmax(sim, axis=2)
+            loss = -jnp.sum(logp[jnp.arange(N)[:, None],
+                                 jnp.arange(M)[None, :],
+                                 jnp.arange(N)[:, None]])
+        else:
+            sig = jax.nn.sigmoid(sim)
+            own_sig = sig[jnp.arange(N)[:, None], jnp.arange(M)[None, :],
+                          jnp.arange(N)[:, None]]
+            masked = jnp.where(eye, -jnp.inf, sig)
+            loss = jnp.sum(1.0 - own_sig + jnp.max(masked, axis=2))
+        labels = jnp.tile(jnp.arange(N)[:, None], (1, M)).reshape(-1)
+        return loss, top1_percent(sim.reshape(N * M, N), labels)
+
+
+@LOSSES.register("GE2ELoss_fusion")
+class GE2ELossFusion(nn.Module):
+    """softmax + contrast GE2E sum (parity: src/losses/GE2ELoss_fusion.py)."""
+    init_w: float = 10.0
+    init_b: float = -5.0
+    test_normalize: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array, label: jax.Array | None = None):
+        loss_s, prec1 = GE2ELossV2(self.init_w, self.init_b, "softmax")(
+            x, label)
+        loss_c, _ = GE2ELossV2(self.init_w, self.init_b, "contrast")(x, label)
+        return loss_s + loss_c, prec1
