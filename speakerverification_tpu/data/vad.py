@@ -1,0 +1,92 @@
+"""Voice activity detection with the webrtc-style ring-buffer collector.
+
+Parity target: src/processing/vad_tool.py:51-140+ — 30 ms frames, a
+300 ms padding window, trigger when ≥90 % of buffered frames are voiced,
+de-trigger when ≥90 % are unvoiced; voiced segments are concatenated and
+written as ``*_vad.wav``.
+
+The webrtcvad C extension is not available in this image; the per-frame
+voiced/unvoiced decision is an energy + zero-crossing classifier with an
+adaptive noise floor (documented divergence — the collector logic, which
+defines the tool's segmentation behavior, is identical).
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from pathlib import Path
+from typing import Iterator, List, Tuple
+
+import numpy as np
+
+from speakerverification_tpu.data.wavio import read_wav, write_wav
+
+__all__ = ["VAD"]
+
+
+class VAD:
+    def __init__(self, mode: int = 3, frame_duration: int = 30,
+                 win_length: int = 300):
+        """``mode`` 0-3 controls aggressiveness (3 = most aggressive)."""
+        self.mode = mode
+        self.frame_duration = frame_duration       # ms
+        self.win_length = win_length                # ms padding window
+
+    # -- frame-level decision ------------------------------------------------
+    def _frame_decisions(self, audio: np.ndarray, sample_rate: int,
+                         ) -> Tuple[np.ndarray, int]:
+        n = int(sample_rate * self.frame_duration / 1000)
+        n_frames = len(audio) // n
+        frames = audio[:n_frames * n].reshape(n_frames, n)
+
+        energy = np.sqrt(np.mean(frames ** 2, axis=1) + 1e-12)
+        zcr = np.mean(np.abs(np.diff(np.signbit(frames), axis=1)), axis=1)
+
+        # adaptive noise floor from the quietest 10% of frames
+        floor = np.percentile(energy, 10)
+        # aggressiveness raises the required energy margin
+        margin = {0: 2.0, 1: 3.0, 2: 4.0, 3: 6.0}[self.mode]
+        voiced = (energy > floor * margin) & (zcr < 0.35)
+        return voiced, n
+
+    # -- ring-buffer collector (parity: vad_tool.py:74-140) ------------------
+    def collect_segments(self, audio: np.ndarray, sample_rate: int,
+                         ) -> List[np.ndarray]:
+        voiced, n = self._frame_decisions(audio, sample_rate)
+        num_padding = max(int(self.win_length / self.frame_duration), 1)
+        ring: deque = deque(maxlen=num_padding)
+        triggered = False
+        segments: List[np.ndarray] = []
+        current: List[np.ndarray] = []
+
+        for i, is_speech in enumerate(voiced):
+            frame = audio[i * n:(i + 1) * n]
+            if not triggered:
+                ring.append((frame, is_speech))
+                if sum(1 for _, s in ring if s) > 0.9 * ring.maxlen:
+                    triggered = True
+                    current = [f for f, _ in ring]
+                    ring.clear()
+            else:
+                current.append(frame)
+                ring.append((frame, is_speech))
+                if sum(1 for _, s in ring if not s) > 0.9 * ring.maxlen:
+                    triggered = False
+                    segments.append(np.concatenate(current))
+                    current = []
+                    ring.clear()
+        if triggered and current:
+            segments.append(np.concatenate(current))
+        return segments
+
+    def apply_to_file(self, path: str | Path, out_path: str | Path | None = None,
+                      ) -> Path | None:
+        """Write concatenated voiced audio as ``*_vad.wav``; None if silent."""
+        audio, sr = read_wav(path)
+        segments = self.collect_segments(audio, sr)
+        if not segments:
+            return None
+        out_path = Path(out_path) if out_path else \
+            Path(str(Path(path).with_suffix("")) + "_vad.wav")
+        write_wav(out_path, np.concatenate(segments), sr)
+        return out_path

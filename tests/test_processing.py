@@ -1,0 +1,200 @@
+"""Processing subsystem: VAD, dataprep, QC, plotting, sysinfo, filteraugment."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from speakerverification_tpu.data import write_wav
+from speakerverification_tpu.data.dataprep import (
+    md5,
+    restore_dataset,
+    split_musan,
+    vad_on_dataset,
+)
+from speakerverification_tpu.data.quality import (
+    audio_stats,
+    dataset_statistics,
+    filter_low_quality,
+    read_blacklist,
+)
+from speakerverification_tpu.data.vad import VAD
+from speakerverification_tpu.ops import filteraugment as FA
+
+SR = 8000
+
+
+def _speech_like(rng, n_sec=2.0):
+    """Alternating speech bursts and silence."""
+    t = np.arange(int(SR * n_sec)) / SR
+    env = (np.sin(2 * np.pi * 0.7 * t) > 0).astype(np.float32)
+    sig = env * np.sin(2 * np.pi * 220 * t) * 0.5
+    return (sig + rng.normal(0, 0.002, len(t))).astype(np.float32)
+
+
+def test_vad_segments_speech(tmp_path):
+    rng = np.random.default_rng(0)
+    audio = _speech_like(rng)
+    vad = VAD(mode=2)
+    segments = vad.collect_segments(audio, SR)
+    assert len(segments) >= 1
+    total = sum(len(s) for s in segments)
+    assert 0.2 * len(audio) < total < 0.9 * len(audio)
+
+
+def test_vad_silence_yields_nothing():
+    rng = np.random.default_rng(1)
+    silence = rng.normal(0, 0.0005, SR * 2).astype(np.float32)
+    assert VAD(mode=3).collect_segments(silence, SR) == []
+
+
+def test_vad_on_dataset_and_restore(tmp_path):
+    rng = np.random.default_rng(2)
+    for i in range(2):
+        write_wav(tmp_path / "spk" / f"u{i}.wav", _speech_like(rng), SR)
+    n = vad_on_dataset(tmp_path, mode=1, workers=2)
+    assert n == 2
+    assert len(list(tmp_path.rglob("*_vad.wav"))) == 2
+    removed = restore_dataset(tmp_path)
+    assert removed == 2
+    assert len(list(tmp_path.rglob("*.wav"))) == 2
+
+
+def test_split_musan(tmp_path):
+    rng = np.random.default_rng(3)
+    src = tmp_path / "musan" / "noise" / "free" / "x.wav"
+    write_wav(src, rng.normal(0, 0.1, 16000 * 12).astype(np.float32), 16000)
+    n = split_musan(tmp_path)
+    assert n == 3   # 12 s @ 5 s chunks / 3 s stride -> starts at 0, 3, 6
+    assert len(list((tmp_path / "musan_split").rglob("*.wav"))) == 3
+
+
+def test_md5(tmp_path):
+    p = tmp_path / "f.bin"
+    p.write_bytes(b"hello world")
+    assert md5(p) == "5eb63bbbe01eeed093cb22bb8f5acdc3"
+
+
+def test_quality_stats_and_filter(tmp_path):
+    rng = np.random.default_rng(4)
+    write_wav(tmp_path / "good.wav",
+              (0.3 * np.sin(np.arange(SR) / 10)).astype(np.float32), SR)
+    write_wav(tmp_path / "quiet.wav",
+              rng.normal(0, 1e-5, SR).astype(np.float32), SR)
+    write_wav(tmp_path / "short.wav", np.zeros(100, np.float32) + 0.1, SR)
+
+    s = audio_stats(tmp_path / "good.wav")
+    assert s["duration"] == pytest.approx(1.0)
+    assert -20 < s["rms_dbfs"] < 0
+
+    stats = dataset_statistics(tmp_path)
+    assert stats["n_files"] == 3
+
+    out = filter_low_quality(tmp_path, tmp_path / "bad", min_duration=0.5,
+                             min_dbfs=-50)
+    assert out["n_moved"] == 2 and out["n_kept"] == 1
+    assert (tmp_path / "bad" / "quiet.wav").exists()
+
+
+def test_blacklist(tmp_path):
+    p = tmp_path / "bl.txt"
+    p.write_text("# comment\n/a/b.wav\n/c/d.wav extra\n\n")
+    assert read_blacklist(p) == {"/a/b.wav", "/c/d.wav"}
+
+
+def test_plotting(tmp_path):
+    from speakerverification_tpu.utils.plotting import (
+        plot_confusion_matrix,
+        plot_embeddings_3d,
+        plot_from_scores,
+    )
+    (tmp_path / "scores.txt").write_text(
+        "epoch 1, LR 0.00300000, TEER/TAcc 10.00, TLOSS 8.500000\n"
+        "epoch 2, LR 0.00250000, TEER/TAcc 50.00, TLOSS 4.2, VEER 12.5000\n")
+    out = plot_from_scores(tmp_path)
+    assert (tmp_path / "loss.png").exists()
+    assert (tmp_path / "val_eer.png").exists()
+
+    p = plot_confusion_matrix([0, 1, 1, 0], [0, 1, 0, 0], tmp_path / "cm.png")
+    assert p.exists()
+
+    rng = np.random.default_rng(5)
+    p = plot_embeddings_3d(rng.normal(size=(20, 16)), [i % 4 for i in range(20)],
+                           tmp_path / "emb.png")
+    assert p.exists()
+
+
+def test_sysinfo():
+    from speakerverification_tpu.utils.sysinfo import (
+        format_sys_information,
+        get_sys_information,
+    )
+    info = get_sys_information()
+    assert info["cpu_count"] >= 1
+    assert "jax_version" in info
+    assert "devices" in info
+    assert "System information" in format_sys_information()
+
+
+def test_filteraugment_ops():
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.normal(2.0, 1.0, (4, 50, 32)).astype(np.float32))
+    key = jax.random.PRNGKey(0)
+
+    y = FA.frame_shift(key, x)
+    assert y.shape == x.shape
+    # circular shift preserves per-example content
+    np.testing.assert_allclose(np.sort(np.asarray(y[0]).ravel()),
+                               np.sort(np.asarray(x[0]).ravel()), rtol=1e-6)
+
+    y = FA.mixup(key, x)
+    assert y.shape == x.shape
+
+    y = FA.time_mask(key, x)
+    assert float(jnp.mean((y == 0).all(axis=2).astype(jnp.float32))) > 0
+
+    y = FA.freq_mask(key, x)
+    assert float(jnp.mean((y == 0).all(axis=1).astype(jnp.float32))) > 0
+
+    y = FA.filt_aug(key, x)
+    assert y.shape == x.shape and bool(jnp.all(jnp.isfinite(y)))
+    assert not np.allclose(np.asarray(y), np.asarray(x))
+
+    y = FA.add_noise(key, x, snrs=(20.0, 20.0))
+    noise = np.asarray(y - x)
+    snr = 10 * np.log10(np.mean(np.asarray(x)**2) / np.mean(noise**2))
+    assert snr == pytest.approx(20.0, abs=1.0)
+
+
+def test_benchmark_dataset(tmp_path):
+    """All-pairs matching with a fake embed function keyed on file index."""
+    from speakerverification_tpu.evaluation.benchmark import benchmark_dataset
+    rng = np.random.default_rng(7)
+    files, labels = [], []
+    for spk in range(3):
+        for u in range(3):
+            f = tmp_path / f"s{spk}_u{u}.wav"
+            write_wav(f, rng.normal(0, 0.1, SR).astype(np.float32), SR)
+            files.append(str(f))
+            labels.append(spk)
+
+    centers = rng.normal(size=(3, 8)).astype(np.float32) * 5
+
+    def embed_fn(waves):
+        # deterministic per-call fake: map each crop to its speaker center
+        n = waves.shape[0]
+        idx = embed_fn.counter
+        out = []
+        for i in range(n):
+            out.append(centers[labels[(idx + i) // 5]]
+                       + rng.normal(0, 0.01, 8))
+        embed_fn.counter += n
+        return np.stack(out).astype(np.float32)
+    embed_fn.counter = 0
+
+    res = benchmark_dataset(embed_fn, files, labels,
+                            {"sample_rate": SR, "sentence_len": 1.0},
+                            num_eval=5)
+    assert res["overall_accuracy"] == 1.0
+    assert set(res["per_speaker"]) == {"0", "1", "2"}
