@@ -34,9 +34,23 @@ class SpeakerEncoder(nn.Module):
     # SpecAugment inside the train step when the config's augment_chain
     # includes 'spec_domain' (reference: src/models/ECAPA_TDNN.py:471-473).
     spec_augment: Optional[SpecAugmentConfig] = None
+    # 'xla' | 'pallas' | 'auto' — 'pallas' fuses the mel GEMM pipeline in
+    # VMEM (ops/pallas_frontend.py, TPU only); 'auto' picks pallas on TPU.
+    frontend_backend: str = "auto"
+
+    def _frontend_fn(self):
+        backend = self.frontend_backend
+        if backend == "auto":
+            backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+        if backend == "pallas" and self.feature_type == "melspectrogram":
+            from speakerverification_tpu.ops.pallas_frontend import (
+                make_pallas_mel_frontend,
+            )
+            return make_pallas_mel_frontend(self.frontend)
+        return make_frontend(self.frontend, self.feature_type)
 
     def _embed(self, wave: jax.Array, train: bool) -> jax.Array:
-        feats = make_frontend(self.frontend, self.feature_type)(wave)
+        feats = self._frontend_fn()(wave)
         if train and self.spec_augment is not None and feats.ndim == 3:
             feats = spec_augment(self.make_rng("specaug"), feats,
                                  self.spec_augment)

@@ -6,8 +6,10 @@ Here each encoder registers a builder in ``MODELS`` keyed by the same name
 a reference YAML would use (``model.name``).
 """
 
+import speakerverification_tpu.models.conformer  # noqa: F401
 import speakerverification_tpu.models.ecapa_tdnn  # noqa: F401
 import speakerverification_tpu.models.hybrids  # noqa: F401
+import speakerverification_tpu.models.hybrids2  # noqa: F401
 import speakerverification_tpu.models.rawnet2  # noqa: F401
 import speakerverification_tpu.models.rawnet2_custom  # noqa: F401
 import speakerverification_tpu.models.rawnet3  # noqa: F401

@@ -1,0 +1,254 @@
+"""Conformer speaker encoders (Flax).
+
+Parity targets:
+* vendored conformer package — src/models/conformer/conformer/*
+  (sooftware/conformer): Conv2d subsampling (×4 time reduction), blocks
+  of half-step feed-forward → MHSA → conv module (pointwise-GLU →
+  depthwise → BN → swish → pointwise) → feed-forward → LayerNorm.
+* ``Conformer`` speaker model — src/models/Conformer.py:13-129
+  (instance-normed mel → 6-layer encoder dim 256 → conv attentive stats
+  pooling → BN → linear).
+* ``ECAPA_Conformer`` — src/models/ECAPA_Conformer.py:13-196 (ECAPA
+  TDNN/SE-Res2 trunk + MFA → 16-layer conformer dim 144 kernel 31 →
+  ASP → BN → linear).
+
+Divergence note: the vendored package uses Transformer-XL relative
+multi-head attention; this build uses standard MHSA with sinusoidal
+positions added at block input — same block topology, different
+positional flavor (documented; inputs are fixed 2 s crops where the
+difference is minor).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from speakerverification_tpu.models.layers import (
+    AttentiveStatisticsPooling,
+    BatchNorm1d,
+    Conv1d,
+    SERes2NetBlock,
+    TDNNBlock,
+    gelu_exact,
+)
+from speakerverification_tpu.registry import MODELS
+
+__all__ = ["ConformerEncoder", "ConformerSpeaker", "ECAPAConformer"]
+
+
+def _sinusoidal_pe(T: int, d: int) -> jnp.ndarray:
+    pos = jnp.arange(T)[:, None].astype(jnp.float32)
+    i = jnp.arange(d // 2)[None, :].astype(jnp.float32)
+    angle = pos / jnp.power(10000.0, 2 * i / d)
+    return jnp.concatenate([jnp.sin(angle), jnp.cos(angle)], axis=-1)
+
+
+class _FeedForward(nn.Module):
+    dim: int
+    expansion: int = 4
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        h = nn.LayerNorm()(x)
+        h = nn.Dense(self.dim * self.expansion)(h)
+        h = jax.nn.swish(h)
+        h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        h = nn.Dense(self.dim)(h)
+        return nn.Dropout(self.dropout, deterministic=not train)(h)
+
+
+class _ConvModule(nn.Module):
+    dim: int
+    kernel_size: int = 31
+    expansion: int = 2
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        h = nn.LayerNorm()(x)
+        h = nn.Dense(self.dim * self.expansion * 2)(h)   # pointwise
+        a, b = jnp.split(h, 2, axis=-1)
+        h = a * jax.nn.sigmoid(b)                        # GLU
+        h = nn.Conv(self.dim * self.expansion, (self.kernel_size,),
+                    padding="SAME",
+                    feature_group_count=self.dim * self.expansion)(h)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9)(h)
+        h = jax.nn.swish(h)
+        h = nn.Dense(self.dim)(h)
+        return nn.Dropout(self.dropout, deterministic=not train)(h)
+
+
+class ConformerBlock(nn.Module):
+    dim: int
+    num_heads: int = 4
+    ff_expansion: int = 4
+    conv_expansion: int = 2
+    conv_kernel: int = 31
+    dropout: float = 0.1
+    half_step_residual: bool = True
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        step = 0.5 if self.half_step_residual else 1.0
+        x = x + step * _FeedForward(self.dim, self.ff_expansion,
+                                    self.dropout)(x, train=train)
+        h = nn.LayerNorm()(x)
+        h = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads, dropout_rate=self.dropout,
+            deterministic=not train)(h, h)
+        x = x + nn.Dropout(self.dropout, deterministic=not train)(h)
+        x = x + _ConvModule(self.dim, self.conv_kernel, self.conv_expansion,
+                            self.dropout)(x, train=train)
+        x = x + step * _FeedForward(self.dim, self.ff_expansion,
+                                    self.dropout)(x, train=train)
+        return nn.LayerNorm()(x)
+
+
+class ConformerEncoder(nn.Module):
+    """Conv2d-subsampled conformer stack over [B, T, F] features."""
+    encoder_dim: int = 256
+    num_layers: int = 6
+    num_heads: int = 4
+    ff_expansion: int = 4
+    conv_expansion: int = 2
+    conv_kernel: int = 31
+    dropout: float = 0.1
+    subsample: bool = True
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        if self.subsample:
+            # Conv2dSubsampling: two 3×3 stride-2 convs over [B, T, F, 1]
+            h = x[..., None]
+            h = jax.nn.relu(nn.Conv(self.encoder_dim, (3, 3), (2, 2),
+                                    padding="VALID")(h))
+            h = jax.nn.relu(nn.Conv(self.encoder_dim, (3, 3), (2, 2),
+                                    padding="VALID")(h))
+            B, T, F, C = h.shape
+            h = h.reshape(B, T, F * C)
+            h = nn.Dense(self.encoder_dim)(h)
+        else:
+            h = nn.Dense(self.encoder_dim)(x)
+        h = h + _sinusoidal_pe(h.shape[1], self.encoder_dim)
+        h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        for _ in range(self.num_layers):
+            h = ConformerBlock(self.encoder_dim, self.num_heads,
+                               self.ff_expansion, self.conv_expansion,
+                               self.conv_kernel, self.dropout)(h, train=train)
+        return h
+
+
+class ConformerSpeaker(nn.Module):
+    """Parity: src/models/Conformer.py Conformer_ (encoder dim 256, 6L)."""
+    nOut: int = 512
+    encoder_dim: int = 256
+    num_layers: int = 6
+    attention_dim: int = 128
+    feature_type: str = "melspectrogram"
+
+    @nn.compact
+    def __call__(self, x, lengths=None, train=False):
+        if self.feature_type == "melspectrogram":
+            x = jnp.log(x + 1e-6)
+            x = x - jnp.mean(x, axis=1, keepdims=True)
+        # affine instance norm over time (Conformer.py:35-37)
+        w = self.param("inorm_scale", nn.initializers.ones, (x.shape[-1],))
+        b = self.param("inorm_bias", nn.initializers.zeros, (x.shape[-1],))
+        x = (x - x.mean(axis=1, keepdims=True)) / jnp.sqrt(
+            x.var(axis=1, keepdims=True) + 1e-5) * w + b
+
+        h = ConformerEncoder(self.encoder_dim, self.num_layers,
+                             conv_kernel=15)(x, train=train)
+
+        attn = nn.Conv(self.attention_dim, (1,))(h)
+        attn = jax.nn.relu(attn)
+        attn = nn.BatchNorm(use_running_average=not train, momentum=0.9)(attn)
+        attn = nn.Conv(self.encoder_dim, (1,))(attn)
+        wgt = jax.nn.softmax(attn, axis=1)
+        mu = jnp.sum(h * wgt, axis=1)
+        sg = jnp.sqrt(jnp.clip(jnp.sum((h ** 2) * wgt, axis=1) - mu ** 2,
+                               1e-4, 1e4))
+        pooled = jnp.concatenate([mu, sg], axis=-1)
+        pooled = nn.BatchNorm(use_running_average=not train,
+                              momentum=0.9)(pooled)
+        return nn.Dense(self.nOut)(pooled)
+
+
+class ECAPAConformer(nn.Module):
+    """Parity: src/models/ECAPA_Conformer.py (ECAPA trunk → conformer)."""
+    nOut: int = 192
+    channels: Sequence[int] = (512, 512, 512, 512, 1536)
+    kernel_sizes: Sequence[int] = (5, 3, 3, 3, 1)
+    dilations: Sequence[int] = (1, 2, 3, 4, 1)
+    res2net_scale: int = 8
+    se_channels: int = 128
+    attention_channels: int = 128
+    encoder_dim: int = 144
+    num_layers: int = 16
+    activation: Callable = gelu_exact
+    feature_type: str = "melspectrogram"
+
+    @nn.compact
+    def __call__(self, x, lengths=None, train=False):
+        if self.feature_type == "melspectrogram":
+            x = jnp.log(x + 1e-6)
+            x = x - jnp.mean(x, axis=1, keepdims=True)
+        w = self.param("inorm_scale", nn.initializers.ones, (x.shape[-1],))
+        b = self.param("inorm_bias", nn.initializers.zeros, (x.shape[-1],))
+        x = (x - x.mean(axis=1, keepdims=True)) / jnp.sqrt(
+            x.var(axis=1, keepdims=True) + 1e-5) * w + b
+
+        x = TDNNBlock(self.channels[0], self.kernel_sizes[0],
+                      self.dilations[0], activation=self.activation)(
+            x, train=train)
+        outs = []
+        for i in range(1, len(self.channels) - 1):
+            x = SERes2NetBlock(self.channels[i],
+                               res2net_scale=self.res2net_scale,
+                               se_channels=self.se_channels,
+                               kernel_size=self.kernel_sizes[i],
+                               dilation=self.dilations[i],
+                               activation=self.activation)(x, lengths,
+                                                           train=train)
+            outs.append(x)
+        x = jnp.concatenate(outs, axis=-1)
+        x = TDNNBlock(self.channels[-1], self.kernel_sizes[-1],
+                      self.dilations[-1], activation=self.activation)(
+            x, train=train)
+
+        x = ConformerEncoder(self.encoder_dim, self.num_layers,
+                             conv_kernel=31)(x, train=train)
+
+        x = AttentiveStatisticsPooling(self.attention_channels)(
+            x, lengths, train=train)
+        x = BatchNorm1d()(x, train=train)
+        return nn.Dense(self.nOut)(x)
+
+
+@MODELS.register("Conformer")
+def build_conformer(nOut: int = 512, **kwargs) -> ConformerSpeaker:
+    """MainModel parity (src/models/Conformer.py:127-129)."""
+    feature_type = kwargs.get("feature_type",
+                              kwargs.get("features", "melspectrogram"))
+    return ConformerSpeaker(nOut=nOut, feature_type=feature_type,
+                            encoder_dim=int(kwargs.get("encoder_dim", 256)),
+                            num_layers=int(kwargs.get("num_layers", 6)))
+
+
+@MODELS.register("ECAPA_Conformer")
+def build_ecapa_conformer(nOut: int = 192, **kwargs) -> ECAPAConformer:
+    """MainModel parity (src/models/ECAPA_Conformer.py:195-196)."""
+    feature_type = kwargs.get("feature_type",
+                              kwargs.get("features", "melspectrogram"))
+    known = {k: tuple(kwargs[k]) for k in ("channels", "kernel_sizes",
+                                           "dilations") if k in kwargs}
+    return ECAPAConformer(nOut=nOut, feature_type=feature_type,
+                          encoder_dim=int(kwargs.get("encoder_dim", 144)),
+                          num_layers=int(kwargs.get("num_layers", 16)),
+                          **known)

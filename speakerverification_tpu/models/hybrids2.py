@@ -1,0 +1,138 @@
+"""More hybrid encoders: Tita_ECAPA, Raw_tita, Res_ECAPA.
+
+Parity targets:
+* ``Tita_ECAPA`` — src/models/Tita_ECAPA.py:10-58: ECAPA-192
+  (512-channel, GELU, input_norm) ∥ TitaNet-M(nOut−192), both branches
+  consuming the in-model mel features, embeddings concatenated.
+* ``Raw_tita``   — src/models/Raw_tita.py:10-55: TitaNet-M(192) on mel
+  ∥ RawNet2_custom(nOut−192, sinc/ASP) on raw audio.
+* ``Res_ECAPA``  — src/models/Res_ECAPA.py:11-260: SE-ResNet trunk
+  (filters [32,64], layers [2,2], freq-downsampling stride-(2,1) convs
+  at both ends) whose [C, F/4] output flattens into an ECAPA core
+  (ReLU, channels 512.../1536).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from speakerverification_tpu.models.ecapa_tdnn import ECAPA_TDNN
+from speakerverification_tpu.models.hybrids import RawECAPAHybrid, _frontend_cfg
+from speakerverification_tpu.models.rawnet2_custom import RawNet2Custom
+from speakerverification_tpu.models.resnetse import SEBasicBlock
+from speakerverification_tpu.models.titanet import TitaNet, _DEPTHS, _SIZES
+from speakerverification_tpu.ops.frontend import FrontendConfig, make_frontend
+from speakerverification_tpu.registry import MODELS
+
+__all__ = ["TitaECAPA", "ResECAPA"]
+
+
+class TitaECAPA(nn.Module):
+    """Two mel branches: ECAPA ∥ TitaNet (parity: Tita_ECAPA.py)."""
+    ecapa: nn.Module
+    titanet: nn.Module
+    frontend: FrontendConfig = FrontendConfig()
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        mel = make_frontend(self.frontend, "melspectrogram")(x)
+        out1 = self.ecapa(mel, train=train)
+        out2 = self.titanet(mel, train=train)
+        return jnp.concatenate([out1, out2], axis=-1)
+
+
+@MODELS.register("Tita_ECAPA")
+def build_tita_ecapa(nOut: int = 512, **kwargs) -> TitaECAPA:
+    cfg = _frontend_cfg(kwargs)
+    hidden, kernel = _SIZES["m"]
+    return TitaECAPA(
+        ecapa=ECAPA_TDNN(lin_neurons=192, channels=(512, 512, 512, 512, 1536),
+                         log_input=False, input_norm=True),
+        titanet=TitaNet(nOut=nOut - 192, hidden_size=hidden,
+                        mega_block_kernel=kernel,
+                        n_mega_blocks=_DEPTHS["m"]),
+        frontend=cfg)
+
+
+class RawTita(nn.Module):
+    """TitaNet on mel ∥ RawNet2_custom on raw (parity: Raw_tita.py)."""
+    titanet: nn.Module
+    raw_branch: nn.Module
+    frontend: FrontendConfig = FrontendConfig()
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        mel = make_frontend(self.frontend, "melspectrogram")(x)
+        out1 = self.titanet(mel, train=train)
+        out2 = self.raw_branch(x, train=train)
+        return jnp.concatenate([out1, out2], axis=-1)
+
+
+@MODELS.register("Raw_tita")
+def build_raw_tita(nOut: int = 512, **kwargs) -> RawTita:
+    cfg = _frontend_cfg(kwargs)
+    hidden, kernel = _SIZES["m"]
+    return RawTita(
+        titanet=TitaNet(nOut=192, hidden_size=hidden,
+                        mega_block_kernel=kernel,
+                        n_mega_blocks=_DEPTHS["m"]),
+        raw_branch=RawNet2Custom(nOut=nOut - 192, front_proc="sinc",
+                                 aggregate="asp", att_dim=128,
+                                 sample_rate=cfg.sample_rate),
+        frontend=cfg)
+
+
+class ResECAPA(nn.Module):
+    """SE-ResNet trunk feeding an ECAPA core (parity: Res_ECAPA.py)."""
+    nOut: int = 128
+    num_filters: Sequence[int] = (32, 64)
+    num_layers: Sequence[int] = (2, 2)
+    ecapa_channels: Sequence[int] = (512, 512, 512, 512, 1536)
+    feature_type: str = "melspectrogram"
+
+    @nn.compact
+    def __call__(self, x: jax.Array, lengths=None, train: bool = False,
+                 ) -> jax.Array:
+        """``x``: features [B, T, n_mels] → embeddings [B, nOut]."""
+        if self.feature_type == "melspectrogram":
+            x = jnp.log(x + 1e-6)
+            x = x - jnp.mean(x, axis=1, keepdims=True)
+        w = self.param("inorm_scale", nn.initializers.ones, (x.shape[-1],))
+        b = self.param("inorm_bias", nn.initializers.zeros, (x.shape[-1],))
+        x = (x - x.mean(axis=1, keepdims=True)) / jnp.sqrt(
+            x.var(axis=1, keepdims=True) + 1e-5) * w + b
+
+        img = jnp.transpose(x, (0, 2, 1))[..., None]        # [B, mels, T, 1]
+        h = nn.Conv(self.num_filters[0], (3, 3), (2, 1), padding="SAME")(img)
+        h = jax.nn.relu(h)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9)(h)
+
+        for i, (planes, n_blocks) in enumerate(zip(self.num_filters,
+                                                   self.num_layers)):
+            for _ in range(n_blocks):
+                h = SEBasicBlock(planes, (1, 1))(h, train=train)
+
+        h = nn.Conv(self.num_filters[-1], (3, 3), (2, 1), padding="SAME")(h)
+        h = jax.nn.relu(h)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9)(h)
+
+        # flatten [B, F/4, T, C] -> [B, T, C * F/4] for the TDNN core
+        B, F, T, C = h.shape
+        feats = jnp.transpose(h, (0, 2, 3, 1)).reshape(B, T, C * F)
+
+        core = ECAPA_TDNN(lin_neurons=self.nOut,
+                          channels=tuple(self.ecapa_channels),
+                          activation=jax.nn.relu, log_input=False)
+        return core(feats, lengths, train=train)
+
+
+@MODELS.register("Res_ECAPA")
+def build_res_ecapa(nOut: int = 128, **kwargs) -> ResECAPA:
+    """MainModel parity (src/models/Res_ECAPA.py:238-260)."""
+    feature_type = kwargs.get("feature_type",
+                              kwargs.get("features", "melspectrogram"))
+    return ResECAPA(nOut=nOut, feature_type=feature_type)

@@ -35,7 +35,8 @@ class SELayer(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         c = x.shape[-1]
         y = x.mean(axis=(1, 2))                       # squeeze over H, W
-        y = jax.nn.relu(nn.Dense(c // self.reduction, use_bias=False)(y))
+        y = jax.nn.relu(nn.Dense(max(c // self.reduction, 1),
+                                 use_bias=False)(y))
         y = jax.nn.sigmoid(nn.Dense(c, use_bias=False)(y))
         return x * y[:, None, None, :]
 
