@@ -10,6 +10,8 @@ import speakerverification_tpu.models.conformer  # noqa: F401
 import speakerverification_tpu.models.ecapa_tdnn  # noqa: F401
 import speakerverification_tpu.models.hybrids  # noqa: F401
 import speakerverification_tpu.models.hybrids2  # noqa: F401
+import speakerverification_tpu.models.image_encoders  # noqa: F401
+import speakerverification_tpu.models.next  # noqa: F401
 import speakerverification_tpu.models.rawnet2  # noqa: F401
 import speakerverification_tpu.models.rawnet2_custom  # noqa: F401
 import speakerverification_tpu.models.rawnet3  # noqa: F401

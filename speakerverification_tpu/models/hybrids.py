@@ -114,3 +114,44 @@ def build_raw_ecapa_conv_asp(nOut: int = 512, **kwargs) -> RawECAPAHybrid:
 def build_raw_ecapa_sinc_gru(nOut: int = 512, **kwargs) -> RawECAPAHybrid:
     """Parity: src/models/Raw_ECAPA_sinc_gru.py."""
     return _rawnet2_hybrid(nOut, "sinc", "gru", kwargs)
+
+
+class RawECAPAHype(nn.Module):
+    """ECAPA-192 ∥ RawNet2(512, sinc/gru) with a channel-attention head on
+    the concatenated embedding (parity: src/models/Raw_ECAPA_hype.py:6-90;
+    the 'ASP' there runs over a single time step with channel-softmax)."""
+    raw_branch: nn.Module
+    ecapa: nn.Module
+    nOut: int = 512
+    att_size: int = 128
+    frontend: FrontendConfig = FrontendConfig()
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        mel = make_frontend(self.frontend, "melspectrogram")(x)
+        out = jnp.concatenate([self.ecapa(mel, train=train),
+                               self.raw_branch(x, train=train)], axis=-1)
+        out = nn.BatchNorm(use_running_average=not train, momentum=0.9)(out)
+        out = jax.nn.leaky_relu(out, 0.3)
+
+        h = jax.nn.silu(nn.Dense(self.att_size)(out))
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9)(h)
+        w = jax.nn.softmax(nn.Dense(out.shape[-1])(h), axis=-1)
+        m = out * w
+        s = jnp.sqrt(jnp.clip((out ** 2) * w - m ** 2, 1e-5))
+        pooled = jnp.concatenate([m, s], axis=-1)
+        pooled = nn.BatchNorm(use_running_average=not train,
+                              momentum=0.9)(pooled)
+        return nn.Dense(self.nOut)(pooled)
+
+
+@MODELS.register("Raw_ECAPA_hype")
+def build_raw_ecapa_hype(nOut: int = 512, **kwargs) -> RawECAPAHype:
+    """MainModel parity (src/models/Raw_ECAPA_hype.py:90)."""
+    cfg = _frontend_cfg(kwargs)
+    return RawECAPAHype(
+        raw_branch=RawNet2Custom(nOut=512, front_proc="sinc",
+                                 aggregate="gru", att_dim=128,
+                                 sample_rate=cfg.sample_rate),
+        ecapa=_hybrid_ecapa(cfg.n_mels, input_norm=True),
+        nOut=nOut, frontend=cfg)

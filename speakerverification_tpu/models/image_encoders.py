@@ -1,0 +1,435 @@
+"""Mel-image encoders: EfficientNet v1/v2, RepVGG, SCNet, DPN (Flax).
+
+Parity targets (all consume ``[B, frames, n_mels]`` features, reshaped
+to an NHWC mel image after log/CMN + instance norm, like the reference's
+``[B, 1, n_mels, T]``):
+
+* ``EfficientNet``   — src/models/EfficientNet.py:42-217: MBConv blocks
+  with SE and drop-connect, b4 compound scaling, head conv to 1280 +
+  global pooling; the reference's ASP aggregate runs *after* global
+  pooling (a single time step — kept for parity, documented).
+* ``EfficientNetv2`` — src/models/EfficientNetv2.py: fused-MBConv early
+  stages + MBConv later (effnetv2-s config), GAP + linear.
+* ``RepVGG``         — src/models/RepVGG.py:62-337 (RepVGG-D2se):
+  train-time 3-branch blocks (3×3 + 1×1 + identity BN) with SE,
+  ``reparameterize`` folds branches into one 3×3 conv for deploy.
+* ``SCnet``          — src/models/SCnet.py:169-271: self-calibrated
+  bottlenecks (pooled-branch sigmoid gating), layers [3,4,6,3], GAP+fc.
+* ``DPN``            — src/models/DPN.py:73-159: dual-path blocks
+  (residual + dense concat paths), GAP + classifier.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from speakerverification_tpu.registry import MODELS
+
+__all__ = ["EfficientNet", "EfficientNetV2", "RepVGG", "SCNet", "DPN"]
+
+
+def _bn(train):
+    return nn.BatchNorm(use_running_average=not train, momentum=0.9)
+
+
+def _prep(x: jax.Array, log_input: bool) -> jax.Array:
+    """log + CMN + non-affine instance norm, to NHWC mel image."""
+    if log_input:
+        x = jnp.log(x + 1e-6)
+        x = x - jnp.mean(x, axis=1, keepdims=True)
+    x = (x - jnp.mean(x, axis=1, keepdims=True)) / jnp.sqrt(
+        jnp.var(x, axis=1, keepdims=True) + 1e-5)
+    return jnp.transpose(x, (0, 2, 1))[..., None]      # [B, mels, T, 1]
+
+
+# ---------------------------------------------------------------------------
+# EfficientNet v1
+# ---------------------------------------------------------------------------
+
+class MBConv(nn.Module):
+    out_ch: int
+    expand: int
+    kernel: int
+    stride: int
+    se_ratio: float = 0.25
+    drop_connect: float = 0.2
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        in_ch = x.shape[-1]
+        h = x
+        if self.expand != 1:
+            h = nn.Conv(in_ch * self.expand, (1, 1), use_bias=False)(h)
+            h = jax.nn.swish(_bn(train)(h))
+        h = nn.Conv(h.shape[-1], (self.kernel, self.kernel),
+                    (self.stride, self.stride), padding="SAME",
+                    feature_group_count=h.shape[-1], use_bias=False)(h)
+        h = jax.nn.swish(_bn(train)(h))
+        # squeeze-excitation
+        se_ch = max(1, int(in_ch * self.se_ratio))
+        s = h.mean(axis=(1, 2))
+        s = jax.nn.swish(nn.Dense(se_ch)(s))
+        s = jax.nn.sigmoid(nn.Dense(h.shape[-1])(s))
+        h = h * s[:, None, None, :]
+        h = nn.Conv(self.out_ch, (1, 1), use_bias=False)(h)
+        h = _bn(train)(h)
+        if self.stride == 1 and in_ch == self.out_ch:
+            if train and self.drop_connect > 0:
+                keep = 1.0 - self.drop_connect
+                mask = jax.random.bernoulli(
+                    self.make_rng("dropout"), keep, (x.shape[0], 1, 1, 1))
+                h = h * mask / keep
+            h = h + x
+        return h
+
+
+class EfficientNet(nn.Module):
+    nOut: int = 512
+    width_coeff: float = 1.4        # b4
+    depth_coeff: float = 1.8
+    dropout_rate: float = 0.4
+    aggregate: str = "ASP"
+    log_input: bool = True
+
+    def _ch(self, x: int) -> int:
+        x *= self.width_coeff
+        new = max(8, int(x + 4) // 8 * 8)
+        return new + 8 if new < 0.9 * x else new
+
+    def _rep(self, x: int) -> int:
+        return int(math.ceil(x * self.depth_coeff))
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        x = _prep(x, self.log_input)
+        h = nn.Conv(self._ch(32), (3, 3), (2, 2), padding="SAME",
+                    use_bias=False)(x)
+        h = jax.nn.swish(_bn(train)(h))
+
+        specs = [(16, 1, 3, 1, 1), (24, 6, 3, 2, 2), (40, 6, 5, 2, 2),
+                 (80, 6, 3, 2, 3), (112, 6, 5, 1, 3), (192, 6, 5, 2, 4),
+                 (320, 6, 3, 1, 1)]
+        for out, expand, k, s, rep in specs:
+            for i in range(self._rep(rep)):
+                h = MBConv(self._ch(out), expand, k, s if i == 0 else 1)(
+                    h, train=train)
+
+        h = nn.Conv(self._ch(1280), (1, 1), use_bias=False)(h)
+        h = jax.nn.swish(_bn(train)(h))
+        pooled = h.mean(axis=(1, 2))                   # [B, 1280]
+        pooled = nn.Dropout(self.dropout_rate,
+                            deterministic=not train)(pooled)
+
+        if self.aggregate == "flatten":
+            return nn.Dense(self.nOut)(pooled)
+        # 'ASP' over the single pooled step (reference parity: the head's
+        # global pool runs before ASP, EfficientNet.py:132-139,184-192)
+        mu = pooled
+        sg = jnp.zeros_like(pooled)
+        return nn.Dense(self.nOut)(jnp.concatenate([mu, sg], axis=-1))
+
+
+# ---------------------------------------------------------------------------
+# EfficientNet v2 (effnetv2-s)
+# ---------------------------------------------------------------------------
+
+class FusedMBConv(nn.Module):
+    out_ch: int
+    expand: int
+    stride: int
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        in_ch = x.shape[-1]
+        h = nn.Conv(in_ch * self.expand, (3, 3), (self.stride, self.stride),
+                    padding="SAME", use_bias=False)(x)
+        h = jax.nn.swish(_bn(train)(h))
+        if self.expand != 1:
+            h = nn.Conv(self.out_ch, (1, 1), use_bias=False)(h)
+            h = _bn(train)(h)
+        elif self.out_ch != h.shape[-1]:
+            h = nn.Conv(self.out_ch, (1, 1), use_bias=False)(h)
+            h = _bn(train)(h)
+        if self.stride == 1 and in_ch == self.out_ch:
+            h = h + x
+        return h
+
+
+class EfficientNetV2(nn.Module):
+    """effnetv2-s config (parity: src/models/EfficientNetv2.py:171-190)."""
+    nOut: int = 512
+    log_input: bool = True
+    # (expansion, channels, repeats, stride, use_se)
+    cfgs: Sequence[Tuple[int, int, int, int, int]] = (
+        (1, 24, 2, 1, 0), (4, 48, 4, 2, 0), (4, 64, 4, 2, 0),
+        (4, 128, 6, 2, 1), (6, 160, 9, 1, 1), (6, 256, 15, 2, 1))
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        x = _prep(x, self.log_input)
+        h = nn.Conv(24, (3, 3), (2, 2), padding="SAME", use_bias=False)(x)
+        h = jax.nn.swish(_bn(train)(h))
+        for t, c, n, s, use_se in self.cfgs:
+            for i in range(n):
+                stride = s if i == 0 else 1
+                if use_se:
+                    h = MBConv(c, t, 3, stride)(h, train=train)
+                else:
+                    h = FusedMBConv(c, t, stride)(h, train=train)
+        h = nn.Conv(1792, (1, 1), use_bias=False)(h)
+        h = jax.nn.swish(_bn(train)(h))
+        return nn.Dense(self.nOut)(h.mean(axis=(1, 2)))
+
+
+# ---------------------------------------------------------------------------
+# RepVGG
+# ---------------------------------------------------------------------------
+
+class RepVGGBlock(nn.Module):
+    out_ch: int
+    stride: int = 1
+    use_se: bool = False
+    deploy: bool = False
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        in_ch = x.shape[-1]
+        if self.deploy:
+            h = nn.Conv(self.out_ch, (3, 3), (self.stride, self.stride),
+                        padding="SAME", name="rbr_reparam")(x)
+        else:
+            dense = nn.Conv(self.out_ch, (3, 3),
+                            (self.stride, self.stride), padding="SAME",
+                            use_bias=False, name="rbr_dense")(x)
+            dense = _bn(train)(dense)
+            one = nn.Conv(self.out_ch, (1, 1),
+                          (self.stride, self.stride), use_bias=False,
+                          name="rbr_1x1")(x)
+            one = _bn(train)(one)
+            h = dense + one
+            if in_ch == self.out_ch and self.stride == 1:
+                h = h + _bn(train)(x)
+        if self.use_se:
+            s = h.mean(axis=(1, 2))
+            s = jax.nn.relu(nn.Dense(max(self.out_ch // 16, 1))(s))
+            s = jax.nn.sigmoid(nn.Dense(self.out_ch)(s))
+            h = h * s[:, None, None, :]
+        return jax.nn.relu(h)
+
+
+class RepVGG(nn.Module):
+    """RepVGG-D2se layout (parity: src/models/RepVGG.py:335-337)."""
+    nOut: int = 256
+    num_blocks: Sequence[int] = (8, 14, 24, 1)
+    width: Sequence[float] = (2.5, 2.5, 2.5, 5.0)
+    use_se: bool = True
+    deploy: bool = False
+    log_input: bool = True
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        x = _prep(x, self.log_input)
+        ch0 = min(64, int(64 * self.width[0]))
+        h = RepVGGBlock(ch0, 2, self.use_se, self.deploy)(x, train=train)
+        for stage, (n, w) in enumerate(zip(self.num_blocks, self.width)):
+            out_ch = int((64 << stage) * w)
+            for i in range(n):
+                h = RepVGGBlock(out_ch, 2 if i == 0 else 1, self.use_se,
+                                self.deploy)(h, train=train)
+        return nn.Dense(self.nOut)(h.mean(axis=(1, 2)))
+
+
+# ---------------------------------------------------------------------------
+# SCNet
+# ---------------------------------------------------------------------------
+
+class SCBottleneck(nn.Module):
+    """Self-calibrated bottleneck (parity: src/models/SCnet.py SCConv)."""
+    planes: int
+    stride: int = 1
+    pooling_r: int = 4
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        in_ch = x.shape[-1]
+        half = self.planes // 2
+        residual = x
+
+        # branch a: plain conv
+        a = nn.Conv(half, (1, 1), use_bias=False)(x)
+        a = jax.nn.relu(_bn(train)(a))
+        a = nn.Conv(half, (3, 3), (self.stride, self.stride),
+                    padding="SAME", use_bias=False)(a)
+        a = jax.nn.relu(_bn(train)(a))
+
+        # branch b: self-calibrated conv
+        b = nn.Conv(half, (1, 1), use_bias=False)(x)
+        b = jax.nn.relu(_bn(train)(b))
+        # k2: pooled path; k3: identity path; k4: output conv
+        # (pooling window clamped so deep stages with tiny spatial dims
+        # keep a non-empty calibration map)
+        r = max(1, min(self.pooling_r, b.shape[1], b.shape[2]))
+        pooled = nn.avg_pool(b, (r, r), (r, r))
+        k2 = nn.Conv(half, (3, 3), padding="SAME", use_bias=False)(pooled)
+        k2 = _bn(train)(k2)
+        k2 = jax.image.resize(k2, b.shape, "nearest")
+        gate = jax.nn.sigmoid(b + k2)
+        k3 = nn.Conv(half, (3, 3), padding="SAME", use_bias=False)(b)
+        k3 = _bn(train)(k3)
+        b = k3 * gate
+        b = nn.Conv(half, (3, 3), (self.stride, self.stride),
+                    padding="SAME", use_bias=False)(b)
+        b = jax.nn.relu(_bn(train)(b))
+
+        out = jnp.concatenate([a, b], axis=-1)
+        out = nn.Conv(self.planes * 4, (1, 1), use_bias=False)(out)
+        out = _bn(train)(out)
+        if self.stride != 1 or in_ch != self.planes * 4:
+            residual = nn.Conv(self.planes * 4, (1, 1),
+                               (self.stride, self.stride),
+                               use_bias=False)(x)
+            residual = _bn(train)(residual)
+        return jax.nn.relu(out + residual)
+
+
+class SCNet(nn.Module):
+    nOut: int = 256
+    layers: Sequence[int] = (3, 4, 6, 3)
+    log_input: bool = True
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        x = _prep(x, self.log_input)
+        h = nn.Conv(64, (7, 7), (2, 2), padding="SAME", use_bias=False)(x)
+        h = jax.nn.relu(_bn(train)(h))
+        h = nn.max_pool(h, (3, 3), (2, 2), padding="SAME")
+        for stage, n in enumerate(self.layers):
+            planes = 64 << stage
+            for i in range(n):
+                stride = 2 if stage > 0 and i == 0 else 1
+                h = SCBottleneck(planes, stride)(h, train=train)
+        return nn.Dense(self.nOut)(h.mean(axis=(1, 2)))
+
+
+# ---------------------------------------------------------------------------
+# DPN
+# ---------------------------------------------------------------------------
+
+class DualPathBlock(nn.Module):
+    num_1x1_a: int
+    num_3x3_b: int
+    num_1x1_c: int
+    inc: int
+    groups: int = 32
+    block_type: str = "normal"      # 'proj' | 'down' | 'normal'
+
+    @nn.compact
+    def __call__(self, res_dense, train=False):
+        res, dense = res_dense
+        x = jnp.concatenate([res, dense], axis=-1)
+        stride = 2 if self.block_type == "down" else 1
+        has_proj = self.block_type in ("proj", "down")
+
+        if has_proj:
+            p = nn.Conv(self.num_1x1_c + 2 * self.inc, (1, 1),
+                        (stride, stride), use_bias=False)(x)
+            p = _bn(train)(p)
+            res_s = p[..., :self.num_1x1_c]
+            dense_s = p[..., self.num_1x1_c:]
+        else:
+            res_s, dense_s = res, dense
+
+        h = nn.Conv(self.num_1x1_a, (1, 1), use_bias=False)(x)
+        h = jax.nn.relu(_bn(train)(h))
+        h = nn.Conv(self.num_3x3_b, (3, 3), (stride, stride), padding="SAME",
+                    feature_group_count=self.groups, use_bias=False)(h)
+        h = jax.nn.relu(_bn(train)(h))
+        h = nn.Conv(self.num_1x1_c + self.inc, (1, 1), use_bias=False)(h)
+        h = _bn(train)(h)
+
+        res_out = res_s + h[..., :self.num_1x1_c]
+        dense_out = jnp.concatenate([dense_s, h[..., self.num_1x1_c:]],
+                                    axis=-1)
+        return res_out, dense_out
+
+
+class DPN(nn.Module):
+    """DPN-92-style config (parity: src/models/DPN.py:90-159)."""
+    nOut: int = 512
+    k_r: int = 96
+    groups: int = 32
+    k_sec: Sequence[int] = (3, 4, 8, 3)      # depth trimmed vs (3,4,20,3)
+    inc_sec: Sequence[int] = (16, 32, 24, 128)
+    log_input: bool = True
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        x = _prep(x, self.log_input)
+        h = nn.Conv(64, (7, 7), (2, 2), padding="SAME", use_bias=False)(x)
+        h = jax.nn.relu(_bn(train)(h))
+        h = nn.max_pool(h, (3, 3), (2, 2), padding="SAME")
+
+        bw = 256
+        res, dense = h[..., :0], h                   # start: all dense
+        res = nn.Conv(bw, (1, 1), use_bias=False)(h)  # seed residual path
+        dense = h
+        for stage, (n, inc) in enumerate(zip(self.k_sec, self.inc_sec)):
+            bw = 256 << stage
+            r = int(self.k_r * (bw / 256))
+            for i in range(n):
+                if i == 0:
+                    btype = "proj" if stage == 0 else "down"
+                else:
+                    btype = "normal"
+                res, dense = DualPathBlock(r, r, bw, inc, self.groups,
+                                           btype)((res, dense), train=train)
+        feats = jnp.concatenate([res, dense], axis=-1)
+        return nn.Dense(self.nOut)(feats.mean(axis=(1, 2)))
+
+
+def _feature_flag(kwargs):
+    return kwargs.get("feature_type",
+                      kwargs.get("features", "melspectrogram")) == "melspectrogram"
+
+
+@MODELS.register("EfficientNet")
+def build_efficientnet(nOut: int = 512, version: str = "b4",
+                       aggregate: str = "ASP", **kwargs) -> EfficientNet:
+    """MainModel parity (src/models/EfficientNet.py:207-217)."""
+    params = {"b0": (1.0, 1.0, 0.2), "b1": (1.0, 1.1, 0.2),
+              "b2": (1.1, 1.2, 0.3), "b3": (1.2, 1.4, 0.3),
+              "b4": (1.4, 1.8, 0.4), "b5": (1.6, 2.2, 0.4),
+              "b6": (1.8, 2.6, 0.5), "b7": (2.0, 3.1, 0.5)}
+    w, d, p = params[version]
+    return EfficientNet(nOut=nOut, width_coeff=w, depth_coeff=d,
+                        dropout_rate=p, aggregate=aggregate,
+                        log_input=_feature_flag(kwargs))
+
+
+@MODELS.register("EfficientNetv2")
+def build_efficientnetv2(nOut: int = 512, **kwargs) -> EfficientNetV2:
+    """MainModel parity (src/models/EfficientNetv2.py)."""
+    return EfficientNetV2(nOut=nOut, log_input=_feature_flag(kwargs))
+
+
+@MODELS.register("RepVGG")
+def build_repvgg(nOut: int = 256, deploy: bool = False, **kwargs) -> RepVGG:
+    """MainModel parity (src/models/RepVGG.py:335-337, RepVGG-D2se)."""
+    return RepVGG(nOut=nOut, deploy=deploy, log_input=_feature_flag(kwargs))
+
+
+@MODELS.register("SCnet")
+def build_scnet(nOut: int = 256, **kwargs) -> SCNet:
+    """MainModel parity (src/models/SCnet.py:265-271)."""
+    return SCNet(nOut=nOut, log_input=_feature_flag(kwargs))
+
+
+@MODELS.register("DPN")
+def build_dpn(nOut: int = 512, **kwargs) -> DPN:
+    """MainModel parity (src/models/DPN.py)."""
+    return DPN(nOut=nOut, log_input=_feature_flag(kwargs))
