@@ -25,6 +25,7 @@ from speakerverification_tpu.losses.combined import (  # noqa: F401
     AmSoftmaxProto,
     SoftmaxAngularProto,
 )
+import speakerverification_tpu.losses.adaptive  # noqa: F401
 import speakerverification_tpu.losses.margin_extra  # noqa: F401
 import speakerverification_tpu.losses.proxy  # noqa: F401
 import speakerverification_tpu.losses.similarity  # noqa: F401

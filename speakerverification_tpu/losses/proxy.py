@@ -170,3 +170,31 @@ class MMP(nn.Module):
         loss_reg = cross_entropy(logits2, idx)
         prec1 = top1_percent(logits2, idx)
         return l1 + l2 + l3 + self.lambda_init * loss_reg, prec1
+
+
+# The *_Balance variants take the grouped batch directly (query = utt 0,
+# anchor = mean of the rest) instead of the pre_process() regrouping —
+# identical under the speaker-balanced sampler, which never repeats a
+# speaker in a batch (src/losses/MP_Balance.py:38-79, MMP_Balance.py).
+LOSSES.register("MP_Balance")(MP)
+LOSSES.register("MMP_Balance")(MMP)
+
+
+@LOSSES.register("MMP_Balance_MTL")
+class MMPBalanceMTL(nn.Module):
+    """0.4·AmSoftmax + 0.6·MMP_Balance
+    (parity: src/losses/MMP_Balance_MTL.py:22-30)."""
+    nOut: int = 192
+    nClasses: int = 5994
+    margin: float = 0.1
+    scale: float = 30.0
+    weight: float = 0.6
+    test_normalize: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array, label: jax.Array):
+        from speakerverification_tpu.losses.margin import AmSoftmax
+        loss_ce, prec1 = AmSoftmax(self.nOut, self.nClasses, self.margin,
+                                   self.scale)(x, label)
+        loss_ml, _ = MMP(self.nOut, self.nClasses)(x, label)
+        return (1 - self.weight) * loss_ce + self.weight * loss_ml, prec1

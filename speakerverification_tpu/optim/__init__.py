@@ -23,6 +23,7 @@ import inspect
 import optax
 
 from speakerverification_tpu.optim import custom  # noqa: F401  (registers)
+from speakerverification_tpu.optim import second_order  # noqa: F401  (registers)
 from speakerverification_tpu.optim.schedulers import (  # noqa: F401
     EarlyStopping,
     ReduceOnPlateau,
