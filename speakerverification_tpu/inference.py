@@ -121,11 +121,16 @@ class InferenceEngine:
             w.writerow(["label", "score", "trial"])
             for s, l, t in zip(scores, labels, trials):
                 w.writerow([int(l), float(s), t])
+        # FA/FR pair dumps at the tuned threshold (parity:
+        # src/inference.py:139-173)
+        from speakerverification_tpu.evaluation.reports import dump_fa_fr_pairs
+        fafr = dump_fa_fr_pairs(scores, labels, trials, res["roc"][3],
+                                result_dir)
         report = {
             "eer": res["roc"][1], "auc": res["roc"][2],
             "threshold": res["roc"][3], "min_dcf": mindcf,
             "dcf_threshold": dcf_thr, "gmean": res["gmean"][1],
-            "n_trials": len(scores), "seconds": elapsed,
+            "n_trials": len(scores), "seconds": elapsed, **fafr,
         }
         with open(result_dir / "Inference_log.txt", "a") as f:
             f.write(f"{time.strftime('%Y-%m-%d %H:%M:%S')} eval {listfile} "
@@ -156,7 +161,19 @@ class InferenceEngine:
         report = {"threshold": threshold, "n": len(scores),
                   "accept_rate": float(np.mean(preds)), "output": str(out)}
         if labels is not None and len(labels):
+            from speakerverification_tpu.evaluation.reports import (
+                classification_report,
+                fbeta_score,
+            )
             report["accuracy"] = float(np.mean(preds == labels))
+            report["fbeta"] = {b: fbeta_score(labels, preds, b)
+                               for b in (0.5, 2)}
+            cls_report = classification_report(labels, preds,
+                                               ["Label '0'", "Label '1'"])
+            (self.dirs["result"] / "Testing_log.txt").open("a").write(
+                f"{time.strftime('%Y-%m-%d %H:%M:%S')} thr {threshold}\n"
+                f"{cls_report}\n")
+            print(cls_report)
         print(f"[RESULT] test: {report}")
         return report
 

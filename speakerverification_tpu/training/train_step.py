@@ -32,21 +32,36 @@ __all__ = ["make_train_step", "make_eval_embed_fn"]
 
 
 def make_train_step(model, tx: optax.GradientTransformation,
-                    axis_name: Optional[str] = None) -> Callable:
+                    axis_name: Optional[str] = None,
+                    compute_dtype: Optional[jnp.dtype] = None) -> Callable:
     """Build ``step(state, wave, label, rng, lr) -> (state, metrics)``.
 
     With ``axis_name`` set, the step is meant to run inside ``shard_map``
     over that mesh axis: gradients and metrics are ``psum``-averaged.
+
+    ``compute_dtype=jnp.bfloat16`` enables mixed precision: fp32 master
+    params are cast to bf16 for the forward/backward pass (bf16's fp32
+    exponent range needs no loss scaling, unlike the reference's CUDA
+    AMP GradScaler, src/model.py:169,256-261); gradients arrive fp32 at
+    the cast boundary and the optimizer update stays fp32.
     """
 
     def step(state: TrainState, wave, label, rng, lr):
         def loss_fn(params):
+            apply_params = params
+            apply_wave = wave
+            if compute_dtype is not None:
+                apply_params = jax.tree_util.tree_map(
+                    lambda p: p.astype(compute_dtype)
+                    if jnp.issubdtype(p.dtype, jnp.floating) else p, params)
+                apply_wave = wave.astype(compute_dtype)
             (loss, prec1), mutated = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                wave, label, train=True,
+                {"params": apply_params, "batch_stats": state.batch_stats},
+                apply_wave, label, train=True,
                 mutable=["batch_stats"],
                 rngs={"specaug": rng,
                       "dropout": jax.random.fold_in(rng, 1)})
+            loss = loss.astype(jnp.float32)
             return loss, (prec1, mutated.get("batch_stats", state.batch_stats))
 
         (loss, (prec1, new_stats)), grads = jax.value_and_grad(
@@ -72,7 +87,8 @@ def make_train_step(model, tx: optax.GradientTransformation,
     return step
 
 
-def make_eval_embed_fn(model, normalize: bool = True) -> Callable:
+def make_eval_embed_fn(model, normalize: bool = True,
+                       compute_dtype: Optional[jnp.dtype] = None) -> Callable:
     """Build a jitted ``embed(state, wave [B, T]) -> [B, D]`` extractor.
 
     Replaces the reference's file-by-file batch-size-1 embedding loop
@@ -82,7 +98,13 @@ def make_eval_embed_fn(model, normalize: bool = True) -> Callable:
 
     @jax.jit
     def embed(params, batch_stats, wave):
+        if compute_dtype is not None:
+            params = jax.tree_util.tree_map(
+                lambda p: p.astype(compute_dtype)
+                if jnp.issubdtype(p.dtype, jnp.floating) else p, params)
+            wave = wave.astype(compute_dtype)
         emb = model.apply({"params": params, "batch_stats": batch_stats}, wave)
+        emb = emb.astype(jnp.float32)
         if normalize:
             emb = emb / jnp.clip(
                 jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-12)

@@ -82,8 +82,19 @@ class Trainer:
             self.hparams, steps_per_epoch)
         self.steps_per_epoch = steps_per_epoch
 
-        self.step_fn = jax.jit(make_train_step(self.model, self.tx),
-                               donate_argnums=(0,))
+        # bf16 mixed precision (replaces the reference's --mixedprec AMP,
+        # src/main.py:66 + GradScaler; no loss scaling needed on TPU)
+        compute_dtype = None
+        if hparams.get("mixedprec") or str(
+                hparams.get("precision", "")).lower() in ("bf16", "bfloat16"):
+            import jax.numpy as _jnp
+            compute_dtype = _jnp.bfloat16
+        self.step_fn = jax.jit(
+            make_train_step(self.model, self.tx,
+                            compute_dtype=compute_dtype),
+            donate_argnums=(0,))
+        self._profile_dir = hparams.get("profile_dir") if hparams.get(
+            "profile") else None
         self.embed_fn = None    # built lazily for validation
 
         self.ckpt = CheckpointManager(
@@ -144,6 +155,10 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def train_epoch(self, epoch: int) -> tuple[float, float]:
+        # optional jax.profiler trace of this epoch (the reference has no
+        # tracing beyond tqdm, SURVEY.md §5 — this is the TPU-native add)
+        if self._profile_dir and epoch == self.init_epoch and self.rank == 0:
+            jax.profiler.start_trace(str(self._profile_dir))
         self.loader.set_epoch(epoch)
         losses, accs = [], []
         t0 = time.time()
@@ -163,6 +178,9 @@ class Trainer:
         loss = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
         acc = float(jnp.mean(jnp.stack(accs))) if accs else float("nan")
         dt = time.time() - t0
+        if self._profile_dir and epoch == self.init_epoch and self.rank == 0:
+            jax.profiler.stop_trace()
+            print(f"[INFO] profiler trace written to {self._profile_dir}")
         if self.rank == 0:
             print(f"[E{epoch:03d}] loss {loss:.4f} acc {acc:5.2f}% "
                   f"lr {self._lr(epoch, 0, (epoch - 1) * self.steps_per_epoch):.2e} "

@@ -1,0 +1,90 @@
+"""Reports: classification report, fbeta, evaluate_result, FA/FR dumps,
+bf16 train step."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from speakerverification_tpu.evaluation.reports import (
+    classification_report,
+    dump_fa_fr_pairs,
+    evaluate_result,
+    fbeta_score,
+)
+
+
+def test_fbeta_matches_sklearn():
+    import sklearn.metrics as skm
+    rng = np.random.default_rng(0)
+    y_true = rng.integers(0, 2, 200)
+    y_pred = rng.integers(0, 2, 200)
+    for b in (0.5, 1.0, 2.0):
+        assert fbeta_score(y_true, y_pred, b) == pytest.approx(
+            skm.fbeta_score(y_true, y_pred, beta=b, pos_label=1))
+
+
+def test_classification_report_accuracy_line():
+    rep = classification_report([0, 0, 1, 1], [0, 1, 1, 1],
+                                ["Label '0'", "Label '1'"])
+    assert "Label '0'" in rep and "accuracy" in rep
+    assert "0.75000" in rep
+
+
+def test_evaluate_result(tmp_path):
+    truth = tmp_path / "truth.txt"
+    truth.write_text("1 a.wav b.wav\n0 a.wav c.wav\n1 b.wav d.wav\n")
+    results = tmp_path / "results.txt"
+    # our test_from_list format: pred score file1 file2
+    results.write_text("1 0.9 a.wav b.wav\n1 0.8 a.wav c.wav\n"
+                       "1 0.7 b.wav d.wav\n")
+    rep = evaluate_result(results, truth)
+    assert rep["n_pairs"] == 3
+    assert rep["accuracy"] == pytest.approx(2 / 3)
+    assert rep["tpr"] == pytest.approx(1.0)
+    assert rep["fpr"] == pytest.approx(1.0)
+    assert 0.5 in rep["fbeta"]
+
+
+def test_dump_fa_fr(tmp_path):
+    scores = [0.9, 0.2, 0.8, 0.1]
+    labels = [1, 1, 0, 0]
+    trials = ["a b", "a c", "a d", "b c"]
+    out = dump_fa_fr_pairs(scores, labels, trials, threshold=0.5,
+                           out_dir=tmp_path)
+    assert out["n_false_accept"] == 1    # 0.8 neg above thr
+    assert out["n_false_reject"] == 1    # 0.2 pos below thr
+    fa = (tmp_path / "false_accept_pairs.txt").read_text()
+    assert "a d" in fa
+
+
+def test_bf16_train_step():
+    from speakerverification_tpu.encoder import SpeakerEncoder
+    from speakerverification_tpu.losses import build_loss
+    from speakerverification_tpu.models import build_model
+    from speakerverification_tpu.optim import build_optimizer
+    from speakerverification_tpu.training import (
+        create_train_state,
+        make_train_step,
+    )
+    model = SpeakerEncoder(
+        backbone=build_model("ECAPA_TDNN", nOut=16,
+                             channels=(32, 32, 32, 32, 96),
+                             attention_channels=8, res2net_scale=4,
+                             se_channels=8),
+        loss=build_loss("AAmSoftmax", nOut=16, nClasses=4))
+    tx = build_optimizer("adam", learning_rate=1e-3)
+    rng = np.random.default_rng(0)
+    wave = jnp.asarray(rng.normal(0, 0.1, (4, 2, 8000)).astype(np.float32))
+    label = jnp.asarray([0, 1, 2, 3])
+    state = create_train_state(model, tx, jax.random.PRNGKey(0), wave, label)
+    step = jax.jit(make_train_step(model, tx, compute_dtype=jnp.bfloat16))
+    for i in range(4):
+        state, m = step(state, wave, label, jax.random.PRNGKey(i),
+                        jnp.float32(1e-3))
+        assert np.isfinite(float(m["loss"]))
+    # master params remain fp32
+    assert all(l.dtype == jnp.float32
+               for l in jax.tree_util.tree_leaves(state.params)
+               if jnp.issubdtype(l.dtype, jnp.floating))
