@@ -1,0 +1,49 @@
+"""Model summary: per-module parameter counts and feature-shape math.
+
+Parity target: the reference's model-plot tool (src/model.py:797-833 —
+torchsummary dump incl. trainable params and the mel frame count derived
+from audio_spec).
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+import jax
+import numpy as np
+
+__all__ = ["count_params", "summarize_params", "mel_frames_for_spec"]
+
+
+def count_params(params) -> int:
+    return sum(int(np.prod(l.shape))
+               for l in jax.tree_util.tree_leaves(params))
+
+
+def summarize_params(params, max_depth: int = 2) -> str:
+    """Tabulated per-module parameter counts (grouped to ``max_depth``)."""
+    groups: dict[str, int] = {}
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    for path, leaf in flat:
+        keys = [getattr(p, "key", str(p)) for p in path]
+        group = "/".join(keys[:max_depth])
+        groups[group] = groups.get(group, 0) + int(np.prod(leaf.shape))
+    width = max((len(g) for g in groups), default=10) + 2
+    lines = [f"{'module':<{width}}{'params':>12}"]
+    for g in sorted(groups):
+        lines.append(f"{g:<{width}}{groups[g]:>12,}")
+    total = count_params(params)
+    lines.append("-" * (width + 12))
+    lines.append(f"{'total':<{width}}{total:>12,}")
+    return "\n".join(lines)
+
+
+def mel_frames_for_spec(audio_spec: Mapping, center: bool = True) -> int:
+    """Number of mel frames for a crop (parity: src/model.py:820-833)."""
+    sr = int(audio_spec["sample_rate"])
+    samples = int(audio_spec["sentence_len"] * sr)
+    hop = int(round(audio_spec.get("hop_len", 0.01) * sr))
+    if center:
+        return 1 + samples // hop
+    win = int(round(audio_spec.get("win_len", 0.025) * sr))
+    return 1 + (samples - win) // hop

@@ -21,5 +21,10 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compilation cache: model-compile-heavy tests dominate the
+# suite's runtime; repeat runs hit the cache instead of recompiling
+jax.config.update("jax_compilation_cache_dir", "/tmp/svtpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 assert jax.devices()[0].platform == "cpu"
 assert len(jax.devices()) == 8
