@@ -45,23 +45,35 @@ def length_to_mask(lengths: jax.Array, max_len: int) -> jax.Array:
 
 
 class Conv1d(nn.Module):
-    """1-D conv over NLC input with SAME padding and dilation."""
+    """1-D conv over NLC input, 'same' length with REFLECT padding.
+
+    The reference's SpeechBrain convs reflect-pad by default
+    (src/models/layers/cnn.py:62,157 ``padding_mode="reflect"``) — a
+    real numeric difference from zero-padded SAME at the crop edges
+    (verified by the torch-parity test).
+    """
     features: int
     kernel_size: int = 1
     dilation: int = 1
     stride: int = 1
     groups: int = 1
     use_bias: bool = True
+    padding_mode: str = "reflect"      # 'reflect' | 'zeros'
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        total = self.dilation * (self.kernel_size - 1)
+        reflect = self.padding_mode == "reflect" and total > 0
+        if reflect:
+            lo = total // 2
+            x = jnp.pad(x, ((0, 0), (lo, total - lo), (0, 0)), mode="reflect")
         return nn.Conv(
             features=self.features,
             kernel_size=(self.kernel_size,),
             strides=(self.stride,),
             kernel_dilation=(self.dilation,),
             feature_group_count=self.groups,
-            padding="SAME",
+            padding="VALID" if reflect or total == 0 else "SAME",
             use_bias=self.use_bias,
         )(x)
 
@@ -107,12 +119,15 @@ class Res2NetBlock(nn.Module):
 
     Channels are split into ``scale`` groups; group 0 passes through, each
     subsequent group is TDNN-processed with the previous output added in.
+    NOTE: the inner TDNNBlocks use ReLU regardless of the outer model's
+    activation — the reference never forwards ``activation`` into
+    Res2NetBlock (ECAPA_TDNN.py:103-113 vs :55 default).
     """
     features: int
     scale: int = 8
     kernel_size: int = 3
     dilation: int = 1
-    activation: Callable = gelu_exact
+    activation: Callable = jax.nn.relu
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -183,7 +198,9 @@ class AttentiveStatisticsPooling(nn.Module):
         else:
             attn_in = x
 
-        attn = TDNNBlock(self.attention_channels, 1)(attn_in, train=train)
+        # ASP's TDNN uses the default ReLU (ECAPA_TDNN.py:245: no activation arg)
+        attn = TDNNBlock(self.attention_channels, 1,
+                         activation=jax.nn.relu)(attn_in, train=train)
         attn = Conv1d(C, 1)(jnp.tanh(attn))
         attn = jnp.where(mask == 0, -jnp.inf, attn)
         attn = jax.nn.softmax(attn, axis=1)
@@ -211,8 +228,9 @@ class SERes2NetBlock(nn.Module):
         if x.shape[-1] != self.features:
             residual = Conv1d(self.features, 1)(x)
         x = TDNNBlock(self.features, 1, 1, activation=self.activation)(x, train=train)
+        # reference does NOT forward the activation into Res2NetBlock
         x = Res2NetBlock(self.features, self.res2net_scale, self.kernel_size,
-                         self.dilation, self.activation)(x, train=train)
+                         self.dilation)(x, train=train)
         x = TDNNBlock(self.features, 1, 1, activation=self.activation)(x, train=train)
         x = SEBlock(self.se_channels, self.features)(x, lengths)
         return x + residual
