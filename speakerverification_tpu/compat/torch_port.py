@@ -20,7 +20,34 @@ from typing import Mapping, Tuple
 
 import numpy as np
 
-__all__ = ["ecapa_from_torch_state_dict"]
+__all__ = ["ecapa_from_torch_state_dict", "load_reference_checkpoint"]
+
+
+def load_reference_checkpoint(path, n_blocks: int = 4,
+                              res2net_scale: int = 8) -> Tuple[dict, dict]:
+    """Load a reference ``.pt`` training checkpoint into our ECAPA trees.
+
+    Reference checkpoints store the whole ``SpeakerEncoder`` state dict
+    with ``module.`` (DDP) and ``__S__.`` (backbone) / ``__L__.`` (loss)
+    prefixes (src/model.py:24-33,104; loadParameters tolerates prefixes,
+    :718-746). The backbone entries are extracted and mapped; loss-head
+    entries are ignored (retrain or map separately).
+    """
+    import torch
+
+    sd = torch.load(path, map_location="cpu")
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+
+    backbone = {}
+    for k, v in sd.items():
+        k = k.removeprefix("module.")
+        if k.startswith("__S__."):
+            k = k.removeprefix("__S__.")
+        if k.startswith("__L__.") or k.startswith("compute_features"):
+            continue
+        backbone[k] = v
+    return ecapa_from_torch_state_dict(backbone, n_blocks, res2net_scale)
 
 
 def _set(tree: dict, path: str, value: np.ndarray) -> None:

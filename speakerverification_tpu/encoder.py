@@ -37,6 +37,11 @@ class SpeakerEncoder(nn.Module):
     # 'xla' | 'pallas' | 'auto' — 'pallas' fuses the mel GEMM pipeline in
     # VMEM (ops/pallas_frontend.py, TPU only); 'auto' picks pallas on TPU.
     frontend_backend: str = "auto"
+    # Mesh axis to all_gather embeddings over before the loss head. Under
+    # shard_map DP, metric-learning losses (AngularProto/GE2E/proto) then
+    # see the FULL global batch — an improvement over the reference, whose
+    # DDP computes these per-rank only (SURVEY.md §7.7).
+    gather_axis: Optional[str] = None
 
     def _frontend_fn(self):
         backend = self.frontend_backend
@@ -77,4 +82,8 @@ class SpeakerEncoder(nn.Module):
 
         assert self.loss is not None, "SpeakerEncoder built without a loss head"
         emb = emb.reshape(-1, n_per, emb.shape[-1])
-        return self.loss(emb, jnp.asarray(label))
+        label = jnp.asarray(label)
+        if self.gather_axis is not None:
+            emb = jax.lax.all_gather(emb, self.gather_axis, tiled=True)
+            label = jax.lax.all_gather(label, self.gather_axis, tiled=True)
+        return self.loss(emb, label)

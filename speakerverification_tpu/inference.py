@@ -84,10 +84,11 @@ class InferenceEngine:
         normalize = bool(getattr(self.model.loss, "test_normalize", True))
         self._embed = make_eval_embed_fn(self.model, normalize=normalize)
 
-    def embed_fn(self, waves: np.ndarray) -> np.ndarray:
-        return np.asarray(self._embed(self.state.params,
-                                      self.state.batch_stats,
-                                      jnp.asarray(waves)))
+    def embed_fn(self, waves: np.ndarray):
+        # returns a DEVICE array: scoring consumes it without a host
+        # round-trip (see extract_embeddings)
+        return self._embed(self.state.params, self.state.batch_stats,
+                           jnp.asarray(waves))
 
     # ------------------------------------------------------------------
     def evaluate(self, listfile: Optional[str] = None) -> dict:

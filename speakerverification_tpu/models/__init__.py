@@ -16,6 +16,7 @@ import speakerverification_tpu.models.rawnet2  # noqa: F401
 import speakerverification_tpu.models.rawnet2_custom  # noqa: F401
 import speakerverification_tpu.models.rawnet3  # noqa: F401
 import speakerverification_tpu.models.resnetse  # noqa: F401
+import speakerverification_tpu.models.senet  # noqa: F401
 import speakerverification_tpu.models.titanet  # noqa: F401
 from speakerverification_tpu.models.ecapa_tdnn import ECAPA_TDNN  # noqa: F401
 from speakerverification_tpu.registry import MODELS

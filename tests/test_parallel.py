@@ -147,3 +147,37 @@ def test_dp_multiple_steps_stay_finite(model_and_tx):
                               jax.random.PRNGKey(i), jnp.float32(1e-3))
         assert np.isfinite(float(metrics["loss"]))
     assert int(state.step) == 3
+
+
+def test_dp_metric_loss_gathers_global_batch():
+    """gather_axis: metric losses see the FULL batch under shard_map DP —
+    the DP loss must equal the single-device full-batch loss exactly for
+    a BN-free encoder (improvement over per-rank DDP metric losses)."""
+    model_dp = SpeakerEncoder(backbone=_BNFreeBackbone(16),
+                              loss=build_loss("AngularProto"),
+                              gather_axis="data")
+    model_single = SpeakerEncoder(backbone=_BNFreeBackbone(16),
+                                  loss=build_loss("AngularProto"))
+    tx = build_optimizer("adam", learning_rate=1e-3)
+    mesh = make_mesh()
+    rng = np.random.default_rng(5)
+    wave = rng.normal(0, 0.1, (8, 2, 8000)).astype(np.float32)
+    label = np.arange(8, dtype=np.int32)
+
+    state = create_train_state(model_single, tx, jax.random.PRNGKey(0),
+                               jnp.asarray(wave), jnp.asarray(label))
+    single = jax.jit(make_train_step(model_single, tx))
+    s1, m1 = single(state, jnp.asarray(wave), jnp.asarray(label),
+                    jax.random.PRNGKey(9), jnp.float32(1e-3))
+
+    dp = make_dp_train_step(model_dp, tx, mesh, donate=False)
+    sd = replicate_state(state, mesh)
+    batch = shard_batch({"wave": wave, "label": label}, mesh)
+    s2, m2 = dp(sd, batch["wave"], batch["label"],
+                jax.random.PRNGKey(9), jnp.float32(1e-3))
+
+    assert float(m2["loss"]) == pytest.approx(float(m1["loss"]), rel=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-5)
