@@ -35,7 +35,7 @@ from speakerverification_tpu.evaluation.metrics import (
     compute_min_dcf,
     tune_threshold_from_score,
 )
-from speakerverification_tpu.training.checkpoint import load_checkpoint
+from speakerverification_tpu.training.checkpoint import load_params_only
 from speakerverification_tpu.training.state import create_train_state
 from speakerverification_tpu.training.train_step import make_eval_embed_fn
 from speakerverification_tpu.training.trainer import run_dirs
@@ -67,16 +67,17 @@ class InferenceEngine:
         spec = hparams.get("audio_spec", {})
         T = int(spec.get("sentence_len", 2.0) * spec.get("sample_rate", 8000))
         import jax
-        dummy = jnp.zeros((1, 1, T), jnp.float32)
+        # nPerSpeaker=2 dummy: pair-based loss heads assert grouped input
+        dummy = jnp.zeros((2, 2, T), jnp.float32)
         tx = build_optimizer("adam", learning_rate=1e-3)
         self.state = create_train_state(self.model, tx, jax.random.PRNGKey(0),
-                                        dummy, jnp.zeros((1,), jnp.int32))
+                                        dummy, jnp.zeros((2,), jnp.int32))
 
         path = Path(weights) if weights else _select_weights(
             hparams, self.dirs["model"])
         self.weights_path = path
         if path is not None and path.exists():
-            self.state = load_checkpoint(path, self.state)
+            self.state = load_params_only(path, self.state)
             print(f"[INFO] loaded weights: {path}")
         else:
             print("[WARN] no weights found — using random initialization")

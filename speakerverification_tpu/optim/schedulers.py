@@ -43,11 +43,13 @@ def steplr(lr: float, step_size: int = 10, lr_decay: float = 0.95,
 def cosine_annealing(lr: float, T_max: int = 10000, eta_min: float = 1e-6,
                      **kw) -> Tuple[Schedule, str]:
     """Closed-form CosineAnnealingLR, stepped per iteration
-    (parity: src/callbacks/torch_callbacks.py:21-24)."""
+    (parity: src/callbacks/torch_callbacks.py:21-24). torch's closed form
+    is PERIODIC — past T_max the lr oscillates back up (the reference sets
+    T_max to one epoch of iterations, src/trainer.py:70-71, so the lr
+    cycles per epoch); clamping at eta_min would freeze training."""
     def sched(it: int) -> float:
-        t = min(it, T_max) if T_max > 0 else it
         return eta_min + (lr - eta_min) * 0.5 * (
-            1 + math.cos(math.pi * t / max(T_max, 1)))
+            1 + math.cos(math.pi * it / max(T_max, 1)))
     return sched, "iteration"
 
 

@@ -40,6 +40,22 @@ def load_checkpoint(path: str | Path, target) -> Any:
     return fser.from_bytes(target, Path(path).read_bytes())
 
 
+def load_params_only(path: str | Path, state) -> Any:
+    """Restore only params/batch_stats from a checkpoint into ``state``.
+
+    Inference/export don't know (or care) which optimizer produced a
+    checkpoint; the reference's loadParameters similarly restores just
+    the model weights (src/model.py:718-746).
+    """
+    raw = fser.msgpack_restore(Path(path).read_bytes())
+    new = state.replace(
+        params=fser.from_state_dict(state.params, raw["params"]))
+    if "batch_stats" in raw and raw["batch_stats"]:
+        new = new.replace(batch_stats=fser.from_state_dict(
+            state.batch_stats, raw["batch_stats"]))
+    return new
+
+
 def load_meta(path: str | Path) -> dict:
     side = Path(str(path) + ".json")
     return json.loads(side.read_text()) if side.exists() else {}
