@@ -52,6 +52,14 @@ class TrainDataLoader:
         self.sampler = SpeakerBatchSampler(
             manifest.labels, batch_size, nPerSpeaker, max_seg_per_spk,
             seed=seed, num_replicas=num_replicas, rank=rank)
+        if len(self.sampler) == 0:
+            raise ValueError(
+                f"sampler yields zero batches: batch_size={batch_size} "
+                f"(x{num_replicas} replicas) needs that many DISTINCT "
+                f"speakers per batch, but the manifest has "
+                f"{manifest.num_classes} speakers / {len(manifest)} "
+                f"utterances (nPerSpeaker={nPerSpeaker}). Reduce batch_size "
+                f"or nPerSpeaker.")
 
         self.augment = augment
         self.augment_options = augment_options or {}

@@ -145,8 +145,11 @@ class ReduceOnPlateau:
 class EarlyStopping:
     """Stop when the monitored loss stops improving.
 
-    Parity: src/callbacks/earlyStopping.py:4-33 — counter resets on any
-    improvement > min_delta; ``early_stop`` latches True at patience.
+    Parity target: src/callbacks/earlyStopping.py:4-33. Documented
+    divergence: the reference never resets the bad-epoch counter when the
+    loss improves (only the trainer resets it externally on a new best,
+    src/trainer.py:158-160); here the counter resets on improvement —
+    the standard early-stopping semantics and the trainer's net effect.
     """
 
     def __init__(self, patience: int = 15, min_delta: float = 0.0):
