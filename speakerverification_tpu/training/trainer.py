@@ -140,7 +140,17 @@ class Trainer:
         elif self.ckpt.latest() is not None:
             resume = self.ckpt.latest()
         if resume is not None:
-            self.state = load_checkpoint(resume, self.state)
+            try:
+                self.state = load_checkpoint(resume, self.state)
+            except ValueError:
+                # checkpoint written under a different optimizer: restore
+                # weights only, start the optimizer fresh
+                from speakerverification_tpu.training.checkpoint import (
+                    load_params_only,
+                )
+                self.state = load_params_only(resume, self.state)
+                print("[WARN] optimizer state in checkpoint incompatible — "
+                      "restored weights only")
             meta = self.ckpt.resume_meta()
             self.init_epoch = int(meta.get("epoch", 0)) + 1
             self.min_loss = float(meta.get("loss", float("inf")))
