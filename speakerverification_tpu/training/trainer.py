@@ -89,10 +89,26 @@ class Trainer:
                 hparams.get("precision", "")).lower() in ("bf16", "bfloat16"):
             import jax.numpy as _jnp
             compute_dtype = _jnp.bfloat16
-        self.step_fn = jax.jit(
-            make_train_step(self.model, self.tx,
-                            compute_dtype=compute_dtype),
-            donate_argnums=(0,))
+        # --distributed: shard_map data parallelism over all local devices
+        # (parity: the reference's --distributed DDP flag, src/main.py:68;
+        # here one process drives the whole mesh — no mp.spawn/rendezvous)
+        self.mesh = None
+        if hparams.get("distributed") and len(jax.devices()) > 1:
+            from speakerverification_tpu.parallel import make_dp_train_step, make_mesh
+            self.mesh = make_mesh(("data",))
+            n_dev = self.mesh.devices.size
+            if int(hparams.get("batch_size", 0)) % n_dev != 0:
+                raise ValueError(
+                    f"batch_size {hparams.get('batch_size')} must divide by "
+                    f"{n_dev} devices for --distributed")
+            self.step_fn = make_dp_train_step(self.model, self.tx,
+                                              self.mesh, donate=True)
+            print(f"[INFO] data-parallel over {n_dev} devices")
+        else:
+            self.step_fn = jax.jit(
+                make_train_step(self.model, self.tx,
+                                compute_dtype=compute_dtype),
+                donate_argnums=(0,))
         self._profile_dir = hparams.get("profile_dir") if hparams.get(
             "profile") else None
         self.embed_fn = None    # built lazily for validation
@@ -178,9 +194,15 @@ class Trainer:
         for it, batch in enumerate(self.loader):
             lr = self._lr(epoch, it, (epoch - 1) * self.steps_per_epoch + it)
             rng = jax.random.fold_in(base_rng, it)
+            if self.mesh is not None:
+                from speakerverification_tpu.parallel import shard_batch
+                batch = shard_batch(batch, self.mesh)
+                wave, label = batch["wave"], batch["label"]
+            else:
+                wave = jnp.asarray(batch["wave"])
+                label = jnp.asarray(batch["label"])
             self.state, metrics = self.step_fn(
-                self.state, jnp.asarray(batch["wave"]),
-                jnp.asarray(batch["label"]), rng, jnp.float32(lr))
+                self.state, wave, label, rng, jnp.float32(lr))
             losses.append(metrics["loss"])
             accs.append(metrics["prec1"])
             n_utts += batch["wave"].shape[0] * batch["wave"].shape[1]
@@ -218,6 +240,9 @@ class Trainer:
 
         first_batch = next(iter(self.loader))
         self._init_state(first_batch)
+        if self.mesh is not None:
+            from speakerverification_tpu.parallel import replicate_state
+            self.state = replicate_state(self.state, self.mesh)
 
         for epoch in range(self.init_epoch, n_epochs + 1):
             loss, acc = self.train_epoch(epoch)

@@ -181,3 +181,87 @@ def test_dp_metric_loss_gathers_global_batch():
                     jax.tree_util.tree_leaves(s2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=2e-5)
+
+
+def test_trainer_distributed_flag(tmp_path):
+    """Trainer with distributed: true runs shard_map DP over the virtual
+    mesh through the standard CLI config path."""
+    from speakerverification_tpu.data import write_wav
+    from speakerverification_tpu.training.trainer import Trainer
+
+    rng = np.random.default_rng(0)
+    for s in range(16):
+        for u in range(4):
+            write_wav(tmp_path / "d" / f"spk{s:02d}" / f"u{u}.wav",
+                      rng.normal(0, 0.1, 9000).astype(np.float32), 8000)
+    from speakerverification_tpu.data.manifest import generate_metadata
+    generate_metadata(tmp_path / "d", tmp_path / "m", num_val_utts=0)
+
+    hparams = {
+        "distributed": True,
+        "seed": 0,
+        "save_folder": str(tmp_path / "save"),
+        "train_annotation": str(tmp_path / "m" / "train.csv"),
+        "number_of_epochs": 1,
+        "batch_size": 8,
+        "lr": 1e-3,
+        "nClasses": 16,
+        "dataloader_options": {"batch_size": 8, "num_workers": 2,
+                               "max_seg_per_spk": 10, "nPerSpeaker": 2},
+        "audio_spec": {"sample_rate": 8000, "sentence_len": 1.0,
+                       "win_len": 0.025, "hop_len": 0.01},
+        "n_mels": 40,
+        "features": "melspectrogram",
+        "model": {"name": "ECAPA_TDNN", "nOut": 16,
+                  "channels": [32, 32, 32, 32, 96],
+                  "kernel_sizes": [5, 3, 3, 3, 1],
+                  "dilations": [1, 2, 3, 4, 1],
+                  "attention_channels": 8, "res2net_scale": 4,
+                  "se_channels": 8},
+        "criterion": {"name": "AAmSoftmax", "margin": 0.2, "scale": 30},
+        "optimizer": {"name": "adam", "weight_decay": 0.0},
+        "callbacks": {"name": "steplr", "step_size": 10},
+        "augment": False,
+        "augment_options": {"augment_chain": []},
+        "test_interval": -1,
+        "save_model_last": True,
+    }
+    trainer = Trainer(hparams)
+    assert trainer.mesh is not None and trainer.mesh.devices.size == 8
+    result = trainer.fit()
+    assert np.isfinite(result["min_loss"])
+
+
+def test_trainer_distributed_bad_batch_size(tmp_path):
+    from speakerverification_tpu.data import write_wav
+    from speakerverification_tpu.data.manifest import generate_metadata
+    from speakerverification_tpu.training.trainer import Trainer
+    rng = np.random.default_rng(1)
+    for s in range(8):
+        write_wav(tmp_path / "d" / f"s{s}" / "u0.wav",
+                  rng.normal(0, 0.1, 9000).astype(np.float32), 8000)
+        write_wav(tmp_path / "d" / f"s{s}" / "u1.wav",
+                  rng.normal(0, 0.1, 9000).astype(np.float32), 8000)
+    generate_metadata(tmp_path / "d", tmp_path / "m", num_val_utts=0)
+    hparams = {
+        "distributed": True, "seed": 0,
+        "save_folder": str(tmp_path / "save"),
+        "train_annotation": str(tmp_path / "m" / "train.csv"),
+        "batch_size": 6, "lr": 1e-3, "nClasses": 8,
+        "dataloader_options": {"batch_size": 6, "num_workers": 1,
+                               "nPerSpeaker": 2, "max_seg_per_spk": 10},
+        "audio_spec": {"sample_rate": 8000, "sentence_len": 1.0,
+                       "win_len": 0.025, "hop_len": 0.01},
+        "n_mels": 40, "features": "melspectrogram",
+        "model": {"name": "ECAPA_TDNN", "nOut": 16,
+                  "channels": [32, 32, 32, 32, 96],
+                  "kernel_sizes": [5, 3, 3, 3, 1],
+                  "dilations": [1, 2, 3, 4, 1], "attention_channels": 8,
+                  "res2net_scale": 4, "se_channels": 8},
+        "criterion": {"name": "AAmSoftmax"},
+        "optimizer": {"name": "adam"},
+        "callbacks": {"name": "steplr"},
+        "augment": False, "augment_options": {"augment_chain": []},
+    }
+    with pytest.raises(ValueError, match="must divide"):
+        Trainer(hparams)
