@@ -8,7 +8,7 @@ TPU-native components — the role the reference's dynamic imports play in
 
 from __future__ import annotations
 
-from typing import Mapping, Optional
+from typing import Mapping
 
 import optax
 

@@ -23,7 +23,6 @@ import jax.numpy as jnp
 import numpy as np
 import flax.serialization as fser
 
-from speakerverification_tpu.builder import encoder_from_hparams
 from speakerverification_tpu.inference import InferenceEngine
 
 __all__ = ["export_model", "load_exported"]

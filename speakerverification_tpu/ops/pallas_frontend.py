@@ -25,7 +25,6 @@ match ops/frontend.py (see tests).
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp

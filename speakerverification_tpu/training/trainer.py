@@ -24,7 +24,6 @@ from typing import Mapping, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from speakerverification_tpu.builder import (
     encoder_from_hparams,

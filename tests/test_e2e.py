@@ -200,3 +200,21 @@ def test_cli_resume_training(workspace):
     assert rc == 0
     after = json.loads(log.read_text())
     assert after["epoch"] == 4
+
+
+def test_cli_infer_predict_identification(workspace):
+    """prepare(embed) + --predict nearest-speaker identification."""
+    root, cfg = workspace
+    from speakerverification_tpu.cli.main import load_hparams, build_parser
+    from speakerverification_tpu.inference import InferenceEngine
+
+    args = build_parser().parse_args(["--config", str(cfg)])
+    h = load_hparams(args)
+    engine = InferenceEngine(h)
+    embeds, classes = engine.prepare("embed")
+    assert embeds.shape[0] == N_SPK
+    files = [str(root / "data" / f"spk{s}" / "u5.wav") for s in range(N_SPK)]
+    names, scores = engine.predict(files)
+    correct = sum(1 for s, n in enumerate(names) if n == f"spk{s}")
+    assert correct >= N_SPK - 1          # trained model identifies speakers
+    assert all(np.isfinite(scores))
