@@ -71,10 +71,20 @@ def encoder_from_hparams(hparams: Mapping,
             aug_opts.get("augment_chain", []) or []):
         spec_aug = SpecAugmentConfig()
 
+    # Under --distributed, metric-learning losses can see the global batch
+    # via an in-step all_gather (improvement over the reference's per-rank
+    # DDP metric losses, SURVEY.md §7.7). On by default when distributed;
+    # disable with gather_metric_embeddings: false for strict DDP parity.
+    gather_axis = None
+    if hparams.get("distributed") and hparams.get(
+            "gather_metric_embeddings", True):
+        gather_axis = "data"
+
     return SpeakerEncoder(backbone=backbone, loss=loss,
                           feature_type=feature_type,
                           frontend=frontend_from_hparams(hparams),
-                          spec_augment=spec_aug)
+                          spec_augment=spec_aug,
+                          gather_axis=gather_axis)
 
 
 def optimizer_from_hparams(hparams: Mapping) -> optax.GradientTransformation:

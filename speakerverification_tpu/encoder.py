@@ -83,7 +83,9 @@ class SpeakerEncoder(nn.Module):
         assert self.loss is not None, "SpeakerEncoder built without a loss head"
         emb = emb.reshape(-1, n_per, emb.shape[-1])
         label = jnp.asarray(label)
-        if self.gather_axis is not None:
+        if self.gather_axis is not None and not self.is_initializing():
+            # only meaningful inside shard_map (init runs outside the mesh;
+            # parameter shapes don't depend on the gathered batch size)
             emb = jax.lax.all_gather(emb, self.gather_axis, tiled=True)
             label = jax.lax.all_gather(label, self.gather_axis, tiled=True)
         return self.loss(emb, label)
