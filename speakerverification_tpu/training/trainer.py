@@ -218,14 +218,51 @@ class Trainer:
                   f"({n_utts / max(dt, 1e-9):.1f} utt/s)")
         return loss, acc
 
+    def _validation_trials(self) -> Path:
+        """Build a balanced trial list from the dev manifest.
+
+        The reference feeds ``valid_annotation`` straight into
+        evaluateFromList (src/trainer.py:161-163), assuming it is already
+        trial-formatted; our generated dev.csv is a manifest, so pairs are
+        derived deterministically (each dev utterance appears in one
+        same-speaker and one different-speaker trial).
+        """
+        from speakerverification_tpu.data.manifest import Manifest
+        import numpy as np
+
+        trial_path = self.dirs["result"] / "validation_trials.txt"
+        m = Manifest.read(self.hparams["valid_annotation"])
+        by_spk: dict[int, list[str]] = {}
+        for path, lab in zip(m.paths, m.labels):
+            by_spk.setdefault(lab, []).append(path)
+        rng = np.random.default_rng(int(self.hparams.get("seed", 0)))
+        speakers = sorted(by_spk)
+        lines = []
+        for s in speakers:
+            files = by_spk[s]
+            for i, f in enumerate(files):
+                if len(files) > 1:
+                    lines.append(f"1 {f} {files[(i + 1) % len(files)]}")
+                other = speakers[(speakers.index(s) + 1
+                                  + int(rng.integers(max(len(speakers) - 1, 1)))
+                                  ) % len(speakers)]
+                if other != s and by_spk[other]:
+                    neg = by_spk[other][int(rng.integers(len(by_spk[other])))]
+                    lines.append(f"0 {f} {neg}")
+        trial_path.write_text("\n".join(lines) + "\n")
+        return trial_path
+
     def validate(self) -> float:
         if self.embed_fn is None:
             normalize = bool(getattr(self.model.loss, "test_normalize", True))
             self.embed_fn = make_eval_embed_fn(self.model, normalize=normalize)
+        # accept either a ready trial list or a CSV manifest
+        va = str(self.hparams["valid_annotation"])
+        listfile = self._validation_trials() if va.endswith(".csv") else va
         sc, lab, _ = evaluate_from_list(
             lambda w: self.embed_fn(self.state.params, self.state.batch_stats,
                                     jnp.asarray(w)),
-            self.hparams["valid_annotation"],
+            listfile,
             self.hparams["audio_spec"],
             num_eval=int(self.hparams.get("num_eval", 10)),
             scoring_mode="cosine")

@@ -218,3 +218,15 @@ def test_cli_infer_predict_identification(workspace):
     correct = sum(1 for s, n in enumerate(names) if n == f"spk{s}")
     assert correct >= N_SPK - 1          # trained model identifies speakers
     assert all(np.isfinite(scores))
+
+
+def test_cli_train_with_validation_interval(workspace):
+    """test_interval > 0: per-epoch validation EER from the dev manifest."""
+    root, cfg = workspace
+    rc = cli_main(["--do_train", "--config", str(cfg),
+                   "--number_of_epochs", "5", "--test_interval", "1"])
+    assert rc == 0
+    result_dir = root / "run" / "save" / "ECAPA_TDNN" / "AAmSoftmax" / "result"
+    assert (result_dir / "validation_trials.txt").exists()
+    scores = (result_dir / "scores.txt").read_text()
+    assert "VEER" in scores
