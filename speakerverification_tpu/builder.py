@@ -41,8 +41,17 @@ def frontend_from_hparams(hparams: Mapping) -> FrontendConfig:
 
 
 def encoder_from_hparams(hparams: Mapping,
-                         with_loss: bool = True) -> SpeakerEncoder:
-    """Build the full SpeakerEncoder from a reference-style config."""
+                         with_loss: bool = True,
+                         num_devices: int | None = None) -> SpeakerEncoder:
+    """Build the full SpeakerEncoder from a reference-style config.
+
+    ``num_devices`` — how many devices the train step will actually run
+    over (the Trainer passes this). The in-step ``all_gather`` of metric
+    embeddings is only emitted when a ``data`` mesh axis will really be
+    bound; with ``distributed: true`` on a single-device host the step
+    falls back to plain jit and an unconditional gather would crash with
+    an unbound axis name.
+    """
     model_cfg = dict(hparams.get("model", {}))
     name = model_cfg.pop("name", "ECAPA_TDNN")
     n_out = int(model_cfg.pop("nOut", 192))
@@ -75,8 +84,11 @@ def encoder_from_hparams(hparams: Mapping,
     # via an in-step all_gather (improvement over the reference's per-rank
     # DDP metric losses, SURVEY.md §7.7). On by default when distributed;
     # disable with gather_metric_embeddings: false for strict DDP parity.
+    if num_devices is None:
+        import jax
+        num_devices = len(jax.devices())
     gather_axis = None
-    if hparams.get("distributed") and hparams.get(
+    if hparams.get("distributed") and num_devices > 1 and hparams.get(
             "gather_metric_embeddings", True):
         gather_axis = "data"
 

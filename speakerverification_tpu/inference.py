@@ -84,6 +84,11 @@ class InferenceEngine:
 
         normalize = bool(getattr(self.model.loss, "test_normalize", True))
         self._embed = make_eval_embed_fn(self.model, normalize=normalize)
+        # the embed fn above already applied the head's test_normalize
+        # policy; scoring must not re-normalize or heads with
+        # test_normalize=False diverge from the reference
+        # (src/model.py:421-424) — so all score_trials calls below pass
+        # normalize=False.
 
     def embed_fn(self, waves: np.ndarray):
         # returns a DEVICE array: scoring consumes it without a host
@@ -103,7 +108,7 @@ class InferenceEngine:
         scores, labels, trials = evaluate_from_list(
             self.embed_fn, listfile, h["audio_spec"],
             num_eval=int(h.get("num_eval", 10)), scoring_mode=mode,
-            cohorts=cohorts,
+            cohorts=cohorts, normalize=False,
             batch_size=int(h.get("eval_batch_size", 32)),
             num_workers=int(h.get("dataloader_options", {}).get("num_workers", 8)))
         elapsed = time.time() - t0
@@ -159,7 +164,7 @@ class InferenceEngine:
         scores, preds, labels = test_from_list(
             self.embed_fn, listfile, h["audio_spec"], threshold,
             num_eval=int(h.get("num_eval", 10)), scoring_mode=mode,
-            cohorts=cohorts, output_file=str(out))
+            cohorts=cohorts, normalize=False, output_file=str(out))
         report = {"threshold": threshold, "n": len(scores),
                   "accept_rate": float(np.mean(preds)), "output": str(out)}
         if labels is not None and len(labels):

@@ -31,10 +31,14 @@ __all__ = ["make_dp_train_step", "replicate_state", "shard_batch"]
 
 
 def make_dp_train_step(model, tx, mesh: Mesh, axis: str = "data",
-                       donate: bool = True) -> Callable:
+                       donate: bool = True, compute_dtype=None) -> Callable:
     """Build ``step(state, wave, label, rng, lr) -> (state, metrics)``
-    where wave/label are globally-shaped arrays sharded on ``axis``."""
-    inner = make_train_step(model, tx, axis_name=axis)
+    where wave/label are globally-shaped arrays sharded on ``axis``.
+
+    ``compute_dtype`` forwards the bf16 mixed-precision policy to the
+    inner step (same semantics as the single-device path)."""
+    inner = make_train_step(model, tx, axis_name=axis,
+                            compute_dtype=compute_dtype)
 
     def per_replica(state, wave, label, rng, lr):
         rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))

@@ -109,9 +109,20 @@ class CheckpointManager:
         self.top_k = top_k
         self.save_per_epoch = save_per_epoch
         self.time_interval_min = time_interval_min
-        self._best_loss = float("inf")
         self._last_time_save = time.time()
         self._log_path = self.run_dir / "model_state_log.json"
+        # Seed best-loss tracking from a previous run's best_state sidecar
+        # so a resume doesn't let the first (possibly worse) epoch clobber
+        # best_state/top-k (ADVICE r1; reference keeps min_loss across the
+        # whole process but loses it across restarts too — we do better).
+        self._best_loss = float("inf")
+        best_side = Path(str(self._p("best_state")) + ".json")
+        if best_side.exists():
+            try:
+                self._best_loss = float(
+                    json.loads(best_side.read_text()).get("loss", float("inf")))
+            except (ValueError, json.JSONDecodeError):
+                pass
 
     def _p(self, name: str) -> Path:
         return self.run_dir / (name + self.SUFFIX)

@@ -74,7 +74,10 @@ class Trainer:
                   f"using the manifest count")
             self.hparams["nClasses"] = self.loader.manifest.num_classes
 
-        self.model = encoder_from_hparams(self.hparams)
+        # the step only binds a 'data' mesh axis when >1 device is present;
+        # the builder must agree or metric-loss all_gathers crash (ADVICE r1)
+        n_dev = len(jax.devices()) if hparams.get("distributed") else 1
+        self.model = encoder_from_hparams(self.hparams, num_devices=n_dev)
         self.tx = optimizer_from_hparams(self.hparams)
         steps_per_epoch = max(len(self.loader), 1)
         self.schedule, self.lr_unit = scheduler_from_hparams(
@@ -101,7 +104,8 @@ class Trainer:
                     f"batch_size {hparams.get('batch_size')} must divide by "
                     f"{n_dev} devices for --distributed")
             self.step_fn = make_dp_train_step(self.model, self.tx,
-                                              self.mesh, donate=True)
+                                              self.mesh, donate=True,
+                                              compute_dtype=compute_dtype)
             print(f"[INFO] data-parallel over {n_dev} devices")
         else:
             self.step_fn = jax.jit(

@@ -139,3 +139,18 @@ def test_checkpoint_manager_policy(tmp_path, setup):
     assert (tmp_path / "last_state.msgpack").exists()
     assert mgr.latest().name == "last_state.msgpack"
     assert mgr.resume_meta()["epoch"] == 2
+
+
+def test_checkpoint_manager_best_survives_restart(tmp_path, setup):
+    """A fresh manager on an existing run dir must not let a worse first
+    epoch clobber best_state (ADVICE r1: _best_loss reset on resume)."""
+    model, tx, state, wave, label = setup
+    mgr = CheckpointManager(tmp_path, top_k=3)
+    assert mgr.save_epoch(state, epoch=0, loss=0.3, lr=1e-3)["best"]
+
+    mgr2 = CheckpointManager(tmp_path, top_k=3)          # simulated restart
+    assert not mgr2.save_epoch(state, epoch=1, loss=0.9, lr=1e-3)["best"]
+    import json
+    meta = json.loads((tmp_path / "best_state.msgpack.json").read_text())
+    assert meta["loss"] == 0.3
+    assert mgr2.save_epoch(state, epoch=2, loss=0.1, lr=1e-3)["best"]
