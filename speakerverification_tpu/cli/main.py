@@ -34,6 +34,25 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--prepare", action="store_true")
     p.add_argument("--predict", nargs="*", default=None,
                    help="audio files for identification")
+    # device / parallelism flags (parity: src/main.py:59-74)
+    p.add_argument("--device", type=str, default=None,
+                   choices=["cpu", "tpu", "gpu", "cuda"],
+                   help="JAX platform to run on (reference: --device cuda)")
+    p.add_argument("--distributed", action="store_true", default=None,
+                   help="data-parallel over all local devices (shard_map; "
+                        "replaces the reference's DDP mp.spawn)")
+    p.add_argument("--data_parallel", action="store_true", default=None,
+                   help="alias of --distributed (the reference's beta "
+                        "nn.DataParallel path is subsumed by shard_map DP)")
+    p.add_argument("--mixedprec", action="store_true", default=None,
+                   help="bf16 compute (replaces CUDA AMP; no loss scaling)")
+    p.add_argument("--distributed_backend", type=str, default=None,
+                   choices=["nccl", "gloo", "mpi", "ici"],
+                   help="accepted for reference-CLI parity; XLA picks the "
+                        "collective transport (ICI/DCN) automatically")
+    p.add_argument("--port", type=str, default=None,
+                   help="coordinator port for multi-host runs "
+                        "(reference: DDP TCP rendezvous port)")
     # common overrides
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--augment", action="store_true", default=None)
@@ -52,14 +71,34 @@ def build_parser() -> argparse.ArgumentParser:
 # CLI mode flags that must not clobber same-named YAML config keys
 # (e.g. the YAML `prepare: cohorts|embed` selector vs the --prepare flag).
 _MODE_FLAGS = {"config", "do_train", "do_infer", "do_export",
-               "eval", "test", "prepare", "predict", "sys_info"}
+               "eval", "test", "prepare", "predict", "sys_info", "device"}
 
 
 def load_hparams(args: argparse.Namespace) -> dict:
     overrides = {k: v for k, v in vars(args).items()
                  if v is not None and k not in _MODE_FLAGS}
+    if overrides.pop("data_parallel", None):
+        overrides["distributed"] = True
+    if overrides.get("distributed_backend"):
+        print("[INFO] --distributed_backend accepted for parity; XLA "
+              "chooses the collective transport on TPU (ICI/DCN)")
     hparams = read_config(args.config, overrides=overrides)
     return hparams
+
+
+def apply_device_flag(device: str | None) -> None:
+    """--device: pin the JAX platform BEFORE first backend use
+    (reference: --device cuda/cpu selection, src/main.py:59-62)."""
+    if not device:
+        return
+    import os
+    platform = {"cuda": "gpu"}.get(device, device)
+    os.environ["JAX_PLATFORMS"] = platform
+    import jax
+    try:
+        jax.config.update("jax_platforms", platform)
+    except Exception:
+        pass                      # backend already initialized; env was set
 
 
 def ensure_metadata(hparams: dict) -> None:
@@ -83,6 +122,7 @@ def ensure_metadata(hparams: dict) -> None:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    apply_device_flag(args.device)
     hparams = load_hparams(args)
 
     if args.sys_info:

@@ -143,15 +143,23 @@ class EvalDataLoader:
     (src/dataloader.py:275-292): files are decoded by a thread pool and
     yielded in fixed-size batches of ``[B, num_eval, T]`` for one forward
     pass per batch instead of one per file.
+
+    Every yielded batch — including the last — has exactly ``batch_size``
+    rows (the ragged remainder is padded by repeating its last file), so
+    XLA compiles ONE program per (B, E, T) shape no matter the trial-list
+    length. ``paths`` carries only the real files; consumers drop the
+    padded rows with ``emb[:len(paths)]``.
     """
 
     def __init__(self, files, audio_spec: Mapping, num_eval: int = 10,
-                 batch_size: int = 32, num_workers: int = 8):
+                 batch_size: int = 32, num_workers: int = 8,
+                 pad_last: bool = True):
         self.files = list(files)
         self.spec = AudioSpec(audio_spec)
         self.num_eval = num_eval
         self.batch_size = batch_size
         self.num_workers = max(1, num_workers)
+        self.pad_last = pad_last
 
     def __len__(self) -> int:
         return (len(self.files) + self.batch_size - 1) // self.batch_size
@@ -165,6 +173,9 @@ class EvalDataLoader:
             for b in range(0, len(self.files), self.batch_size):
                 chunk = self.files[b:b + self.batch_size]
                 waves = list(pool.map(load, chunk))
+                if self.pad_last and len(waves) < self.batch_size:
+                    waves.extend([waves[-1]] *
+                                 (self.batch_size - len(waves)))
                 yield np.stack(waves), chunk                 # [B, E, T], paths
 
 

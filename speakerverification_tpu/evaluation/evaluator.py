@@ -81,14 +81,15 @@ def extract_embeddings(embed_fn: Callable, files: Sequence[str],
                             batch_size=batch_size, num_workers=num_workers)
     out = []
     on_device = None
-    for waves, _paths in loader:
+    for waves, paths in loader:
         B, E, T = waves.shape
         emb = embed_fn(waves.reshape(B * E, T))
         if on_device is None:
             on_device = not isinstance(emb, np.ndarray)
         if not on_device:
             emb = np.asarray(emb)
-        out.append(emb.reshape(B, E, -1))
+        # drop rows the loader padded to keep the batch shape static
+        out.append(emb.reshape(B, E, -1)[:len(paths)])
     xp = jnp if on_device else np
     return xp.concatenate(out, axis=0)
 

@@ -230,3 +230,31 @@ def test_cli_train_with_validation_interval(workspace):
     assert (result_dir / "validation_trials.txt").exists()
     scores = (result_dir / "scores.txt").read_text()
     assert "VEER" in scores
+
+
+def test_cli_parallelism_flags(workspace):
+    """--distributed/--mixedprec/--data_parallel/--distributed_backend/
+    --port land in hparams (reference flag surface, src/main.py:59-74)."""
+    root, cfg = workspace
+    from speakerverification_tpu.cli.main import build_parser, load_hparams
+
+    args = build_parser().parse_args(
+        ["--config", str(cfg), "--distributed", "--mixedprec",
+         "--distributed_backend", "ici", "--port", "8888"])
+    h = load_hparams(args)
+    assert h["distributed"] is True
+    assert h["mixedprec"] is True
+    assert h["port"] == "8888"
+
+    args = build_parser().parse_args(["--config", str(cfg), "--data_parallel"])
+    h = load_hparams(args)
+    assert h["distributed"] is True          # DP alias maps onto shard_map DP
+
+    args = build_parser().parse_args(["--config", str(cfg)])
+    h = load_hparams(args)
+    assert not h.get("distributed")
+    # --device is a mode flag (it pins the JAX platform); it must not
+    # clobber a same-named YAML key
+    yaml_device = h.get("device")
+    args = build_parser().parse_args(["--config", str(cfg), "--device", "cpu"])
+    assert load_hparams(args).get("device") == yaml_device
