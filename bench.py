@@ -1,18 +1,24 @@
-"""Benchmark: ECAPA-TDNN embedding-extraction throughput (utt/s/chip).
+"""Benchmark: ECAPA-TDNN embedding-extraction throughput + MFU.
 
 The reference extracts embeddings file-by-file at batch size 1 and scores
 trial pairs in a Python loop (src/model.py:369-448); BASELINE.md's
 operative target is ≥10× utterances/sec/chip vs an A100 running that
 path. We benchmark the batched jitted extraction on the full-size
 ECAPA-TDNN (C=1024, emb 192) over 2-second 16 kHz utterances, mel
-frontend traced into the same XLA program.
+frontend traced into the same XLA program — extraction runs bf16 with
+the frontend pinned fp32 (mirroring the reference's autocast exclusion,
+src/models/ECAPA_TDNN.py:469-478), params cast in-step.
+
+MFU: FLOPs come from XLA cost analysis of the compiled program;
+peak is TPU v5e bf16 (197 TFLOP/s). A training-step entry (forward +
+backward + AdaBelief update, batch 64 utts) is reported alongside.
 
 ``vs_baseline`` is measured against an assumed 100 utt/s for the
 reference's batch-1 A100 loop (no published numbers exist — see
 BASELINE.md; 100 utt/s is a generous estimate for per-file forward +
 host sync at batch 1).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 from __future__ import annotations
@@ -23,11 +29,32 @@ import time
 import numpy as np
 
 ASSUMED_REFERENCE_UTTS_PER_SEC = 100.0
-BATCH = 128
+PEAK_BF16_TFLOPS = 197.0          # TPU v5e (v5 lite) bf16 peak per chip
+BATCH = 256
 SECONDS = 2.0
 SR = 16000
 WARMUP = 3
 ITERS = 10
+
+
+def _flops_of(compiled) -> float:
+    cost = compiled.cost_analysis()
+    if isinstance(cost, (list, tuple)):          # older jax returns [dict]
+        cost = cost[0] if cost else {}
+    return float(cost.get("flops", 0.0)) if cost else 0.0
+
+
+def _time_best(fn, fence, windows: int = 3, iters: int = ITERS) -> float:
+    """Best-of-N windows; remote-link hiccups only slow a window down."""
+    best = float("inf")
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(iters):
+            out = fn()
+        fence(out)          # device executes calls in order
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 
 def main() -> None:
@@ -35,45 +62,84 @@ def main() -> None:
     import jax.numpy as jnp
 
     from __graft_entry__ import _flagship
+    from speakerverification_tpu.training.train_step import (
+        make_eval_embed_fn,
+        make_train_step,
+    )
 
-    model = _flagship()
+    on_tpu = jax.default_backend() != "cpu"
+    model = _flagship(frontend_backend="auto" if on_tpu else "xla")
+    # bf16 extraction: frontend fp32, backbone bf16 (encoder.compute_dtype)
+    model_bf16 = model.clone(compute_dtype=jnp.bfloat16)
     T = int(SECONDS * SR)
     rng = np.random.default_rng(0)
-    wave_h = rng.normal(0, 0.1, (BATCH, T)).astype(np.float32)
+    wave = jnp.asarray(rng.normal(0, 0.1, (BATCH, T)).astype(np.float32))
 
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((2, T)))
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
 
-    @jax.jit
-    def embed(params, batch_stats, wave):
-        emb = model.apply({"params": params, "batch_stats": batch_stats}, wave)
-        return emb / jnp.clip(jnp.linalg.norm(emb, axis=-1, keepdims=True),
-                              1e-12)
+    embed = make_eval_embed_fn(model_bf16, normalize=True,
+                               compute_dtype=jnp.bfloat16)
+    lowered = jax.jit(embed).lower(params, batch_stats, wave)
+    compiled = lowered.compile()
+    embed_flops = _flops_of(compiled)
 
-    wave = jnp.asarray(wave_h)
     for _ in range(WARMUP):
         # NOTE: under the axon tunnel block_until_ready can return before
         # the device finishes; a D2H fetch is the only reliable fence.
         np.asarray(embed(params, batch_stats, wave))
 
-    # best of 3 windows: remote-link hiccups only ever slow a window down
-    best_dt = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        out = wave
-        for _ in range(ITERS):
-            out = embed(params, batch_stats, wave)
-        np.asarray(out)      # fence: device executes calls in order
-        best_dt = min(best_dt, time.perf_counter() - t0)
+    dt = _time_best(lambda: embed(params, batch_stats, wave),
+                    lambda out: np.asarray(out))
+    utts_per_sec = BATCH * ITERS / dt
+    embed_tflops = embed_flops * ITERS / dt / 1e12
+    embed_mfu = 100.0 * embed_tflops / PEAK_BF16_TFLOPS
 
-    utts_per_sec = BATCH * ITERS / best_dt
+    # ---- training step: forward + backward + AdaBelief update, bf16 ----
+    from speakerverification_tpu.optim import build_optimizer
+    from speakerverification_tpu.training.state import create_train_state
+
+    tx = build_optimizer("AdaBelief", learning_rate=1e-3, weight_decay=2e-5)
+    tb = 32                                              # 32×2 = 64 utts/step
+    twave = jnp.asarray(rng.normal(0, 0.1, (tb, 2, T)).astype(np.float32))
+    tlabel = jnp.asarray(np.arange(tb) % 5994, jnp.int32)
+    state = create_train_state(model_bf16, tx, jax.random.PRNGKey(0),
+                               twave, tlabel)
+    step = jax.jit(make_train_step(model_bf16, tx,
+                                   compute_dtype=jnp.bfloat16))
+    step_rng = jax.random.PRNGKey(1)
+    lr = jnp.float32(1e-3)
+    train_flops = _flops_of(
+        step.lower(state, twave, tlabel, step_rng, lr).compile())
+
+    state, metrics = step(state, twave, tlabel, step_rng, lr)   # warmup
+    np.asarray(metrics["loss"])
+    state_box = [state]
+
+    def one_step():
+        s, m = step(state_box[0], twave, tlabel, step_rng, lr)
+        state_box[0] = s
+        return m["loss"]
+
+    tdt = _time_best(one_step, lambda out: np.asarray(out), iters=5)
+    train_utts = tb * 2 * 5 / tdt
+    train_tflops = train_flops * 5 / tdt / 1e12
+    train_mfu = 100.0 * train_tflops / PEAK_BF16_TFLOPS
+
     print(json.dumps({
         "metric": "ECAPA-TDNN embedding extraction throughput "
-                  "(2s utts, batch 128, mel frontend fused)",
+                  f"(2s utts, batch {BATCH}, bf16, mel frontend fused)",
         "value": round(utts_per_sec, 2),
         "unit": "utterances/sec/chip",
         "vs_baseline": round(utts_per_sec / ASSUMED_REFERENCE_UTTS_PER_SEC, 2),
+        "embed_gflops_per_utt": round(embed_flops / BATCH / 1e9, 2),
+        "embed_tflops_per_sec": round(embed_tflops, 2),
+        "embed_mfu_pct": round(embed_mfu, 1),
+        "train_step_utts_per_sec": round(train_utts, 2),
+        "train_tflops_per_sec": round(train_tflops, 2),
+        "train_mfu_pct": round(train_mfu, 1),
+        "peak_tflops_assumed": PEAK_BF16_TFLOPS,
     }))
 
 

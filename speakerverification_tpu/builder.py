@@ -20,7 +20,20 @@ from speakerverification_tpu.ops.specaugment import SpecAugmentConfig
 from speakerverification_tpu.optim import build_optimizer, build_scheduler
 
 __all__ = ["frontend_from_hparams", "encoder_from_hparams",
-           "optimizer_from_hparams", "scheduler_from_hparams"]
+           "optimizer_from_hparams", "scheduler_from_hparams",
+           "compute_dtype_from_hparams"]
+
+
+def compute_dtype_from_hparams(hparams: Mapping):
+    """bf16 compute dtype when ``mixedprec`` / ``precision: bf16`` is set
+    (replaces the reference's --mixedprec CUDA AMP, src/main.py:66), else
+    None. Single source of truth: the encoder's post-frontend cast and
+    the train/eval steps' param cast must agree."""
+    if hparams.get("mixedprec") or str(
+            hparams.get("precision", "")).lower() in ("bf16", "bfloat16"):
+        import jax.numpy as jnp
+        return jnp.bfloat16
+    return None
 
 
 def frontend_from_hparams(hparams: Mapping) -> FrontendConfig:
@@ -96,6 +109,7 @@ def encoder_from_hparams(hparams: Mapping,
                           feature_type=feature_type,
                           frontend=frontend_from_hparams(hparams),
                           spec_augment=spec_aug,
+                          compute_dtype=compute_dtype_from_hparams(hparams),
                           gather_axis=gather_axis)
 
 

@@ -37,6 +37,13 @@ class SpeakerEncoder(nn.Module):
     # 'xla' | 'pallas' | 'auto' — 'pallas' fuses the mel GEMM pipeline in
     # VMEM (ops/pallas_frontend.py, TPU only); 'auto' picks pallas on TPU.
     frontend_backend: str = "auto"
+    # bf16 mixed precision: the frontend always computes in fp32 (parity
+    # with the reference pinning feature extraction outside autocast,
+    # src/models/ECAPA_TDNN.py:469-478 autocast(enabled=False)); features
+    # are cast to compute_dtype before the backbone so the conv/matmul
+    # FLOPs run on the MXU in bf16. Pair with casting params to the same
+    # dtype in the train/eval step (training/train_step.py).
+    compute_dtype: Optional[Any] = None
     # Mesh axis to all_gather embeddings over before the loss head. Under
     # shard_map DP, metric-learning losses (AngularProto/GE2E/proto) then
     # see the FULL global batch — an improvement over the reference, whose
@@ -55,10 +62,12 @@ class SpeakerEncoder(nn.Module):
         return make_frontend(self.frontend, self.feature_type)
 
     def _embed(self, wave: jax.Array, train: bool) -> jax.Array:
-        feats = self._frontend_fn()(wave)
+        feats = self._frontend_fn()(wave.astype(jnp.float32))
         if train and self.spec_augment is not None and feats.ndim == 3:
             feats = spec_augment(self.make_rng("specaug"), feats,
                                  self.spec_augment)
+        if self.compute_dtype is not None:
+            feats = feats.astype(self.compute_dtype)
         return self.backbone(feats, train=train)
 
     @nn.compact

@@ -83,7 +83,10 @@ class InferenceEngine:
             print("[WARN] no weights found — using random initialization")
 
         normalize = bool(getattr(self.model.loss, "test_normalize", True))
-        self._embed = make_eval_embed_fn(self.model, normalize=normalize)
+        from speakerverification_tpu.builder import compute_dtype_from_hparams
+        self._embed = make_eval_embed_fn(
+            self.model, normalize=normalize,
+            compute_dtype=compute_dtype_from_hparams(hparams))
         # the embed fn above already applied the head's test_normalize
         # policy; scoring must not re-normalize or heads with
         # test_normalize=False diverge from the reference

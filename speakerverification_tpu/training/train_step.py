@@ -43,21 +43,22 @@ def make_train_step(model, tx: optax.GradientTransformation,
     params are cast to bf16 for the forward/backward pass (bf16's fp32
     exponent range needs no loss scaling, unlike the reference's CUDA
     AMP GradScaler, src/model.py:169,256-261); gradients arrive fp32 at
-    the cast boundary and the optimizer update stays fp32.
+    the cast boundary and the optimizer update stays fp32. The waveform
+    is NOT cast: the model's frontend is pinned fp32 (encoder.py
+    ``compute_dtype`` casts features after the frontend — build the
+    model with the same dtype, e.g. via ``encoder_from_hparams``).
     """
 
     def step(state: TrainState, wave, label, rng, lr):
         def loss_fn(params):
             apply_params = params
-            apply_wave = wave
             if compute_dtype is not None:
                 apply_params = jax.tree_util.tree_map(
                     lambda p: p.astype(compute_dtype)
                     if jnp.issubdtype(p.dtype, jnp.floating) else p, params)
-                apply_wave = wave.astype(compute_dtype)
             (loss, prec1), mutated = model.apply(
                 {"params": apply_params, "batch_stats": state.batch_stats},
-                apply_wave, label, train=True,
+                wave, label, train=True,
                 mutable=["batch_stats"],
                 rngs={"specaug": rng,
                       "dropout": jax.random.fold_in(rng, 1)})
@@ -99,10 +100,11 @@ def make_eval_embed_fn(model, normalize: bool = True,
     @jax.jit
     def embed(params, batch_stats, wave):
         if compute_dtype is not None:
+            # params only — the model's frontend stays fp32 and casts
+            # features to its compute_dtype (encoder.py)
             params = jax.tree_util.tree_map(
                 lambda p: p.astype(compute_dtype)
                 if jnp.issubdtype(p.dtype, jnp.floating) else p, params)
-            wave = wave.astype(compute_dtype)
         emb = model.apply({"params": params, "batch_stats": batch_stats}, wave)
         emb = emb.astype(jnp.float32)
         if normalize:

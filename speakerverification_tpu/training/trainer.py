@@ -86,11 +86,8 @@ class Trainer:
 
         # bf16 mixed precision (replaces the reference's --mixedprec AMP,
         # src/main.py:66 + GradScaler; no loss scaling needed on TPU)
-        compute_dtype = None
-        if hparams.get("mixedprec") or str(
-                hparams.get("precision", "")).lower() in ("bf16", "bfloat16"):
-            import jax.numpy as _jnp
-            compute_dtype = _jnp.bfloat16
+        from speakerverification_tpu.builder import compute_dtype_from_hparams
+        compute_dtype = compute_dtype_from_hparams(self.hparams)
         # --distributed: shard_map data parallelism over all local devices
         # (parity: the reference's --distributed DDP flag, src/main.py:68;
         # here one process drives the whole mesh — no mp.spawn/rendezvous)
@@ -258,8 +255,13 @@ class Trainer:
 
     def validate(self) -> float:
         if self.embed_fn is None:
+            from speakerverification_tpu.builder import (
+                compute_dtype_from_hparams,
+            )
             normalize = bool(getattr(self.model.loss, "test_normalize", True))
-            self.embed_fn = make_eval_embed_fn(self.model, normalize=normalize)
+            self.embed_fn = make_eval_embed_fn(
+                self.model, normalize=normalize,
+                compute_dtype=compute_dtype_from_hparams(self.hparams))
         # accept either a ready trial list or a CSV manifest
         va = str(self.hparams["valid_annotation"])
         listfile = self._validation_trials() if va.endswith(".csv") else va
