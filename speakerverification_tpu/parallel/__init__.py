@@ -4,3 +4,10 @@ from speakerverification_tpu.parallel.dp import (  # noqa: F401
     replicate_state,
     shard_batch,
 )
+from speakerverification_tpu.parallel.multihost import (  # noqa: F401
+    global_batch,
+    is_multiprocess,
+    maybe_initialize_distributed,
+    process_allgather,
+    replicate_global,
+)

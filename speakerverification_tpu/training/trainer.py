@@ -64,7 +64,22 @@ def run_dirs(hparams: Mapping) -> dict:
 class Trainer:
     def __init__(self, hparams: Mapping, num_replicas: int = 1, rank: int = 0):
         self.hparams = dict(hparams)
+
+        # Multi-host: one process per host drives its local devices; the
+        # sampler shards per PROCESS (the reference's per-rank TrainSampler
+        # slicing, src/dataloader.py:219-227 — there, one process per GPU).
+        self.multiprocess = False
+        if hparams.get("distributed"):
+            from speakerverification_tpu.parallel import (
+                maybe_initialize_distributed,
+            )
+            self.multiprocess = maybe_initialize_distributed(hparams)
+            if self.multiprocess and num_replicas == 1:
+                num_replicas = jax.process_count()
+                rank = jax.process_index()
+
         self.rank = rank
+        self.num_replicas = num_replicas
         self.dirs = run_dirs(hparams)
 
         self.loader = train_data_loader(hparams, num_replicas, rank)
@@ -94,16 +109,22 @@ class Trainer:
         self.mesh = None
         if hparams.get("distributed") and len(jax.devices()) > 1:
             from speakerverification_tpu.parallel import make_dp_train_step, make_mesh
-            self.mesh = make_mesh(("data",))
+            self.mesh = make_mesh(("data",))     # all devices, all processes
             n_dev = self.mesh.devices.size
-            if int(hparams.get("batch_size", 0)) % n_dev != 0:
+            # batch_size is per-PROCESS (parity: the reference's per-GPU
+            # DDP batch); it must divide this process's device count so
+            # every local device gets equal rows of the global array.
+            local_dev = n_dev // max(jax.process_count(), 1)
+            if int(hparams.get("batch_size", 0)) % max(local_dev, 1) != 0:
                 raise ValueError(
                     f"batch_size {hparams.get('batch_size')} must divide by "
-                    f"{n_dev} devices for --distributed")
+                    f"{local_dev} local devices for --distributed")
             self.step_fn = make_dp_train_step(self.model, self.tx,
                                               self.mesh, donate=True,
                                               compute_dtype=compute_dtype)
-            print(f"[INFO] data-parallel over {n_dev} devices")
+            print(f"[INFO] data-parallel over {n_dev} devices"
+                  + (f" across {jax.process_count()} processes"
+                     if self.multiprocess else ""))
         else:
             self.step_fn = jax.jit(
                 make_train_step(self.model, self.tx,
@@ -169,7 +190,10 @@ class Trainer:
                       "restored weights only")
             meta = self.ckpt.resume_meta()
             self.init_epoch = int(meta.get("epoch", 0)) + 1
-            self.min_loss = float(meta.get("loss", float("inf")))
+            # historical BEST, not the last epoch's loss (the manager seeds
+            # its tracker from the best_state sidecar on construction)
+            self.min_loss = min(float(meta.get("loss", float("inf"))),
+                                self.ckpt._best_loss)
             print(f"[INFO] resumed from {resume} at epoch {self.init_epoch}")
 
     def _lr(self, epoch: int, it: int, global_it: int) -> float:
@@ -195,8 +219,12 @@ class Trainer:
             lr = self._lr(epoch, it, (epoch - 1) * self.steps_per_epoch + it)
             rng = jax.random.fold_in(base_rng, it)
             if self.mesh is not None:
-                from speakerverification_tpu.parallel import shard_batch
-                batch = shard_batch(batch, self.mesh)
+                if self.multiprocess:
+                    from speakerverification_tpu.parallel import global_batch
+                    batch = global_batch(batch, self.mesh)
+                else:
+                    from speakerverification_tpu.parallel import shard_batch
+                    batch = shard_batch(batch, self.mesh)
                 wave, label = batch["wave"], batch["label"]
             else:
                 wave = jnp.asarray(batch["wave"])
@@ -283,8 +311,15 @@ class Trainer:
         first_batch = next(iter(self.loader))
         self._init_state(first_batch)
         if self.mesh is not None:
-            from speakerverification_tpu.parallel import replicate_state
-            self.state = replicate_state(self.state, self.mesh)
+            if self.multiprocess:
+                # every process seeded model init identically, so local
+                # copies agree; assemble them into one replicated global
+                from speakerverification_tpu.parallel import replicate_global
+                self.state = replicate_global(
+                    jax.device_get(self.state), self.mesh)
+            else:
+                from speakerverification_tpu.parallel import replicate_state
+                self.state = replicate_state(self.state, self.mesh)
 
         for epoch in range(self.init_epoch, n_epochs + 1):
             loss, acc = self.train_epoch(epoch)
@@ -293,32 +328,39 @@ class Trainer:
             if self.lr_unit == "plateau":
                 self.schedule(loss)
 
-            if self.rank != 0:
-                continue
-
-            line = f"epoch {epoch}, LR {lr_now:.8f}, TEER/TAcc {acc:2.2f}, TLOSS {loss:f}"
-            if test_interval > 0 and epoch % test_interval == 0 and \
-                    self.hparams.get("valid_annotation"):
-                veer = self.validate()
-                self.min_eer = min(self.min_eer, veer)
-                line += f", VEER {veer:2.4f}, MINEER {self.min_eer:2.4f}"
-            with open(score_path, "a") as f:
-                f.write(line + "\n")
-
-            saved = self.ckpt.save_epoch(self.state, epoch, loss, lr_now)
-            if saved["best"]:
+            # Decisions that steer control flow run on EVERY rank from the
+            # pmean'd (identical) loss, so multi-host processes never
+            # diverge into a collective deadlock; only file writes are
+            # rank-0-gated.
+            improved = loss < self.min_loss
+            if improved:
                 self.min_loss = loss
-                if self.early_stopping is not None:
+
+            if self.rank == 0:
+                line = f"epoch {epoch}, LR {lr_now:.8f}, TEER/TAcc {acc:2.2f}, TLOSS {loss:f}"
+                if test_interval > 0 and epoch % test_interval == 0 and \
+                        self.hparams.get("valid_annotation"):
+                    veer = self.validate()
+                    self.min_eer = min(self.min_eer, veer)
+                    line += f", VEER {veer:2.4f}, MINEER {self.min_eer:2.4f}"
+                with open(score_path, "a") as f:
+                    f.write(line + "\n")
+
+                self.ckpt.save_epoch(self.state, epoch, loss, lr_now)
+
+                if self._writer is not None:
+                    self._writer.add_scalar("Loss/train", loss, epoch)
+                    self._writer.add_scalar("Accuracy/train", acc, epoch)
+                    self._writer.add_scalar("Params/learning_rate", lr_now,
+                                            epoch)
+
+            if self.early_stopping is not None:
+                if improved:
                     self.early_stopping.counter = 0
-
-            if self._writer is not None:
-                self._writer.add_scalar("Loss/train", loss, epoch)
-                self._writer.add_scalar("Accuracy/train", acc, epoch)
-                self._writer.add_scalar("Params/learning_rate", lr_now, epoch)
-
-            if self.early_stopping is not None and self.early_stopping(loss):
-                print("[INFO] early stopping")
-                break
+                if self.early_stopping(loss):
+                    if self.rank == 0:
+                        print("[INFO] early stopping")
+                    break
 
         if self._writer is not None:
             self._writer.close()
