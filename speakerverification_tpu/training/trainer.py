@@ -145,6 +145,14 @@ class Trainer:
             self.early_stopping = EarlyStopping(
                 patience=int(hparams.get("es_patience", 15)))
 
+        if rank == 0:
+            # settings.txt artifact: frozen hyperparameter dump at train
+            # start (parity: src/trainer.py:256-261 writes settings.txt)
+            with open(self.dirs["result"] / "settings.txt", "a") as f:
+                f.write(f"\n[{time.strftime('%Y-%m-%d %H:%M:%S')}]\n")
+                for k in sorted(self.hparams):
+                    f.write(f"{k}: {self.hparams[k]!r}\n")
+
         self._writer = None
         if rank == 0:
             try:
@@ -293,13 +301,28 @@ class Trainer:
         # accept either a ready trial list or a CSV manifest
         va = str(self.hparams["valid_annotation"])
         listfile = self._validation_trials() if va.endswith(".csv") else va
+        # validate with the configured scoring mode so the number tracked
+        # during training is the same metric the eval path reports
+        # (src/trainer.py:161-174 passes the full args); zt_norm needs a
+        # cohort bank — fall back to cosine (with a note) if absent
+        mode = str(self.hparams.get("scoring_mode", "cosine"))
+        cohorts = None
+        if mode in ("norm", "zt_norm"):
+            cp = self.hparams.get("cohorts_path")
+            if cp and Path(str(cp)).exists():
+                import numpy as _np
+                cohorts = _np.load(str(cp))
+            else:
+                print(f"[WARN] scoring_mode={mode} but no cohort bank at "
+                      f"{cp!r}; validating with cosine")
+                mode = "cosine"
         sc, lab, _ = evaluate_from_list(
             lambda w: self.embed_fn(self.state.params, self.state.batch_stats,
                                     jnp.asarray(w)),
             listfile,
             self.hparams["audio_spec"],
             num_eval=int(self.hparams.get("num_eval", 10)),
-            scoring_mode="cosine")
+            scoring_mode=mode, cohorts=cohorts)
         return tune_threshold_from_score(sc, lab, [1, 0.1])["roc"][1]
 
     # ------------------------------------------------------------------

@@ -258,3 +258,13 @@ def test_cli_parallelism_flags(workspace):
     yaml_device = h.get("device")
     args = build_parser().parse_args(["--config", str(cfg), "--device", "cpu"])
     assert load_hparams(args).get("device") == yaml_device
+
+
+def test_settings_artifact_written(workspace):
+    """settings.txt hyperparameter dump (parity: src/trainer.py:256-261)."""
+    root, _ = workspace
+    settings = (root / "run" / "save" / "ECAPA_TDNN" / "AAmSoftmax"
+                / "result" / "settings.txt")
+    assert settings.exists()
+    text = settings.read_text()
+    assert "batch_size" in text and "criterion" in text
