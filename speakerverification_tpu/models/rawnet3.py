@@ -57,7 +57,8 @@ class RawNet3(nn.Module):
             x = x - jnp.mean(x, axis=1, keepdims=True)
         elif self.norm_sinc == "mean_std":
             m = jnp.mean(x, axis=1, keepdims=True)
-            s = jnp.maximum(jnp.std(x, axis=1, keepdims=True), 1e-3)
+            # torch.std defaults to the unbiased estimator (RawNet3.py:95)
+            s = jnp.maximum(jnp.std(x, axis=1, keepdims=True, ddof=1), 1e-3)
             x = (x - m) / s
 
         x1 = Bottle2neckRaw(self.C, 3, 2, self.model_scale, pool=5)(
@@ -81,7 +82,8 @@ class RawNet3(nn.Module):
         if self.context:
             t = x.shape[1]
             mu = jnp.mean(x, axis=1, keepdims=True)
-            sg = jnp.sqrt(jnp.clip(jnp.var(x, axis=1, keepdims=True),
+            # torch.var defaults to the unbiased estimator (RawNet3.py:117)
+            sg = jnp.sqrt(jnp.clip(jnp.var(x, axis=1, keepdims=True, ddof=1),
                                    1e-4, 1e4))
             glob = jnp.concatenate(
                 [x, jnp.broadcast_to(mu, x.shape),
