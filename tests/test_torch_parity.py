@@ -274,3 +274,50 @@ def test_raw3_ecapa_forward_parity():
     assert out.shape == ref.shape
     max_rel = np.abs(out - ref).max() / np.abs(ref).max()
     assert max_rel < 2e-3, f"max relative diff {max_rel}"
+
+
+def test_conformer_relative_mhsa_parity():
+    """Our Transformer-XL relative MHSA vs the VENDORED conformer
+    package's MultiHeadedSelfAttentionModule with ported weights
+    (VERDICT r1 weak #4: makes conformer checkpoints portable)."""
+    import torch
+    if "/root/reference/src" not in sys.path:
+        sys.path.insert(0, "/root/reference/src")
+    from models.conformer.conformer.attention import (
+        MultiHeadedSelfAttentionModule,
+    )
+
+    torch.manual_seed(5)
+    D, H, B, T = 64, 4, 2, 37
+    ref = MultiHeadedSelfAttentionModule(d_model=D, num_heads=H,
+                                         dropout_p=0.0)
+    ref.eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+    from speakerverification_tpu.models.conformer import MHSAModule
+    ours = MHSAModule(dim=D, num_heads=H, dropout=0.0)
+
+    params = {
+        "LayerNorm_0": {"scale": sd["layer_norm.weight"],
+                        "bias": sd["layer_norm.bias"]},
+        "RelativeMultiHeadAttention_0": {
+            "Dense_0": {"kernel": sd["attention.query_proj.linear.weight"].T,
+                        "bias": sd["attention.query_proj.linear.bias"]},
+            "Dense_1": {"kernel": sd["attention.key_proj.linear.weight"].T,
+                        "bias": sd["attention.key_proj.linear.bias"]},
+            "Dense_2": {"kernel": sd["attention.value_proj.linear.weight"].T,
+                        "bias": sd["attention.value_proj.linear.bias"]},
+            "Dense_3": {"kernel": sd["attention.pos_proj.linear.weight"].T},
+            "Dense_4": {"kernel": sd["attention.out_proj.linear.weight"].T,
+                        "bias": sd["attention.out_proj.linear.bias"]},
+            "u_bias": sd["attention.u_bias"],
+            "v_bias": sd["attention.v_bias"],
+        },
+    }
+
+    rng = np.random.default_rng(6)
+    x = rng.normal(0, 1, (B, T, D)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x)).numpy()
+    out = np.asarray(ours.apply({"params": params}, jnp.asarray(x)))
+    np.testing.assert_allclose(out, ref_out, rtol=2e-4, atol=2e-5)
