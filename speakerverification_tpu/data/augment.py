@@ -160,18 +160,26 @@ def augment_volume(audio: np.ndarray, volume_db: float = 4.0,
 
 
 def augment_pitch(audio: np.ndarray, low: float = -0.5, high: float = 0.5,
-                  rng: Optional[np.random.Generator] = None) -> np.ndarray:
-    """Pitch shift in semitones: resample then restore length (an
-    approximation of librosa pitch_shift without a phase vocoder)."""
+                  rng: Optional[np.random.Generator] = None,
+                  sample_rate: int = 16000) -> np.ndarray:
+    """Pitch shift in semitones via the STFT phase vocoder — exact
+    ``librosa.effects.pitch_shift`` semantics (f0 scaled, duration
+    preserved; parity: src/processing/augment.py:66-94 /
+    augmentation/pitch_shift.py). Runs through ops/phase_vocoder.py.
+    """
     rng = rng or np.random.default_rng()
-    semitones = float(rng.uniform(low, high))
-    ratio = 2.0 ** (semitones / 12.0)
-    n = audio.shape[-1]
-    shifted = _resample_ratio(audio, ratio)
-    if shifted.shape[-1] >= n:
-        return shifted[..., :n]
-    pad = n - shifted.shape[-1]
-    return np.pad(shifted, [(0, 0)] * (audio.ndim - 1) + [(0, pad)], "wrap")
+    # quantize to 0.05-semitone steps: n_steps is a static jit argument
+    # (it fixes the vocoder's frame grid), so a continuous draw would
+    # compile a fresh program per batch — the grid bounds the cache at
+    # ~(high-low)/0.05 programs per audio length, inaudibly coarse
+    semitones = round(float(rng.uniform(low, high)) / 0.05) * 0.05
+    if abs(semitones) < 1e-6:
+        return audio.astype(np.float32)
+    from speakerverification_tpu.ops.phase_vocoder import pitch_shift
+    flat = audio.reshape(-1, audio.shape[-1])
+    out = np.stack([np.asarray(pitch_shift(row, sample_rate, semitones))
+                    for row in flat])
+    return out.reshape(audio.shape).astype(np.float32)
 
 
 def random_time_domain_augment(audio: np.ndarray, setting: Mapping,

