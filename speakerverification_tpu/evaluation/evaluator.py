@@ -67,15 +67,34 @@ def parse_trials(listfile: str | Path, with_label: bool = True):
 
 def extract_embeddings(embed_fn: Callable, files: Sequence[str],
                        audio_spec: Mapping, num_eval: int = 10,
-                       batch_size: int = 32, num_workers: int = 8):
+                       batch_size: int = 32, num_workers: int = 8,
+                       distributed: bool = False):
     """Embed unique files in fixed-shape batches → ``[n_files, E, D]``.
 
     Returns a DEVICE-resident array when ``embed_fn`` returns jax arrays:
     the downstream one-GEMM scoring then avoids a device↔host round-trip
     of the whole embedding matrix (which dominates wall time on remote
     TPU links — measured 10 s vs 40 ms at VoxCeleb1-O scale).
+
+    ``distributed=True`` under a multi-process run shards the file list
+    per process and gathers embeddings across hosts — the reference's
+    eval DistributedSampler + all_gather_object (src/model.py:363-366,
+    400-411). EVERY process must call in that case (collective).
     """
+    import jax
     import jax.numpy as jnp
+
+    if distributed and jax.process_count() > 1:
+        from speakerverification_tpu.parallel import process_allgather
+        nproc = jax.process_count()
+        per = -(-len(files) // nproc)                     # ceil
+        padded = list(files) + [files[-1]] * (per * nproc - len(files))
+        local = padded[jax.process_index() * per:
+                       (jax.process_index() + 1) * per]
+        local_emb = np.asarray(extract_embeddings(
+            embed_fn, local, audio_spec, num_eval, batch_size, num_workers))
+        gathered = np.asarray(process_allgather(local_emb))
+        return gathered.reshape(-1, *local_emb.shape[1:])[:len(files)]
 
     loader = EvalDataLoader(files, audio_spec, num_eval=num_eval,
                             batch_size=batch_size, num_workers=num_workers)
@@ -99,14 +118,16 @@ def evaluate_from_list(embed_fn: Callable, listfile: str | Path,
                        scoring_mode: str = "cosine",
                        cohorts: Optional[np.ndarray] = None,
                        top: int = 200, normalize: bool = True,
-                       batch_size: int = 32, num_workers: int = 8):
+                       batch_size: int = 32, num_workers: int = 8,
+                       distributed: bool = False):
     """Returns (scores, labels, trials) like src/model.py:306-450."""
     labels, refs, coms = parse_trials(listfile, with_label=True)
     setfiles = sorted(set(refs) | set(coms))
     index = {f: i for i, f in enumerate(setfiles)}
 
     emb = extract_embeddings(embed_fn, setfiles, audio_spec, num_eval,
-                             batch_size, num_workers)
+                             batch_size, num_workers,
+                             distributed=distributed)
     ridx = np.asarray([index[f] for f in refs], np.int32)
     cidx = np.asarray([index[f] for f in coms], np.int32)
 

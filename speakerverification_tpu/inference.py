@@ -108,12 +108,16 @@ class InferenceEngine:
         if mode in ("norm", "zt_norm"):
             cohorts = np.load(str(h["cohorts_path"]))
         t0 = time.time()
+        import jax
         scores, labels, trials = evaluate_from_list(
             self.embed_fn, listfile, h["audio_spec"],
             num_eval=int(h.get("num_eval", 10)), scoring_mode=mode,
             cohorts=cohorts, normalize=False,
             batch_size=int(h.get("eval_batch_size", 32)),
-            num_workers=int(h.get("dataloader_options", {}).get("num_workers", 8)))
+            num_workers=int(h.get("dataloader_options", {}).get("num_workers", 8)),
+            # multi-process runs shard embedding extraction per host and
+            # gather (src/model.py:363-366,400-411 parity)
+            distributed=jax.process_count() > 1)
         elapsed = time.time() - t0
 
         res = tune_threshold_from_score(scores, labels, [1, 0.1])

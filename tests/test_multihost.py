@@ -174,6 +174,26 @@ def test_two_process_global_batch_and_psum(tmp_path):
         "assert float(s) == 12.0, float(s)\n"
         "r = replicate_global({'w': np.arange(3.0)}, mesh)\n"
         "assert r['w'].shape == (3,)\n"
+        "# distributed eval extraction: shard files per process + gather\n"
+        "import tempfile, os\n"
+        "from speakerverification_tpu.data import write_wav\n"
+        "from speakerverification_tpu.evaluation.evaluator import (\n"
+        "    extract_embeddings)\n"
+        "td = tempfile.mkdtemp()\n"
+        "rng2 = np.random.default_rng(0)   # identical content on all ranks\n"
+        "files = []\n"
+        "for i in range(5):\n"
+        "    f = os.path.join(td, 'f%d.wav' % i)\n"
+        "    write_wav(f, rng2.normal(0, .1, 8000).astype(np.float32), 8000)\n"
+        "    files.append(f)\n"
+        "spec = {'sample_rate': 8000, 'sentence_len': 1.0}\n"
+        "emb_fn = lambda w: np.asarray(w[:, :8], np.float32)\n"
+        "g = extract_embeddings(emb_fn, files, spec, num_eval=2,\n"
+        "                       batch_size=2, distributed=True)\n"
+        "ref = np.asarray(extract_embeddings(emb_fn, files, spec,\n"
+        "                                    num_eval=2, batch_size=2))\n"
+        "assert g.shape == (5, 2, 8), g.shape\n"
+        "assert np.allclose(np.asarray(g), ref)\n"
         "print('PROBE_OK', pid)\n")
     env_base = {
         "JAX_PLATFORMS": "cpu",
