@@ -5,10 +5,13 @@ Parity target: src/processing/vad_tool.py:51-140+ — 30 ms frames, a
 de-trigger when ≥90 % are unvoiced; voiced segments are concatenated and
 written as ``*_vad.wav``.
 
-The webrtcvad C extension is not available in this image; the per-frame
-voiced/unvoiced decision is an energy + zero-crossing classifier with an
-adaptive noise floor (documented divergence — the collector logic, which
-defines the tool's segmentation behavior, is identical).
+The per-frame voiced/unvoiced decision uses webrtcvad itself whenever
+the package is importable (exact parity with the reference's
+``webrtcvad.Vad(mode)`` call, vad_tool.py:54); in this image it is not,
+and the decision falls back to an energy + zero-crossing classifier
+with an adaptive noise floor (documented divergence — the collector
+logic, which defines the tool's segmentation behavior, is identical
+either way).
 """
 
 from __future__ import annotations
@@ -26,11 +29,18 @@ __all__ = ["VAD"]
 
 class VAD:
     def __init__(self, mode: int = 3, frame_duration: int = 30,
-                 win_length: int = 300):
+                 win_length: int = 300, use_webrtcvad: bool = True):
         """``mode`` 0-3 controls aggressiveness (3 = most aggressive)."""
         self.mode = mode
         self.frame_duration = frame_duration       # ms
         self.win_length = win_length                # ms padding window
+        self._webrtc = None
+        if use_webrtcvad:
+            try:
+                import webrtcvad
+                self._webrtc = webrtcvad.Vad(mode)
+            except ImportError:
+                pass                                # energy+ZCR fallback
 
     # -- frame-level decision ------------------------------------------------
     def _frame_decisions(self, audio: np.ndarray, sample_rate: int,
@@ -38,6 +48,13 @@ class VAD:
         n = int(sample_rate * self.frame_duration / 1000)
         n_frames = len(audio) // n
         frames = audio[:n_frames * n].reshape(n_frames, n)
+
+        if self._webrtc is not None:
+            pcm = np.clip(frames * 32768.0, -32768, 32767).astype("<i2")
+            voiced = np.asarray([
+                self._webrtc.is_speech(pcm[i].tobytes(), sample_rate)
+                for i in range(n_frames)])
+            return voiced, n
 
         energy = np.sqrt(np.mean(frames ** 2, axis=1) + 1e-12)
         zcr = np.mean(np.abs(np.diff(np.signbit(frames), axis=1)), axis=1)
