@@ -50,6 +50,12 @@ class ECAPA_TDNN(nn.Module):
     feature_type: str = "melspectrogram"
     log_input: bool = True
     input_norm: bool = False
+    # Res2Net cascade backend: 'pallas' runs the eval-mode cascade as one
+    # fused Pallas kernel (ops/pallas_res2net.py); measured AT PAR with
+    # XLA's conv lowering on the bench chip (the cascade is bound by
+    # per-matmul-instruction overhead, not HBM traffic — see the kernel
+    # docstring), so the simpler XLA path stays the default.
+    conv_backend: str = "xla"
 
     @nn.compact
     def __call__(self, x: jax.Array, lengths: Optional[jax.Array] = None,
@@ -86,6 +92,7 @@ class ECAPA_TDNN(nn.Module):
                 kernel_size=self.kernel_sizes[i],
                 dilation=self.dilations[i],
                 activation=self.activation,
+                conv_backend=self.conv_backend,
             )(x, lengths, train=train)
             block_outputs.append(x)
 
@@ -108,7 +115,7 @@ def build_ecapa_tdnn(nOut: int = 192, **kwargs) -> ECAPA_TDNN:
     known = {k: kwargs[k] for k in (
         "channels", "kernel_sizes", "dilations", "attention_channels",
         "res2net_scale", "se_channels", "global_context", "input_norm",
-        "log_input", "activation") if k in kwargs}
+        "log_input", "activation", "conv_backend") if k in kwargs}
     if "channels" in known:
         known["channels"] = tuple(known["channels"])
     for k in ("kernel_sizes", "dilations"):

@@ -99,19 +99,26 @@ class BatchNorm1d(nn.Module):
 
 
 class TDNNBlock(nn.Module):
-    """Conv → activation → BatchNorm (parity: src/models/ECAPA_TDNN.py:27-69)."""
+    """Conv → activation → BatchNorm (parity: src/models/ECAPA_TDNN.py:27-69).
+
+    setup-style with pinned child names (identical param tree to the
+    earlier compact form) so callers can reach ``.conv`` / ``.norm``
+    separately — AttentiveStatisticsPooling splits the k=1 conv weights
+    to avoid materializing its global-context concat.
+    """
     features: int
     kernel_size: int
     dilation: int = 1
     groups: int = 1
     activation: Callable = gelu_exact
 
-    @nn.compact
+    def setup(self):
+        self.conv = Conv1d(self.features, self.kernel_size, self.dilation,
+                           groups=self.groups, name="Conv1d_0")
+        self.norm = BatchNorm1d(name="BatchNorm1d_0")
+
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        x = Conv1d(self.features, self.kernel_size, self.dilation,
-                   groups=self.groups)(x)
-        x = self.activation(x)
-        return BatchNorm1d()(x, train=train)
+        return self.norm(self.activation(self.conv(x)), train=train)
 
 
 class Res2NetBlock(nn.Module):
@@ -128,19 +135,69 @@ class Res2NetBlock(nn.Module):
     kernel_size: int = 3
     dilation: int = 1
     activation: Callable = jax.nn.relu
+    # 'xla' | 'pallas' | 'auto': eval-mode forward may run the whole
+    # cascade as ONE fused Pallas kernel (ops/pallas_res2net.py) — the
+    # seven sequential 128-ch convs are XLA's weakest op in this model
+    # (~6-8 TF/s measured vs ~87 TF/s for the wide 1×1s). 'auto' picks
+    # the kernel on TPU. Training always uses the XLA path (autodiff +
+    # batch-stat updates).
+    backend: str = "xla"
+
+    def _use_fused(self, x: jax.Array, train: bool) -> bool:
+        backend = self.backend
+        if backend == "auto":
+            backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+        hidden = self.features // self.scale
+        return (backend == "pallas" and not train
+                and not self.is_initializing()
+                and self.kernel_size == 3
+                and self.activation is jax.nn.relu
+                and x.shape[-1] == self.features
+                and (hidden % 128 == 0 or jax.default_backend() != "tpu")
+                and x.shape[1] > 2 * self.dilation)
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         assert x.shape[-1] % self.scale == 0
         assert self.features % self.scale == 0
         hidden = self.features // self.scale
+        blocks = [TDNNBlock(hidden, self.kernel_size, self.dilation,
+                            activation=self.activation)
+                  for _ in range(self.scale - 1)]
+
+        if self._use_fused(x, train):
+            from speakerverification_tpu.ops.pallas_res2net import (
+                fused_res2net_cascade,
+            )
+            # bind each TDNNBlock with a tiny dummy call so its params
+            # become readable (the dummy compute is dead code under jit),
+            # then fold eval BatchNorm into a per-channel affine.
+            dummy = x[:1, :2 * self.dilation + 1, :hidden]
+            ws, cbs, ss, bs = [], [], [], []
+            for blk in blocks:
+                blk(dummy, train=False)
+                v = blk.variables
+                conv = v["params"]["Conv1d_0"]["Conv_0"]
+                bn_p = v["params"]["BatchNorm1d_0"]["BatchNorm_0"]
+                bn_s = v["batch_stats"]["BatchNorm1d_0"]["BatchNorm_0"]
+                inv = jax.lax.rsqrt(bn_s["var"].astype(jnp.float32) + 1e-5)
+                s = bn_p["scale"].astype(jnp.float32) * inv
+                ws.append(conv["kernel"])
+                cbs.append(conv["bias"].astype(jnp.float32))
+                ss.append(s)
+                bs.append(bn_p["bias"].astype(jnp.float32)
+                          - bn_s["mean"].astype(jnp.float32) * s)
+            return fused_res2net_cascade(
+                x, jnp.stack(ws), jnp.stack(cbs), jnp.stack(ss),
+                jnp.stack(bs), dilation=self.dilation,
+                interpret=jax.default_backend() != "tpu")
+
         chunks = jnp.split(x, self.scale, axis=-1)
         outputs = [chunks[0]]
         y = None
         for i in range(1, self.scale):
             inp = chunks[i] if i == 1 else chunks[i] + y
-            y = TDNNBlock(hidden, self.kernel_size, self.dilation,
-                          activation=self.activation)(inp, train=train)
+            y = blocks[i - 1](inp, train=train)
             outputs.append(y)
         return jnp.concatenate(outputs, axis=-1)
 
@@ -188,19 +245,25 @@ class AttentiveStatisticsPooling(nn.Module):
             std = jnp.sqrt(jnp.clip(var, self.eps))
             return mean, std
 
+        # ASP's TDNN uses the default ReLU (ECAPA_TDNN.py:245: no activation arg)
+        blk = TDNNBlock(self.attention_channels, 1, activation=jax.nn.relu)
         if self.global_context:
             total = mask.sum(axis=1, keepdims=True)
             mean, std = statistics(x, mask / total)
-            attn_in = jnp.concatenate(
-                [x,
-                 jnp.broadcast_to(mean[:, None, :], (B, L, C)),
-                 jnp.broadcast_to(std[:, None, :], (B, L, C))], axis=-1)
+            # The reference concatenates [x ∥ mean ∥ std] broadcast over L
+            # ([B, L, 3C]) and runs a k=1 conv (ECAPA_TDNN.py:236-256) —
+            # on TPU that materializes a 3× HBM-traffic tensor for a
+            # linear op. Split the conv weights instead: the mean/std
+            # contributions are L-independent rank-1 terms, so
+            #   conv([x∥m∥s]) = x·Wx + (m·Wm + s·Ws + b)  (exact algebra).
+            _ = blk.conv(jnp.zeros((1, 1, 3 * C), x.dtype))   # bind (DCE'd)
+            w = blk.conv.variables["params"]["Conv_0"]["kernel"]   # [1,3C,A]
+            bias = blk.conv.variables["params"]["Conv_0"]["bias"]
+            ctx = (mean @ w[0, C:2 * C] + std @ w[0, 2 * C:]
+                   + bias)[:, None, :]                       # [B, 1, A]
+            attn = blk.norm(jax.nn.relu(x @ w[0, :C] + ctx), train=train)
         else:
-            attn_in = x
-
-        # ASP's TDNN uses the default ReLU (ECAPA_TDNN.py:245: no activation arg)
-        attn = TDNNBlock(self.attention_channels, 1,
-                         activation=jax.nn.relu)(attn_in, train=train)
+            attn = blk(x, train=train)
         attn = Conv1d(C, 1)(jnp.tanh(attn))
         attn = jnp.where(mask == 0, -jnp.inf, attn)
         attn = jax.nn.softmax(attn, axis=1)
@@ -220,6 +283,7 @@ class SERes2NetBlock(nn.Module):
     kernel_size: int = 1
     dilation: int = 1
     activation: Callable = gelu_exact
+    conv_backend: str = "xla"          # forwarded to Res2NetBlock
 
     @nn.compact
     def __call__(self, x: jax.Array, lengths: Optional[jax.Array] = None,
@@ -230,7 +294,7 @@ class SERes2NetBlock(nn.Module):
         x = TDNNBlock(self.features, 1, 1, activation=self.activation)(x, train=train)
         # reference does NOT forward the activation into Res2NetBlock
         x = Res2NetBlock(self.features, self.res2net_scale, self.kernel_size,
-                         self.dilation)(x, train=train)
+                         self.dilation, backend=self.conv_backend)(x, train=train)
         x = TDNNBlock(self.features, 1, 1, activation=self.activation)(x, train=train)
         x = SEBlock(self.se_channels, self.features)(x, lengths)
         return x + residual

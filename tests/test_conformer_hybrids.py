@@ -43,6 +43,7 @@ def test_ecapa_conformer_small():
     assert np.all(np.isfinite(np.asarray(out)))
 
 
+@pytest.mark.slow
 def test_res_ecapa():
     from speakerverification_tpu.models.hybrids2 import ResECAPA
     model = ResECAPA(nOut=24, num_filters=(8, 16), num_layers=(1, 1),
@@ -52,6 +53,7 @@ def test_res_ecapa():
     assert np.all(np.isfinite(np.asarray(out)))
 
 
+@pytest.mark.slow
 def test_tita_ecapa_small():
     from speakerverification_tpu.models.ecapa_tdnn import ECAPA_TDNN
     from speakerverification_tpu.models.hybrids2 import TitaECAPA
@@ -70,6 +72,7 @@ def test_tita_ecapa_small():
     assert out.shape == (2, 32)
 
 
+@pytest.mark.slow
 def test_raw_tita_small():
     from speakerverification_tpu.models.hybrids2 import RawTita
     from speakerverification_tpu.models.rawnet2_custom import RawNet2Custom

@@ -24,39 +24,51 @@ def _train_apply(model, x):
     return out
 
 
-def test_image_encoders_small():
+def _image_cases():
     import speakerverification_tpu.models.image_encoders as IE
-    x = _feats()
-    cases = [
-        IE.EfficientNet(nOut=16, width_coeff=1.0, depth_coeff=0.3),
-        IE.EfficientNetV2(nOut=16, cfgs=((1, 8, 1, 1, 0), (4, 16, 1, 2, 1))),
-        IE.RepVGG(nOut=16, num_blocks=(1, 1, 1, 1),
-                  width=(0.25, 0.25, 0.25, 0.5)),
-        IE.SCNet(nOut=16, layers=(1, 1, 1, 1)),
-        IE.DPN(nOut=16, k_sec=(1, 1, 1, 1), inc_sec=(4, 8, 8, 16),
-               k_r=32, groups=8),
-    ]
-    for model in cases:
-        out = _train_apply(model, x)
-        assert out.shape == (1, 16), type(model).__name__
-        assert np.all(np.isfinite(np.asarray(out))), type(model).__name__
+    # (name, builder, slow): one cheap representative runs by default;
+    # the rest compile minutes each on the 1-CPU CI box → mark slow.
+    return {
+        "EfficientNetV2": (lambda: IE.EfficientNetV2(
+            nOut=16, cfgs=((1, 8, 1, 1, 0), (4, 16, 1, 2, 1))), False),
+        "EfficientNet": (lambda: IE.EfficientNet(
+            nOut=16, width_coeff=1.0, depth_coeff=0.3), True),
+        "RepVGG": (lambda: IE.RepVGG(
+            nOut=16, num_blocks=(1, 1, 1, 1),
+            width=(0.25, 0.25, 0.25, 0.5)), True),
+        "SCNet": (lambda: IE.SCNet(nOut=16, layers=(1, 1, 1, 1)), True),
+        "DPN": (lambda: IE.DPN(nOut=16, k_sec=(1, 1, 1, 1),
+                               inc_sec=(4, 8, 8, 16), k_r=32, groups=8),
+                True),
+    }
 
 
-def test_next_family_small():
+@pytest.mark.parametrize("name", [
+    pytest.param(n, marks=pytest.mark.slow if slow else ())
+    for n, (_, slow) in _image_cases().items()])
+def test_image_encoders_small(name):
+    build, _ = _image_cases()[name]
+    out = _train_apply(build(), _feats())
+    assert out.shape == (1, 16), name
+    assert np.all(np.isfinite(np.asarray(out))), name
+
+
+@pytest.mark.parametrize("which", [
+    "RawNeXt", pytest.param("ResNeXt", marks=pytest.mark.slow)])
+def test_next_family_small(which):
     import speakerverification_tpu.models.next as NX
     # batch of 2: train-mode BatchNorm on a single example zeroes the code
     wave = jnp.asarray(np.random.default_rng(1).normal(
         0, 0.1, (2, 16000)).astype(np.float32))
-    for model in [NX.RawNeXt(nOut=16, levels=(1, 1, 1, 1, 1, 1),
-                             channels=(32, 32, 32, 32, 64, 64)),
-                  NX.ResNeXt(nOut=16, levels=(1, 1, 1, 1, 1, 1),
-                             channels=(32, 32, 32, 32, 64, 64))]:
-        out = _train_apply(model, wave)
-        assert out.shape == (2, 16)
-        assert np.all(np.isfinite(np.asarray(out)))
-        # training codes are x9-normalized (RawNeXt.py:174-178)
-        np.testing.assert_allclose(np.linalg.norm(np.asarray(out), axis=1),
-                                   9.0, rtol=1e-4)
+    cls = getattr(NX, which)
+    model = cls(nOut=16, levels=(1, 1, 1, 1, 1, 1),
+                channels=(32, 32, 32, 32, 64, 64))
+    out = _train_apply(model, wave)
+    assert out.shape == (2, 16)
+    assert np.all(np.isfinite(np.asarray(out)))
+    # training codes are x9-normalized (RawNeXt.py:174-178)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(out), axis=1),
+                               9.0, rtol=1e-4)
 
 
 def test_gate_module_weights_sum_to_one():

@@ -55,9 +55,10 @@ def test_sinc_conv_shapes_and_stride():
 
 @pytest.mark.parametrize("name,kw", [
     ("RawNet3", dict(C=128, model_scale=4)),
-    ("RawNet2", dict()),
+    pytest.param("RawNet2", dict(), marks=pytest.mark.slow),
     ("RawNet2_custom", dict(front_proc="sinc", aggregate="asp")),
-    ("RawNet2_custom", dict(front_proc="conv", aggregate="gru")),
+    pytest.param("RawNet2_custom", dict(front_proc="conv", aggregate="gru"),
+                 marks=pytest.mark.slow),
 ])
 def test_raw_models_forward(name, kw):
     model = build_model(name, nOut=64, sample_rate=SR, **kw)
@@ -107,6 +108,26 @@ def test_hybrid_registry_names():
         assert name in MODELS, name
 
 
+def test_sinc_conv_differentiable():
+    """Cheap default-run stand-in for the full-model grad test below:
+    gradients must reach the learnable sinc cutoffs."""
+    from speakerverification_tpu.ops.sinc import SincConv
+    sc = SincConv(out_channels=16, kernel_size=101, sample_rate=SR)
+    x = jnp.asarray(np.random.default_rng(4).normal(
+        0, 0.1, (2, 2000)).astype(np.float32))
+    variables = sc.init(jax.random.PRNGKey(0), x)
+
+    def f(params):
+        return jnp.sum(sc.apply({"params": params}, x) ** 2)
+
+    g = jax.grad(f)(variables["params"])
+    assert float(jnp.abs(g["low_hz"]).sum()) > 0
+    assert float(jnp.abs(g["band_hz"]).sum()) > 0
+    assert all(np.all(np.isfinite(np.asarray(l)))
+               for l in jax.tree_util.tree_leaves(g))
+
+
+@pytest.mark.slow
 def test_raw_model_differentiable():
     model = build_model("RawNet3", nOut=16, C=64, model_scale=4,
                         sample_rate=SR)

@@ -33,6 +33,7 @@ def test_resnetse34v2_sap():
     assert out.shape == (2, 32)
 
 
+@pytest.mark.slow
 def test_resnetse_bottleneck():
     """Smallest bottleneck variant (ResNetSE50 block type), reduced depth."""
     from speakerverification_tpu.models.resnetse import ResNetSE
@@ -74,6 +75,7 @@ def test_titanet_train_dropout_rng():
     assert "batch_stats" in mutated
 
 
+@pytest.mark.slow
 def test_resnetse_grad_finite():
     model = build_model("ResNetSE34", nOut=16, n_mels=40)
     x = _feats(seed=5)
