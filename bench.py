@@ -13,14 +13,22 @@ MFU: FLOPs come from XLA cost analysis of the compiled program;
 peak is TPU v5e bf16 (197 TFLOP/s). A training-step entry (forward +
 backward + AdaBelief update, batch 64 utts) is reported alongside.
 
+Timing methodology: the axon tunnel adds ~3.65 ms of host round-trip
+per dispatch (measured with a trivial jitted add — a production host
+pays none of this), so the REPORTED throughput chains the workload
+inside ONE XLA program via ``lax.scan`` with a data-dependent carry
+(XLA cannot hoist the loop body); the dispatch-inclusive per-call rate
+is kept as ``utts_per_sec_percall``.
+
 Roofline context: this bench also measures the chip's PRACTICAL bf16
 GEMM ceiling with a large matmul (8192×4096×4096) — on the tunneled
 v5-lite chip that ceiling measures ~100 TF/s, ~51 % of nominal — and
 reports throughput as a fraction of it (``pct_of_practical_peak``).
-The residual gap is ECAPA's Res2Net inner convs: 128-channel k=3 chains
-are memory-/tiling-bound at ~6-8 TF/s even batched in one program
-(measured via in-jit scan), an architecture property, not a dispatch
-artifact.
+The residual gap is ECAPA's Res2Net inner convs: shape probes show this
+chip pays ~60 µs of fixed overhead per dependent matmul instruction
+regardless of operand size, and the cascade is 21 inherently sequential
+small convolutions per pass (see ops/pallas_res2net.py for the full
+analysis — a VMEM-fused kernel lands at par, so it ships opt-in).
 
 ``vs_baseline`` is measured against an assumed 100 utt/s for the
 reference's batch-1 A100 loop (no published numbers exist — see
@@ -133,8 +141,29 @@ def main() -> None:
 
     dt = _time_best(lambda: embed(params, batch_stats, wave),
                     lambda out: np.asarray(out))
-    utts_per_sec = BATCH * ITERS / dt
-    embed_tflops = embed_flops * ITERS / dt / 1e12
+    utts_per_sec_percall = BATCH * ITERS / dt
+
+    # In-program chained timing: the axon tunnel costs ~3.65 ms of host
+    # round-trip per dispatch (measured with a trivial jitted add), which
+    # a production host would not pay. Chaining ITERS calls inside ONE
+    # program via lax.scan — with a data-dependent carry so XLA cannot
+    # hoist the loop-invariant body — measures pure device throughput.
+    @jax.jit
+    def embed_chained(params, batch_stats, wave):
+        def body(w, _):
+            e = embed(params, batch_stats, w)
+            return w + e.astype(jnp.float32).sum() * 1e-12, None
+        w, _ = jax.lax.scan(body, wave, None, length=ITERS)
+        return w[0, :4]
+
+    np.asarray(embed_chained(params, batch_stats, wave))      # compile+warm
+    cdt = float("inf")
+    for _ in range(4):
+        t0 = time.perf_counter()
+        np.asarray(embed_chained(params, batch_stats, wave))
+        cdt = min(cdt, time.perf_counter() - t0)
+    utts_per_sec = BATCH * ITERS / cdt
+    embed_tflops = embed_flops * ITERS / cdt / 1e12
     embed_mfu = 100.0 * embed_tflops / PEAK_BF16_TFLOPS
 
     # ---- training step: forward + backward + AdaBelief update, bf16 ----
@@ -147,35 +176,45 @@ def main() -> None:
     tlabel = jnp.asarray(np.arange(tb) % 5994, jnp.int32)
     state = create_train_state(model_bf16, tx, jax.random.PRNGKey(0),
                                twave, tlabel)
-    step = jax.jit(make_train_step(model_bf16, tx,
-                                   compute_dtype=jnp.bfloat16))
+    step_fn = make_train_step(model_bf16, tx, compute_dtype=jnp.bfloat16)
+    step = jax.jit(step_fn)
     step_rng = jax.random.PRNGKey(1)
     lr = jnp.float32(1e-3)
     train_flops = _flops_of(
         step.lower(state, twave, tlabel, step_rng, lr).compile())
 
-    state, metrics = step(state, twave, tlabel, step_rng, lr)   # warmup
-    np.asarray(metrics["loss"])
-    state_box = [state]
+    TRAIN_ITERS = 5
 
-    def one_step():
-        s, m = step(state_box[0], twave, tlabel, step_rng, lr)
-        state_box[0] = s
-        return m["loss"]
+    @jax.jit
+    def train_chained(state):
+        # successive optimizer steps carry the state — already serially
+        # dependent, so chaining measures real step time sans dispatch
+        def body(s, _):
+            s2, m = step_fn(s, twave, tlabel, step_rng, lr)
+            return s2, m["loss"]
+        _, losses = jax.lax.scan(body, state, None, length=TRAIN_ITERS)
+        return losses[-1]
 
-    tdt = _time_best(one_step, lambda out: np.asarray(out), iters=5)
-    train_utts = tb * 2 * 5 / tdt
-    train_tflops = train_flops * 5 / tdt / 1e12
+    np.asarray(train_chained(state))                        # compile+warm
+    tdt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(train_chained(state))
+        tdt = min(tdt, time.perf_counter() - t0)
+    train_utts = tb * 2 * TRAIN_ITERS / tdt
+    train_tflops = train_flops * TRAIN_ITERS / tdt / 1e12
     train_mfu = 100.0 * train_tflops / PEAK_BF16_TFLOPS
 
     practical = _practical_peak_tflops()
 
     print(json.dumps({
         "metric": "ECAPA-TDNN embedding extraction throughput "
-                  f"(2s utts, batch {BATCH}, bf16, mel frontend fused)",
+                  f"(2s utts, batch {BATCH}, bf16, mel frontend fused, "
+                  "in-program chained timing)",
         "value": round(utts_per_sec, 2),
         "unit": "utterances/sec/chip",
         "vs_baseline": round(utts_per_sec / ASSUMED_REFERENCE_UTTS_PER_SEC, 2),
+        "utts_per_sec_percall": round(utts_per_sec_percall, 2),
         "embed_gflops_per_utt": round(embed_flops / BATCH / 1e9, 2),
         "embed_tflops_per_sec": round(embed_tflops, 2),
         "embed_mfu_pct": round(embed_mfu, 1),

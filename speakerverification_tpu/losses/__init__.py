@@ -25,6 +25,9 @@ from speakerverification_tpu.losses.combined import (  # noqa: F401
     AmSoftmaxProto,
     SoftmaxAngularProto,
 )
+from speakerverification_tpu.losses.sharded import (  # noqa: F401
+    ShardedAAmSoftmax,
+)
 import speakerverification_tpu.losses.adaptive  # noqa: F401
 import speakerverification_tpu.losses.margin_extra  # noqa: F401
 import speakerverification_tpu.losses.proxy  # noqa: F401

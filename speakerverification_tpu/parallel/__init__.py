@@ -4,6 +4,11 @@ from speakerverification_tpu.parallel.dp import (  # noqa: F401
     replicate_state,
     shard_batch,
 )
+from speakerverification_tpu.parallel.tp import (  # noqa: F401
+    make_dp_tp_train_step,
+    shard_state_tp,
+    tp_state_specs,
+)
 from speakerverification_tpu.parallel.multihost import (  # noqa: F401
     global_batch,
     is_multiprocess,

@@ -1,0 +1,96 @@
+"""Data × tensor (class-sharded classifier) parallel training.
+
+2-D mesh ``(data, model)``: the batch is sharded over ``data`` exactly
+as in parallel/dp.py, while the classifier head's weight — and its
+optimizer moments — are sharded row-wise over ``model``
+(losses/sharded.py::ShardedAAmSoftmax). The backbone stays replicated
+across ``model`` (it is ≤ ~20 M parameters in every reference config;
+the classifier is what grows with the speaker inventory). Collectives:
+
+* gradient/metric/batch-stat ``pmean`` over ``data`` (as DP);
+* ``pmax``/``psum`` over ``model`` inside the loss forward, with the
+  matching backward collectives emitted by autodiff — replicated
+  parameters therefore receive identical gradients on every model
+  shard and need no extra synchronization.
+
+The reference has no tensor parallelism at all (SURVEY.md §2.8: DDP
+only, src/trainer.py:292-299); this is the TPU-native headroom for
+10^5-10^6-speaker classifier heads.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from speakerverification_tpu.training.train_step import make_train_step
+
+__all__ = ["tp_state_specs", "shard_state_tp", "make_dp_tp_train_step"]
+
+
+def _path_keys(path) -> list:
+    keys = []
+    for p in path:
+        keys.append(getattr(p, "key", getattr(p, "name", None)))
+    return keys
+
+
+def tp_state_specs(state, model_axis: str = "model", n_model: int = 1):
+    """PartitionSpec pytree for a TrainState: the loss head's 2-D
+    ``weight`` (and its mirrored optimizer moments) sharded row-wise on
+    ``model_axis``; everything else replicated.
+
+    ``n_model`` guards divisibility: a weight is only sharded when its
+    class dimension divides evenly."""
+
+    def spec(path, leaf):
+        keys = _path_keys(path)
+        if (getattr(leaf, "ndim", 0) == 2 and keys and keys[-1] == "weight"
+                and "loss" in keys and leaf.shape[0] % max(n_model, 1) == 0):
+            return P(model_axis, None)
+        return P()
+
+    return jax.tree_util.tree_map_with_path(spec, state)
+
+
+def shard_state_tp(state, mesh: Mesh, model_axis: str = "model"):
+    """Place a train state on the 2-D mesh with the classifier weight
+    (and optimizer moments) sharded over ``model_axis``."""
+    n_model = mesh.shape[model_axis]
+    specs = tp_state_specs(state, model_axis, n_model)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), state, specs)
+
+
+def make_dp_tp_train_step(model, tx, mesh: Mesh, state_template,
+                          data_axis: str = "data", model_axis: str = "model",
+                          donate: bool = True, compute_dtype=None) -> Callable:
+    """Build the 2-D-sharded ``step(state, wave, label, rng, lr)``.
+
+    ``state_template`` provides the pytree structure for the per-leaf
+    partition specs (pass the actual initial state). The model's loss
+    head must be model-axis-aware (ShardedAAmSoftmax); batches are
+    globally-shaped and sharded on ``data_axis`` (replicated across the
+    model axis).
+    """
+    n_model = mesh.shape[model_axis]
+    inner = make_train_step(model, tx, axis_name=data_axis,
+                            compute_dtype=compute_dtype,
+                            grad_scale=1.0 / n_model)
+
+    def per_shard(state, wave, label, rng, lr):
+        # fold the DATA index only: model shards must draw identical
+        # augmentation randomness or the replicated backbone diverges
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(data_axis))
+        return inner(state, wave, label, rng, lr)
+
+    n_model = mesh.shape[model_axis]
+    state_specs = tp_state_specs(state_template, model_axis, n_model)
+    smapped = jax.shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(state_specs, P(data_axis), P(data_axis), P(), P()),
+        out_specs=(state_specs, P()),
+        check_vma=False)
+    return jax.jit(smapped, donate_argnums=(0,) if donate else ())

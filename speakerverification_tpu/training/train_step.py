@@ -33,7 +33,8 @@ __all__ = ["make_train_step", "make_eval_embed_fn"]
 
 def make_train_step(model, tx: optax.GradientTransformation,
                     axis_name: Optional[str] = None,
-                    compute_dtype: Optional[jnp.dtype] = None) -> Callable:
+                    compute_dtype: Optional[jnp.dtype] = None,
+                    grad_scale: float = 1.0) -> Callable:
     """Build ``step(state, wave, label, rng, lr) -> (state, metrics)``.
 
     With ``axis_name`` set, the step is meant to run inside ``shard_map``
@@ -67,6 +68,13 @@ def make_train_step(model, tx: optax.GradientTransformation,
 
         (loss, (prec1, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
+
+        if grad_scale != 1.0:
+            # model-parallel losses compute the identical GLOBAL loss on
+            # every model shard from psum'ed partials; the psum transpose
+            # then collects each shard's cotangent, scaling every gradient
+            # by n_model — undo it (parallel/tp.py passes 1/n_model)
+            grads = jax.tree_util.tree_map(lambda g: g * grad_scale, grads)
 
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)

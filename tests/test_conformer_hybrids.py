@@ -19,10 +19,10 @@ def _init_apply(model, x, train=False):
     rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
     variables = model.init(rngs, x)
     if train:
-        return model.apply(variables, x, train=True,
-                           mutable=["batch_stats"],
-                           rngs={"dropout": jax.random.PRNGKey(2)})[0]
-    return model.apply(variables, x)
+        return jax.jit(lambda v, x: model.apply(
+            v, x, train=True, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.PRNGKey(2)}))(variables, x)[0]
+    return jax.jit(model.apply)(variables, x)
 
 
 def test_conformer_speaker():

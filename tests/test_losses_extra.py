@@ -17,8 +17,9 @@ def _run(name, x=X3, label=LBL, **kw):
     loss_mod = build_loss(name, nOut=16, nClasses=10, **kw)
     rngs = {"params": jax.random.PRNGKey(0), "mining": jax.random.PRNGKey(1)}
     variables = loss_mod.init(rngs, x, label)
-    return loss_mod.apply(variables, x, label,
-                          rngs={"mining": jax.random.PRNGKey(2)})
+    apply = jax.jit(lambda v, x, l: loss_mod.apply(
+        v, x, l, rngs={"mining": jax.random.PRNGKey(2)}))
+    return apply(variables, x, label)
 
 
 ALL_NEW = ["ARmSoftmax", "AngularPenaltySMLoss", "MultiSimilarity",
@@ -45,7 +46,7 @@ def test_loss_differentiable(name):
                               rngs={"mining": jax.random.PRNGKey(2)})
         return l
 
-    g = jax.grad(f)(X3)
+    g = jax.jit(jax.grad(f))(X3)
     assert np.all(np.isfinite(np.asarray(g))), name
     assert float(jnp.abs(g).sum()) > 0, name
 

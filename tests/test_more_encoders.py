@@ -19,8 +19,9 @@ def _feats(b=1, t=64, m=40, seed=0):
 
 def _train_apply(model, x):
     v = model.init(RNGS, x)
-    out, _ = model.apply(v, x, train=True, mutable=["batch_stats"],
-                         rngs={"dropout": jax.random.PRNGKey(2)})
+    out, _ = jax.jit(lambda v, x: model.apply(
+        v, x, train=True, mutable=["batch_stats"],
+        rngs={"dropout": jax.random.PRNGKey(2)}))(v, x)
     return out
 
 

@@ -39,10 +39,16 @@ def test_optimizer_reduces_quadratic(name):
                          momentum=0.9, **extra)
     opt_state = tx.init(params)
     l0 = float(loss(params))
-    for _ in range(50):
+
+    @jax.jit
+    def step(params, opt_state):
         grads = jax.grad(loss)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
-        params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+        return jax.tree_util.tree_map(lambda p, u: p + u, params,
+                                      updates), opt_state
+
+    for _ in range(50):
+        params, opt_state = step(params, opt_state)
     l1 = float(loss(params))
     assert l1 < l0 * 0.9, f"{name}: {l0} -> {l1}"
 

@@ -16,10 +16,10 @@ T = 16000  # 1 s keeps CPU compile time reasonable
 def _run(model, x, train=False):
     variables = model.init(jax.random.PRNGKey(0), x)
     if train:
-        out, _ = model.apply(variables, x, train=True,
-                             mutable=["batch_stats"])
+        out, _ = jax.jit(lambda v, x: model.apply(
+            v, x, train=True, mutable=["batch_stats"]))(variables, x)
         return out, variables
-    return model.apply(variables, x), variables
+    return jax.jit(model.apply)(variables, x), variables
 
 
 def test_sinc_init_mel_spaced():

@@ -19,7 +19,7 @@ def test_resnetse34_forward():
     model = build_model("ResNetSE34", nOut=64, n_mels=40)
     x = _feats()
     variables = model.init(jax.random.PRNGKey(0), x)
-    out = model.apply(variables, x)
+    out = jax.jit(model.apply)(variables, x)
     assert out.shape == (2, 64)
     assert np.all(np.isfinite(np.asarray(out)))
 
@@ -29,7 +29,7 @@ def test_resnetse34v2_sap():
                         encoder_type="SAP")
     x = _feats(seed=1)
     variables = model.init(jax.random.PRNGKey(0), x)
-    out = model.apply(variables, x)
+    out = jax.jit(model.apply)(variables, x)
     assert out.shape == (2, 32)
 
 
@@ -41,8 +41,8 @@ def test_resnetse_bottleneck():
                      num_filters=(8, 8, 16, 16), n_mels=40)
     x = _feats(seed=2)
     variables = model.init(jax.random.PRNGKey(0), x)
-    out, mutated = model.apply(variables, x, train=True,
-                               mutable=["batch_stats"])
+    out, mutated = jax.jit(lambda v, x: model.apply(
+        v, x, train=True, mutable=["batch_stats"]))(variables, x)
     assert out.shape == (2, 32)
     assert np.all(np.isfinite(np.asarray(out)))
 
@@ -57,7 +57,7 @@ def test_titanet_s_forward():
     model = build_model("TitaNet", nOut=48, model_size="s", n_mega_blocks=2)
     x = _feats(seed=3)
     variables = model.init(jax.random.PRNGKey(0), x)
-    out = model.apply(variables, x)
+    out = jax.jit(model.apply)(variables, x)
     assert out.shape == (2, 48)
     assert np.all(np.isfinite(np.asarray(out)))
 
@@ -68,9 +68,9 @@ def test_titanet_train_dropout_rng():
     variables = model.init(
         {"params": jax.random.PRNGKey(0),
          "dropout": jax.random.PRNGKey(1)}, x)
-    out, mutated = model.apply(
-        variables, x, train=True, mutable=["batch_stats"],
-        rngs={"dropout": jax.random.PRNGKey(2)})
+    out, mutated = jax.jit(lambda v, x: model.apply(
+        v, x, train=True, mutable=["batch_stats"],
+        rngs={"dropout": jax.random.PRNGKey(2)}))(variables, x)
     assert out.shape == (2, 16)
     assert "batch_stats" in mutated
 

@@ -32,10 +32,15 @@ def test_second_order_reduces_quadratic(name, lr, steps):
     tx = build_optimizer(name, learning_rate=lr)
     s = tx.init(params)
     l0 = float(loss(params))
-    for _ in range(steps):
+
+    @jax.jit
+    def step(params, s):
         g = jax.grad(loss)(params)
         u, s = tx.update(g, s, params)
-        params = jax.tree_util.tree_map(lambda p, uu: p + uu, params, u)
+        return jax.tree_util.tree_map(lambda p, uu: p + uu, params, u), s
+
+    for _ in range(steps):
+        params, s = step(params, s)
     assert float(loss(params)) < l0 * 0.2, f"{name}: {float(loss(params))}"
 
 
