@@ -41,9 +41,17 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import numpy as np
+
+_T0 = time.perf_counter()
+
+
+def _log(msg: str) -> None:
+    print(f"[bench +{time.perf_counter() - _T0:6.1f}s] {msg}",
+          file=sys.stderr, flush=True)
 
 ASSUMED_REFERENCE_UTTS_PER_SEC = 100.0
 PEAK_BF16_TFLOPS = 197.0          # TPU v5e (v5 lite) bf16 peak per chip
@@ -130,6 +138,7 @@ def main() -> None:
 
     embed = make_eval_embed_fn(model_bf16, normalize=True,
                                compute_dtype=jnp.bfloat16)
+    _log("compiling embed")
     lowered = jax.jit(embed).lower(params, batch_stats, wave)
     compiled = lowered.compile()
     embed_flops = _flops_of(compiled)
@@ -156,6 +165,7 @@ def main() -> None:
         w, _ = jax.lax.scan(body, wave, None, length=ITERS)
         return w[0, :4]
 
+    _log("compiling chained embed")
     np.asarray(embed_chained(params, batch_stats, wave))      # compile+warm
     cdt = float("inf")
     for _ in range(4):
@@ -177,11 +187,8 @@ def main() -> None:
     state = create_train_state(model_bf16, tx, jax.random.PRNGKey(0),
                                twave, tlabel)
     step_fn = make_train_step(model_bf16, tx, compute_dtype=jnp.bfloat16)
-    step = jax.jit(step_fn)
     step_rng = jax.random.PRNGKey(1)
     lr = jnp.float32(1e-3)
-    train_flops = _flops_of(
-        step.lower(state, twave, tlabel, step_rng, lr).compile())
 
     TRAIN_ITERS = 5
 
@@ -195,7 +202,10 @@ def main() -> None:
         _, losses = jax.lax.scan(body, state, None, length=TRAIN_ITERS)
         return losses[-1]
 
-    np.asarray(train_chained(state))                        # compile+warm
+    _log("compiling chained train step")
+    train_compiled = train_chained.lower(state).compile()
+    train_flops = _flops_of(train_compiled) / TRAIN_ITERS
+    np.asarray(train_chained(state))                        # warm
     tdt = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
@@ -205,7 +215,9 @@ def main() -> None:
     train_tflops = train_flops * TRAIN_ITERS / tdt / 1e12
     train_mfu = 100.0 * train_tflops / PEAK_BF16_TFLOPS
 
+    _log("measuring practical peak")
     practical = _practical_peak_tflops()
+    _log("done")
 
     print(json.dumps({
         "metric": "ECAPA-TDNN embedding extraction throughput "

@@ -84,6 +84,16 @@ def encoder_from_hparams(hparams: Mapping,
     if with_loss:
         crit = dict(hparams.get("criterion", {}))
         crit_name = crit.pop("name", "AAmSoftmax")
+        if int(hparams.get("model_parallel", 1) or 1) > 1:
+            # class-sharded classifier over the 2-D data×model mesh
+            # (parallel/tp.py); the plain margin head maps onto its
+            # sharded twin, other heads must opt in explicitly
+            if crit_name == "AAmSoftmax":
+                crit_name = "ShardedAAmSoftmax"
+            elif crit_name != "ShardedAAmSoftmax":
+                raise ValueError(
+                    f"model_parallel > 1 requires a class-sharded loss "
+                    f"head (ShardedAAmSoftmax), got {crit_name}")
         loss = build_loss(crit_name, nOut=n_out,
                           nClasses=int(hparams.get("nClasses", 2)), **crit)
 

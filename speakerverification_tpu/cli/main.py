@@ -44,6 +44,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--data_parallel", action="store_true", default=None,
                    help="alias of --distributed (the reference's beta "
                         "nn.DataParallel path is subsumed by shard_map DP)")
+    p.add_argument("--model_parallel", type=int, default=None,
+                   help="shard the classifier head's classes over this "
+                        "many devices (2-D data x model mesh; needs "
+                        "--distributed; no reference equivalent)")
     p.add_argument("--mixedprec", action="store_true", default=None,
                    help="bf16 compute (replaces CUDA AMP; no loss scaling)")
     p.add_argument("--distributed_backend", type=str, default=None,

@@ -107,22 +107,43 @@ class Trainer:
         # (parity: the reference's --distributed DDP flag, src/main.py:68;
         # here one process drives the whole mesh — no mp.spawn/rendezvous)
         self.mesh = None
+        self.model_parallel = int(hparams.get("model_parallel", 1) or 1)
+        self._compute_dtype = compute_dtype
         if hparams.get("distributed") and len(jax.devices()) > 1:
             from speakerverification_tpu.parallel import make_dp_train_step, make_mesh
-            self.mesh = make_mesh(("data",))     # all devices, all processes
-            n_dev = self.mesh.devices.size
+            mp_ = self.model_parallel
+            if mp_ > 1:
+                # 2-D mesh: DP over data × class-sharded classifier over
+                # model (parallel/tp.py; no reference equivalent)
+                if self.multiprocess:
+                    raise NotImplementedError(
+                        "model_parallel with multi-host training is not "
+                        "supported yet — use single-host DP×TP")
+                n_all = len(jax.devices())
+                if n_all % mp_ != 0:
+                    raise ValueError(f"model_parallel {mp_} must divide "
+                                     f"{n_all} devices")
+                self.mesh = make_mesh(("data", "model"),
+                                      shape=(n_all // mp_, mp_))
+            else:
+                self.mesh = make_mesh(("data",))  # all devices, all processes
+            n_dev = self.mesh.shape["data"]
             # batch_size is per-PROCESS (parity: the reference's per-GPU
-            # DDP batch); it must divide this process's device count so
-            # every local device gets equal rows of the global array.
+            # DDP batch); it must divide this process's data-axis device
+            # count so every shard gets equal rows of the global array.
             local_dev = n_dev // max(jax.process_count(), 1)
             if int(hparams.get("batch_size", 0)) % max(local_dev, 1) != 0:
                 raise ValueError(
                     f"batch_size {hparams.get('batch_size')} must divide by "
-                    f"{local_dev} local devices for --distributed")
-            self.step_fn = make_dp_train_step(self.model, self.tx,
-                                              self.mesh, donate=True,
-                                              compute_dtype=compute_dtype)
+                    f"{local_dev} local data-shards for --distributed")
+            if mp_ > 1:
+                self.step_fn = None   # built in fit(): needs the state tree
+            else:
+                self.step_fn = make_dp_train_step(self.model, self.tx,
+                                                  self.mesh, donate=True,
+                                                  compute_dtype=compute_dtype)
             print(f"[INFO] data-parallel over {n_dev} devices"
+                  + (f" × {mp_} model shards" if mp_ > 1 else "")
                   + (f" across {jax.process_count()} processes"
                      if self.multiprocess else ""))
         else:
@@ -340,6 +361,15 @@ class Trainer:
                 from speakerverification_tpu.parallel import replicate_global
                 self.state = replicate_global(
                     jax.device_get(self.state), self.mesh)
+            elif self.model_parallel > 1:
+                from speakerverification_tpu.parallel import (
+                    make_dp_tp_train_step,
+                    shard_state_tp,
+                )
+                self.state = shard_state_tp(self.state, self.mesh)
+                self.step_fn = make_dp_tp_train_step(
+                    self.model, self.tx, self.mesh, self.state,
+                    donate=True, compute_dtype=self._compute_dtype)
             else:
                 from speakerverification_tpu.parallel import replicate_state
                 self.state = replicate_state(self.state, self.mesh)

@@ -132,3 +132,62 @@ def test_dp_tp_second_step_stays_finite():
         losses.append(float(metrics["loss"]))
     assert all(np.isfinite(l) for l in losses)
     assert losses[-1] < losses[0]
+
+
+def test_trainer_model_parallel_flag(tmp_path):
+    """Trainer with distributed + model_parallel: 2 trains over the 4×2
+    mesh through the standard config path (AAmSoftmax auto-mapped to its
+    class-sharded twin by the builder)."""
+    from speakerverification_tpu.data import write_wav
+    from speakerverification_tpu.data.manifest import generate_metadata
+    from speakerverification_tpu.losses.sharded import ShardedAAmSoftmax
+    from speakerverification_tpu.training.trainer import Trainer
+
+    rng = np.random.default_rng(0)
+    for s in range(16):
+        for u in range(4):
+            write_wav(tmp_path / "d" / f"spk{s:02d}" / f"u{u}.wav",
+                      rng.normal(0, 0.1, 9000).astype(np.float32), 8000)
+    generate_metadata(tmp_path / "d", tmp_path / "m", num_val_utts=0)
+
+    hparams = {
+        "distributed": True,
+        "model_parallel": 2,
+        "seed": 0,
+        "save_folder": str(tmp_path / "save"),
+        "train_annotation": str(tmp_path / "m" / "train.csv"),
+        "number_of_epochs": 1,
+        "batch_size": 8,
+        "lr": 1e-3,
+        "nClasses": 16,
+        "dataloader_options": {"batch_size": 8, "num_workers": 2,
+                               "max_seg_per_spk": 10, "nPerSpeaker": 2},
+        "audio_spec": {"sample_rate": 8000, "sentence_len": 1.0,
+                       "win_len": 0.025, "hop_len": 0.01},
+        "n_mels": 40,
+        "features": "melspectrogram",
+        "model": {"name": "ECAPA_TDNN", "nOut": 16,
+                  "channels": [32, 32, 32, 32, 96],
+                  "kernel_sizes": [5, 3, 3, 3, 1],
+                  "dilations": [1, 2, 3, 4, 1],
+                  "attention_channels": 8, "res2net_scale": 4,
+                  "se_channels": 8},
+        "criterion": {"name": "AAmSoftmax", "margin": 0.2, "scale": 30},
+        "optimizer": {"name": "adam", "weight_decay": 0.0},
+        "callbacks": {"name": "steplr", "step_size": 10},
+        "augment": False,
+        "augment_options": {"augment_chain": []},
+        "test_interval": -1,
+        "save_model_last": True,
+    }
+    trainer = Trainer(hparams)
+    assert isinstance(trainer.model.loss, ShardedAAmSoftmax)
+    assert trainer.mesh is not None
+    assert dict(zip(trainer.mesh.axis_names, trainer.mesh.devices.shape)) \
+        == {"data": 4, "model": 2}
+    result = trainer.fit()
+    assert np.isfinite(result["min_loss"])
+    # classifier weight stayed sharded over the model axis during training
+    w = trainer.state.params["loss"]["weight"]
+    assert w.shape == (16, 16)
+    assert w.sharding.spec[0] == "model"
