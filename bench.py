@@ -118,6 +118,11 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    # persistent compile cache: repeat bench runs (and the driver's) hit
+    # the cache instead of paying multi-minute remote TPU compiles
+    jax.config.update("jax_compilation_cache_dir", "/tmp/svtpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from __graft_entry__ import _flagship
     from speakerverification_tpu.training.train_step import (
         make_eval_embed_fn,
@@ -139,16 +144,18 @@ def main() -> None:
     embed = make_eval_embed_fn(model_bf16, normalize=True,
                                compute_dtype=jnp.bfloat16)
     _log("compiling embed")
-    lowered = jax.jit(embed).lower(params, batch_stats, wave)
-    compiled = lowered.compile()
+    # make_eval_embed_fn's embed is already jitted — lower/compile ONCE
+    # and call the compiled object (a second jit would recompile the
+    # same program, minutes over the remote-compile tunnel)
+    compiled = embed.lower(params, batch_stats, wave).compile()
     embed_flops = _flops_of(compiled)
 
     for _ in range(WARMUP):
         # NOTE: under the axon tunnel block_until_ready can return before
         # the device finishes; a D2H fetch is the only reliable fence.
-        np.asarray(embed(params, batch_stats, wave))
+        np.asarray(compiled(params, batch_stats, wave))
 
-    dt = _time_best(lambda: embed(params, batch_stats, wave),
+    dt = _time_best(lambda: compiled(params, batch_stats, wave),
                     lambda out: np.asarray(out))
     utts_per_sec_percall = BATCH * ITERS / dt
 
@@ -166,11 +173,13 @@ def main() -> None:
         return w[0, :4]
 
     _log("compiling chained embed")
-    np.asarray(embed_chained(params, batch_stats, wave))      # compile+warm
+    embed_chained_c = embed_chained.lower(params, batch_stats,
+                                          wave).compile()
+    np.asarray(embed_chained_c(params, batch_stats, wave))    # warm
     cdt = float("inf")
     for _ in range(4):
         t0 = time.perf_counter()
-        np.asarray(embed_chained(params, batch_stats, wave))
+        np.asarray(embed_chained_c(params, batch_stats, wave))
         cdt = min(cdt, time.perf_counter() - t0)
     utts_per_sec = BATCH * ITERS / cdt
     embed_tflops = embed_flops * ITERS / cdt / 1e12
@@ -204,12 +213,14 @@ def main() -> None:
 
     _log("compiling chained train step")
     train_compiled = train_chained.lower(state).compile()
-    train_flops = _flops_of(train_compiled) / TRAIN_ITERS
-    np.asarray(train_chained(state))                        # warm
+    # XLA cost analysis counts a lax.scan body ONCE (trip count is not
+    # folded in), so this is already the per-step FLOPs
+    train_flops = _flops_of(train_compiled)
+    np.asarray(train_compiled(state))                       # warm
     tdt = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        np.asarray(train_chained(state))
+        np.asarray(train_compiled(state))
         tdt = min(tdt, time.perf_counter() - t0)
     train_utts = tb * 2 * TRAIN_ITERS / tdt
     train_tflops = train_flops * TRAIN_ITERS / tdt / 1e12
