@@ -176,11 +176,8 @@ def main() -> None:
     embed_chained_c = embed_chained.lower(params, batch_stats,
                                           wave).compile()
     np.asarray(embed_chained_c(params, batch_stats, wave))    # warm
-    cdt = float("inf")
-    for _ in range(4):
-        t0 = time.perf_counter()
-        np.asarray(embed_chained_c(params, batch_stats, wave))
-        cdt = min(cdt, time.perf_counter() - t0)
+    cdt = _time_best(lambda: embed_chained_c(params, batch_stats, wave),
+                     lambda out: np.asarray(out), windows=4, iters=1)
     utts_per_sec = BATCH * ITERS / cdt
     embed_tflops = embed_flops * ITERS / cdt / 1e12
     embed_mfu = 100.0 * embed_tflops / PEAK_BF16_TFLOPS
@@ -217,11 +214,8 @@ def main() -> None:
     # folded in), so this is already the per-step FLOPs
     train_flops = _flops_of(train_compiled)
     np.asarray(train_compiled(state))                       # warm
-    tdt = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        np.asarray(train_compiled(state))
-        tdt = min(tdt, time.perf_counter() - t0)
+    tdt = _time_best(lambda: train_compiled(state),
+                     lambda out: np.asarray(out), windows=3, iters=1)
     train_utts = tb * 2 * TRAIN_ITERS / tdt
     train_tflops = train_flops * TRAIN_ITERS / tdt / 1e12
     train_mfu = 100.0 * train_tflops / PEAK_BF16_TFLOPS

@@ -76,6 +76,18 @@ def make_dp_tp_train_step(model, tx, mesh: Mesh, state_template,
     model axis).
     """
     n_model = mesh.shape[model_axis]
+    state_specs = tp_state_specs(state_template, model_axis, n_model)
+    if not any(s == P(model_axis, None)
+               for s in jax.tree_util.tree_leaves(
+                   state_specs, is_leaf=lambda x: isinstance(x, P))):
+        # grad_scale below compensates the model-axis psum transpose; if
+        # no leaf actually sharded (e.g. nClasses not divisible by
+        # n_model) the loss takes its unsharded path and the scale would
+        # silently halve every update — fail loudly instead
+        raise ValueError(
+            f"no 2-D loss weight is sharded over '{model_axis}' "
+            f"(nClasses must be divisible by model_parallel={n_model}); "
+            "pad the class count or lower model_parallel")
     inner = make_train_step(model, tx, axis_name=data_axis,
                             compute_dtype=compute_dtype,
                             grad_scale=1.0 / n_model)
@@ -85,9 +97,6 @@ def make_dp_tp_train_step(model, tx, mesh: Mesh, state_template,
         # augmentation randomness or the replicated backbone diverges
         rng = jax.random.fold_in(rng, jax.lax.axis_index(data_axis))
         return inner(state, wave, label, rng, lr)
-
-    n_model = mesh.shape[model_axis]
-    state_specs = tp_state_specs(state_template, model_axis, n_model)
     smapped = jax.shard_map(
         per_shard, mesh=mesh,
         in_specs=(state_specs, P(data_axis), P(data_axis), P(), P()),

@@ -65,6 +65,17 @@ class Trainer:
     def __init__(self, hparams: Mapping, num_replicas: int = 1, rank: int = 0):
         self.hparams = dict(hparams)
 
+        # fail fast: model_parallel without a multi-device DP mesh would
+        # silently train an unsharded head (the builder swaps the loss
+        # class regardless)
+        self.model_parallel = int(hparams.get("model_parallel", 1) or 1)
+        if self.model_parallel > 1 and not (
+                hparams.get("distributed") and len(jax.devices()) > 1):
+            raise ValueError(
+                f"model_parallel={self.model_parallel} requires "
+                f"--distributed and >1 visible device "
+                f"(have {len(jax.devices())})")
+
         # Multi-host: one process per host drives its local devices; the
         # sampler shards per PROCESS (the reference's per-rank TrainSampler
         # slicing, src/dataloader.py:219-227 — there, one process per GPU).
@@ -107,7 +118,6 @@ class Trainer:
         # (parity: the reference's --distributed DDP flag, src/main.py:68;
         # here one process drives the whole mesh — no mp.spawn/rendezvous)
         self.mesh = None
-        self.model_parallel = int(hparams.get("model_parallel", 1) or 1)
         self._compute_dtype = compute_dtype
         if hparams.get("distributed") and len(jax.devices()) > 1:
             from speakerverification_tpu.parallel import make_dp_train_step, make_mesh
@@ -343,7 +353,12 @@ class Trainer:
             listfile,
             self.hparams["audio_spec"],
             num_eval=int(self.hparams.get("num_eval", 10)),
-            scoring_mode=mode, cohorts=cohorts)
+            scoring_mode=mode, cohorts=cohorts,
+            # embed_fn already applied the head's test_normalize — don't
+            # re-normalize here or heads with test_normalize=False score a
+            # different metric during validation than at --eval
+            # (inference.py passes normalize=False for the same reason)
+            normalize=False)
         return tune_threshold_from_score(sc, lab, [1, 0.1])["roc"][1]
 
     # ------------------------------------------------------------------

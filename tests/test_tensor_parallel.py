@@ -191,3 +191,30 @@ def test_trainer_model_parallel_flag(tmp_path):
     w = trainer.state.params["loss"]["weight"]
     assert w.shape == (16, 16)
     assert w.sharding.spec[0] == "model"
+
+
+def test_dp_tp_rejects_non_divisible_classes():
+    """nClasses not divisible by model_parallel must fail loudly — the
+    silent fallback used to halve every update via grad_scale."""
+    import pytest
+
+    wave, label = _batch()
+    tx = build_optimizer("adam", learning_rate=1e-2)
+    sharded = _make(ShardedAAmSoftmax(nOut=N_OUT, nClasses=15))
+    mesh = make_mesh(("data", "model"), shape=(4, 2))
+    state = create_train_state(sharded, tx, jax.random.PRNGKey(0),
+                               jnp.asarray(wave), jnp.asarray(label % 15))
+    with pytest.raises(ValueError, match="divisible"):
+        make_dp_tp_train_step(sharded, tx, mesh, state, donate=False)
+
+
+def test_trainer_model_parallel_requires_distributed(tmp_path):
+    import pytest
+
+    from speakerverification_tpu.training.trainer import Trainer
+
+    hparams = {"model_parallel": 2, "seed": 0,
+               "save_folder": str(tmp_path / "save"),
+               "train_annotation": str(tmp_path / "none.csv")}
+    with pytest.raises(ValueError, match="model_parallel"):
+        Trainer(hparams)
