@@ -47,3 +47,35 @@ def mel_frames_for_spec(audio_spec: Mapping, center: bool = True) -> int:
         return 1 + samples // hop
     win = int(round(audio_spec.get("win_len", 0.025) * sr))
     return 1 + (samples - win) // hop
+
+
+def _main() -> None:
+    """Model-plot CLI (parity: the reference's ``python src/model.py``
+    __main__ block, src/model.py:797-833: build the model from
+    yaml/model_plot.yaml, print the parameter table and the mel frame
+    count for the configured audio_spec)."""
+    import argparse
+
+    import jax.numpy as jnp
+
+    from speakerverification_tpu.builder import encoder_from_hparams
+    from speakerverification_tpu.config import read_config
+
+    p = argparse.ArgumentParser(description="model summary / plot tool")
+    p.add_argument("--config", type=str, default="yaml/model_plot.yaml")
+    p.add_argument("--max_depth", type=int, default=2)
+    args = p.parse_args()
+
+    hparams = read_config(args.config)
+    model = encoder_from_hparams(hparams, with_loss=False)
+    spec = hparams.get("audio_spec", {})
+    sr = int(spec.get("sample_rate", 16000))
+    t = int(float(spec.get("sentence_len", 2.0)) * sr)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, t)))
+    print(summarize_params(variables["params"], max_depth=args.max_depth))
+    print(f"\ninput: {t} samples @ {sr} Hz -> "
+          f"{mel_frames_for_spec(spec)} mel frames")
+
+
+if __name__ == "__main__":
+    _main()
