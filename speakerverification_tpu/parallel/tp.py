@@ -27,7 +27,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from speakerverification_tpu.training.train_step import make_train_step
 
-__all__ = ["tp_state_specs", "shard_state_tp", "make_dp_tp_train_step"]
+__all__ = ["tp_state_specs", "shard_state_tp",
+           "shard_state_tp_global", "make_dp_tp_train_step"]
 
 
 def _path_keys(path) -> list:
@@ -62,6 +63,36 @@ def shard_state_tp(state, mesh: Mesh, model_axis: str = "model"):
     specs = tp_state_specs(state, model_axis, n_model)
     return jax.tree_util.tree_map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), state, specs)
+
+
+def shard_state_tp_global(state_host, mesh: Mesh,
+                          model_axis: str = "model"):
+    """Multi-process variant of :func:`shard_state_tp`: build GLOBAL
+    arrays from per-process host copies.
+
+    Every process passes the identical full host-side state (same init
+    seed everywhere); the model axis must lie within each process (every
+    process's devices cover all class shards), so the process-local data
+    for every leaf is simply the full array. Requires the mesh's model
+    axis to not cross process boundaries — asserted.
+    """
+    assert mesh.axis_names[-1] == model_axis, (
+        "shard_state_tp_global assumes the model axis is the minor mesh "
+        f"axis, got {mesh.axis_names}")
+    for row in mesh.devices.reshape(-1, mesh.shape[model_axis]):
+        procs = {d.process_index for d in row}
+        assert len(procs) == 1, (
+            f"model axis crosses processes ({procs}); model_parallel must "
+            "divide the per-process device count")
+    n_model = mesh.shape[model_axis]
+    specs = tp_state_specs(state_host, model_axis, n_model)
+
+    def put(x, s):
+        import numpy as np
+        return jax.make_array_from_process_local_data(
+            NamedSharding(mesh, s), np.asarray(x))
+
+    return jax.tree_util.tree_map(put, state_host, specs)
 
 
 def make_dp_tp_train_step(model, tx, mesh: Mesh, state_template,

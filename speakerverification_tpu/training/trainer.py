@@ -124,15 +124,15 @@ class Trainer:
             mp_ = self.model_parallel
             if mp_ > 1:
                 # 2-D mesh: DP over data × class-sharded classifier over
-                # model (parallel/tp.py; no reference equivalent)
-                if self.multiprocess:
-                    raise NotImplementedError(
-                        "model_parallel with multi-host training is not "
-                        "supported yet — use single-host DP×TP")
+                # model (parallel/tp.py; no reference equivalent). The
+                # model axis must fit inside one process so every host
+                # holds all class shards locally (shard_state_tp_global).
                 n_all = len(jax.devices())
-                if n_all % mp_ != 0:
-                    raise ValueError(f"model_parallel {mp_} must divide "
-                                     f"{n_all} devices")
+                local = n_all // max(jax.process_count(), 1)
+                if local % mp_ != 0:
+                    raise ValueError(
+                        f"model_parallel {mp_} must divide the "
+                        f"{local} devices local to each process")
                 self.mesh = make_mesh(("data", "model"),
                                       shape=(n_all // mp_, mp_))
             else:
@@ -370,21 +370,29 @@ class Trainer:
         first_batch = next(iter(self.loader))
         self._init_state(first_batch)
         if self.mesh is not None:
-            if self.multiprocess:
+            if self.model_parallel > 1:
+                from speakerverification_tpu.parallel import (
+                    make_dp_tp_train_step,
+                    shard_state_tp,
+                    shard_state_tp_global,
+                )
+                if self.multiprocess:
+                    # identical init on every process (same seed); the
+                    # model axis lives inside each process, so the full
+                    # host copy is the process-local data for every leaf
+                    self.state = shard_state_tp_global(
+                        jax.device_get(self.state), self.mesh)
+                else:
+                    self.state = shard_state_tp(self.state, self.mesh)
+                self.step_fn = make_dp_tp_train_step(
+                    self.model, self.tx, self.mesh, self.state,
+                    donate=True, compute_dtype=self._compute_dtype)
+            elif self.multiprocess:
                 # every process seeded model init identically, so local
                 # copies agree; assemble them into one replicated global
                 from speakerverification_tpu.parallel import replicate_global
                 self.state = replicate_global(
                     jax.device_get(self.state), self.mesh)
-            elif self.model_parallel > 1:
-                from speakerverification_tpu.parallel import (
-                    make_dp_tp_train_step,
-                    shard_state_tp,
-                )
-                self.state = shard_state_tp(self.state, self.mesh)
-                self.step_fn = make_dp_tp_train_step(
-                    self.model, self.tx, self.mesh, self.state,
-                    donate=True, compute_dtype=self._compute_dtype)
             else:
                 from speakerverification_tpu.parallel import replicate_state
                 self.state = replicate_state(self.state, self.mesh)
