@@ -16,6 +16,13 @@ the classifier is what grows with the speaker inventory). Collectives:
 The reference has no tensor parallelism at all (SURVEY.md §2.8: DDP
 only, src/trainer.py:292-299); this is the TPU-native headroom for
 10^5-10^6-speaker classifier heads.
+
+Multi-host: works across processes as long as the model axis stays
+inside each process (``shard_state_tp_global`` builds the global sharded
+state from per-process host copies; batches ride
+``multihost.global_batch``). Data-axis collectives then cross DCN while
+the class-shard psums stay on ICI — the layout the scaling-book recipe
+prescribes for a small replicated backbone with a fat sharded head.
 """
 
 from __future__ import annotations

@@ -60,7 +60,7 @@ def test_next_family_small(which):
     import speakerverification_tpu.models.next as NX
     # batch of 2: train-mode BatchNorm on a single example zeroes the code
     wave = jnp.asarray(np.random.default_rng(1).normal(
-        0, 0.1, (2, 16000)).astype(np.float32))
+        0, 0.1, (2, 8000)).astype(np.float32))
     cls = getattr(NX, which)
     model = cls(nOut=16, levels=(1, 1, 1, 1, 1, 1),
                 channels=(32, 32, 32, 32, 64, 64))
