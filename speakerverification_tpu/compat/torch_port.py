@@ -242,3 +242,63 @@ def raw3_ecapa_from_torch_state_dict(sd: Mapping, model_scale: int = 8,
         raw_sd, model_scale=model_scale)
     return ({"ecapa": e_params, "raw_branch": r_params},
             {"ecapa": e_stats, "raw_branch": r_stats})
+
+
+def resnetse_from_torch_state_dict(sd: Mapping, layers=(3, 4, 6, 3)):
+    """Port a reference ResNetSE (SEBasicBlock trunk) state dict.
+
+    Reference: src/models/ResNetBaseline.py:141-301 with
+    src/models/blocks/ResNetBlocks.py:178-213 basic blocks (conv-bn-relu,
+    conv-bn, SE with bias-free c/16 excitation, optional 1x1+BN
+    downsample). Flax child order in models/resnetse.py::ResNetSE:
+    stem Conv_0/BatchNorm_0, SEBasicBlock_0..N (Conv_0, BatchNorm_0,
+    Conv_1, BatchNorm_1, SELayer_0{Dense_0,Dense_1}, downsample
+    Conv_2/BatchNorm_2), attention Conv_1/BatchNorm_1/Conv_2, fc Dense_0.
+    """
+    params: dict = {}
+    stats: dict = {}
+
+    def conv2d(tk, fk):
+        _set(params, f"{fk}/kernel",
+             _np(sd, f"{tk}.weight").transpose(2, 3, 1, 0))
+        if f"{tk}.bias" in sd:
+            _set(params, f"{fk}/bias", _np(sd, f"{tk}.bias"))
+
+    def conv1d(tk, fk):
+        _set(params, f"{fk}/kernel",
+             _np(sd, f"{tk}.weight").transpose(2, 1, 0))
+        if f"{tk}.bias" in sd:
+            _set(params, f"{fk}/bias", _np(sd, f"{tk}.bias"))
+
+    def bn(tk, fk):
+        _set(params, f"{fk}/scale", _np(sd, f"{tk}.weight"))
+        _set(params, f"{fk}/bias", _np(sd, f"{tk}.bias"))
+        _set(stats, f"{fk}/mean", _np(sd, f"{tk}.running_mean"))
+        _set(stats, f"{fk}/var", _np(sd, f"{tk}.running_var"))
+
+    conv2d("conv1", "Conv_0")
+    bn("bn1", "BatchNorm_0")
+
+    bi = 0
+    for g in range(4):
+        for i in range(layers[g]):
+            tp, fp = f"layer{g + 1}.{i}", f"SEBasicBlock_{bi}"
+            conv2d(f"{tp}.conv1", f"{fp}/Conv_0")
+            bn(f"{tp}.bn1", f"{fp}/BatchNorm_0")
+            conv2d(f"{tp}.conv2", f"{fp}/Conv_1")
+            bn(f"{tp}.bn2", f"{fp}/BatchNorm_1")
+            _set(params, f"{fp}/SELayer_0/Dense_0/kernel",
+                 _np(sd, f"{tp}.se.excitation.0.weight").T)
+            _set(params, f"{fp}/SELayer_0/Dense_1/kernel",
+                 _np(sd, f"{tp}.se.excitation.2.weight").T)
+            if f"{tp}.downsample.0.weight" in sd:
+                conv2d(f"{tp}.downsample.0", f"{fp}/Conv_2")
+                bn(f"{tp}.downsample.1", f"{fp}/BatchNorm_2")
+            bi += 1
+
+    conv1d("attention.0", "Conv_1")
+    bn("attention.2", "BatchNorm_1")
+    conv1d("attention.3", "Conv_2")
+    _set(params, "Dense_0/kernel", _np(sd, "fc.weight").T)
+    _set(params, "Dense_0/bias", _np(sd, "fc.bias"))
+    return params, stats

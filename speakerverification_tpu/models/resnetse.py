@@ -53,11 +53,12 @@ class SEBasicBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train=False):
         residual = x
-        out = nn.Conv(self.planes, (3, 3), self.stride, padding="SAME",
+        out = nn.Conv(self.planes, (3, 3), self.stride,
+                      padding=((1, 1), (1, 1)),
                       use_bias=False)(x)
         out = _bn(train)(out)
         out = jax.nn.relu(out)
-        out = nn.Conv(self.planes, (3, 3), padding="SAME",
+        out = nn.Conv(self.planes, (3, 3), padding=((1, 1), (1, 1)),
                       use_bias=False)(out)
         out = _bn(train)(out)
         out = SELayer()(out)
@@ -78,11 +79,12 @@ class SEBasicBlockV2(nn.Module):
     def __call__(self, x, train=False):
         residual = x
         out = jax.nn.relu(x)
-        out = nn.Conv(self.planes, (3, 3), self.stride, padding="SAME",
+        out = nn.Conv(self.planes, (3, 3), self.stride,
+                      padding=((1, 1), (1, 1)),
                       use_bias=False)(out)
         out = _bn(train)(out)
         out = jax.nn.relu(out)
-        out = nn.Conv(self.planes, (3, 3), padding="SAME",
+        out = nn.Conv(self.planes, (3, 3), padding=((1, 1), (1, 1)),
                       use_bias=False)(out)
         out = _bn(train)(out)
         out = SELayer()(out)
@@ -103,7 +105,8 @@ class SEBottleneck(nn.Module):
         residual = x
         out = nn.Conv(self.planes, (1, 1), use_bias=False)(x)
         out = jax.nn.relu(_bn(train)(out))
-        out = nn.Conv(self.planes, (3, 3), self.stride, padding="SAME",
+        out = nn.Conv(self.planes, (3, 3), self.stride,
+                      padding=((1, 1), (1, 1)),
                       use_bias=False)(out)
         out = jax.nn.relu(_bn(train)(out))
         out = nn.Conv(self.planes * 4, (1, 1), use_bias=False)(out)
@@ -146,7 +149,8 @@ class ResNetSE(nn.Module):
 
         img = jnp.transpose(x, (0, 2, 1))[..., None]   # [B, mels, T, 1]
 
-        h = nn.Conv(self.num_filters[0], (3, 3), padding="SAME")(img)
+        h = nn.Conv(self.num_filters[0], (3, 3),
+                    padding=((1, 1), (1, 1)))(img)
         h = jax.nn.relu(h)
         h = _bn(train)(h)
 

@@ -321,3 +321,55 @@ def test_conformer_relative_mhsa_parity():
         ref_out = ref(torch.from_numpy(x)).numpy()
     out = np.asarray(ours.apply({"params": params}, jnp.asarray(x)))
     np.testing.assert_allclose(out, ref_out, rtol=2e-4, atol=2e-5)
+
+
+def test_resnetse34_forward_parity():
+    """ResNetSE34 weight-port parity: the reference trunk (SEBasicBlock,
+    stride-2 torch p1 convs, freq-flattened ASP) with a randomly-init
+    torch state dict must match our Flax forward on identical features."""
+    import torch
+
+    from speakerverification_tpu.compat.torch_port import (
+        resnetse_from_torch_state_dict,
+    )
+
+    for name in ("torchaudio", "nnAudio", "nnAudio.features"):
+        sys.modules.setdefault(name, types.ModuleType(name))
+    if "/root/reference/src" not in sys.path:
+        sys.path.insert(0, "/root/reference/src")
+    from models import ResNetSE34 as RefR
+
+    torch.manual_seed(0)
+    kwargs = dict(n_mels=40, augment=False,
+                  augment_options={"augment_chain": []}, features="raw")
+    net = RefR.MainModel(nOut=32, **kwargs)
+    net.eval()
+
+    params, stats = resnetse_from_torch_state_dict(net.state_dict())
+    ours = build_model("ResNetSE34", nOut=32, n_mels=40, feature_type="raw")
+    template = ours.init(jax.random.PRNGKey(0), jnp.zeros((1, 48, 40)))
+
+    def tree_paths(t):
+        return {"/".join(k.key for k in p)
+                for p, _ in jax.tree_util.tree_flatten_with_path(t)[0]}
+
+    missing = tree_paths(template["params"]) - tree_paths(params)
+    extra = tree_paths(params) - tree_paths(template["params"])
+    assert not missing, f"unmapped params: {sorted(missing)[:5]}"
+    assert not extra, f"extra params: {sorted(extra)[:5]}"
+
+    rng = np.random.default_rng(0)
+    feats = (rng.normal(0.5, 0.2, (2, 48, 40)) ** 2).astype(np.float32)
+
+    with torch.no_grad():
+        # reference forward takes [B, n_mels, T]
+        ref = net(torch.from_numpy(feats.transpose(0, 2, 1))).numpy()
+
+    got = np.asarray(jax.jit(lambda v, x: ours.apply(v, x, train=False))(
+        {"params": params, "batch_stats": stats}, jnp.asarray(feats)))
+
+    cos = np.sum(ref * got, -1) / (
+        np.linalg.norm(ref, axis=-1) * np.linalg.norm(got, axis=-1))
+    np.testing.assert_allclose(cos, 1.0, atol=1e-5)
+    rel = np.max(np.abs(ref - got)) / (np.max(np.abs(ref)) + 1e-9)
+    assert rel < 2e-3, rel
