@@ -302,3 +302,74 @@ def resnetse_from_torch_state_dict(sd: Mapping, layers=(3, 4, 6, 3)):
     _set(params, "Dense_0/kernel", _np(sd, "fc.weight").T)
     _set(params, "Dense_0/bias", _np(sd, "fc.bias"))
     return params, stats
+
+
+def _strip_reference_prefixes(sd: Mapping) -> dict:
+    """Unwrap DDP/SpeakerEncoder prefixes from a reference checkpoint
+    (src/model.py:24-33 WrappedModel ``module.``; ``__S__.`` backbone /
+    ``__L__.`` loss; loadParameters tolerance, :718-746)."""
+    out = {}
+    for k, v in sd.items():
+        k = k.removeprefix("module.")
+        if k.startswith("__S__."):
+            k = k.removeprefix("__S__.")
+        if k.startswith("__L__.") or k.startswith("compute_features"):
+            continue
+        out[k] = v
+    return out
+
+
+_PORTERS = {
+    "ECAPA_TDNN": lambda sd, a: ecapa_from_torch_state_dict(
+        sd, n_blocks=a.n_blocks, res2net_scale=a.res2net_scale),
+    "RawNet3": lambda sd, a: rawnet3_from_torch_state_dict(
+        sd, model_scale=a.model_scale),
+    "Raw3_ECAPA": lambda sd, a: raw3_ecapa_from_torch_state_dict(
+        sd, model_scale=a.model_scale),
+    "ResNetSE34": lambda sd, a: resnetse_from_torch_state_dict(sd),
+}
+
+
+def _main() -> None:
+    """Checkpoint converter CLI:
+
+        python -m speakerverification_tpu.compat.torch_port \\
+            --arch ECAPA_TDNN --input best_state.pt --output best.msgpack
+
+    Reads a reference torch checkpoint (full SpeakerEncoder state dict
+    with ``module.``/``__S__.`` prefixes, or a bare MainModel dict),
+    maps the backbone onto our Flax tree, and writes a msgpack file
+    that ``initial_model_infer:`` / ``load_params_only`` consume
+    directly (training/checkpoint.py)."""
+    import argparse
+
+    from flax import serialization as fser
+
+    p = argparse.ArgumentParser(description=_main.__doc__)
+    p.add_argument("--arch", required=True, choices=sorted(_PORTERS))
+    p.add_argument("--input", required=True, help="reference .pt checkpoint")
+    p.add_argument("--output", required=True, help="msgpack output path")
+    p.add_argument("--n_blocks", type=int, default=4)
+    p.add_argument("--res2net_scale", type=int, default=8)
+    p.add_argument("--model_scale", type=int, default=8)
+    args = p.parse_args()
+
+    import torch
+
+    sd = torch.load(args.input, map_location="cpu", weights_only=True)
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    sd = _strip_reference_prefixes(sd)
+    params, stats = _PORTERS[args.arch](sd, args)
+    from pathlib import Path
+    out = Path(args.output)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    out.write_bytes(fser.msgpack_serialize(
+        {"params": params, "batch_stats": stats}))
+    n = sum(int(np.prod(l.shape)) for l in
+            __import__("jax").tree_util.tree_leaves(params))
+    print(f"wrote {out} ({n:,} params, arch {args.arch})")
+
+
+if __name__ == "__main__":
+    _main()

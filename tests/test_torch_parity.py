@@ -373,3 +373,40 @@ def test_resnetse34_forward_parity():
     np.testing.assert_allclose(cos, 1.0, atol=1e-5)
     rel = np.max(np.abs(ref - got)) / (np.max(np.abs(ref)) + 1e-9)
     assert rel < 2e-3, rel
+
+
+def test_checkpoint_converter_cli(tmp_path, reference_ecapa):
+    """The torch_port __main__ converts a reference-style .pt (with
+    module./__S__. prefixes) into a msgpack that load_params_only
+    consumes, producing the same forward as the direct port."""
+    import subprocess
+
+    import torch
+
+    net = reference_ecapa
+    sd = {"module.__S__." + k: v for k, v in net.state_dict().items()}
+    sd["module.__L__.weight"] = torch.zeros(4, 4)       # ignored loss head
+    pt = tmp_path / "best_state.pt"
+    torch.save(sd, pt)
+
+    out = tmp_path / "best.msgpack"
+    r = subprocess.run(
+        [sys.executable, "-m", "speakerverification_tpu.compat.torch_port",
+         "--arch", "ECAPA_TDNN", "--input", str(pt), "--output", str(out),
+         "--res2net_scale", "4"],
+        capture_output=True, text=True,
+        cwd="/root/repo", env={**__import__("os").environ,
+                               "JAX_PLATFORMS": "cpu"})
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert out.exists()
+
+    from flax import serialization as fser
+
+    raw = fser.msgpack_restore(out.read_bytes())
+    direct_params, direct_stats = ecapa_from_torch_state_dict(
+        net.state_dict(), n_blocks=4, res2net_scale=4)
+    for (p1, a), (p2, b) in zip(
+            jax.tree_util.tree_flatten_with_path(raw["params"])[0],
+            jax.tree_util.tree_flatten_with_path(direct_params)[0]):
+        assert jax.tree_util.keystr(p1) == jax.tree_util.keystr(p2)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
