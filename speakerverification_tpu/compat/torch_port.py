@@ -21,7 +21,8 @@ from typing import Mapping, Tuple
 import numpy as np
 
 __all__ = ["ecapa_from_torch_state_dict", "rawnet3_from_torch_state_dict",
-           "raw3_ecapa_from_torch_state_dict", "load_reference_checkpoint"]
+           "raw3_ecapa_from_torch_state_dict",
+           "resnetse_from_torch_state_dict", "load_reference_checkpoint"]
 
 
 def load_reference_checkpoint(path, n_blocks: int = 4,
@@ -39,16 +40,8 @@ def load_reference_checkpoint(path, n_blocks: int = 4,
     sd = torch.load(path, map_location="cpu")
     if isinstance(sd, dict) and "state_dict" in sd:
         sd = sd["state_dict"]
-
-    backbone = {}
-    for k, v in sd.items():
-        k = k.removeprefix("module.")
-        if k.startswith("__S__."):
-            k = k.removeprefix("__S__.")
-        if k.startswith("__L__.") or k.startswith("compute_features"):
-            continue
-        backbone[k] = v
-    return ecapa_from_torch_state_dict(backbone, n_blocks, res2net_scale)
+    return ecapa_from_torch_state_dict(
+        _strip_reference_prefixes(sd), n_blocks, res2net_scale)
 
 
 def _set(tree: dict, path: str, value: np.ndarray) -> None:
@@ -265,16 +258,10 @@ def resnetse_from_torch_state_dict(sd: Mapping, layers=(3, 4, 6, 3)):
             _set(params, f"{fk}/bias", _np(sd, f"{tk}.bias"))
 
     def conv1d(tk, fk):
-        _set(params, f"{fk}/kernel",
-             _np(sd, f"{tk}.weight").transpose(2, 1, 0))
-        if f"{tk}.bias" in sd:
-            _set(params, f"{fk}/bias", _np(sd, f"{tk}.bias"))
+        _conv1d_at(params, stats, sd, tk, fk)
 
     def bn(tk, fk):
-        _set(params, f"{fk}/scale", _np(sd, f"{tk}.weight"))
-        _set(params, f"{fk}/bias", _np(sd, f"{tk}.bias"))
-        _set(stats, f"{fk}/mean", _np(sd, f"{tk}.running_mean"))
-        _set(stats, f"{fk}/var", _np(sd, f"{tk}.running_var"))
+        _bn_at(params, stats, sd, tk, fk)
 
     conv2d("conv1", "Conv_0")
     bn("bn1", "BatchNorm_0")
@@ -325,7 +312,8 @@ _PORTERS = {
     "RawNet3": lambda sd, a: rawnet3_from_torch_state_dict(
         sd, model_scale=a.model_scale),
     "Raw3_ECAPA": lambda sd, a: raw3_ecapa_from_torch_state_dict(
-        sd, model_scale=a.model_scale),
+        sd, model_scale=a.model_scale,
+        ecapa_res2net_scale=a.res2net_scale),
     "ResNetSE34": lambda sd, a: resnetse_from_torch_state_dict(sd),
 }
 
@@ -366,8 +354,8 @@ def _main() -> None:
     out.parent.mkdir(parents=True, exist_ok=True)
     out.write_bytes(fser.msgpack_serialize(
         {"params": params, "batch_stats": stats}))
-    n = sum(int(np.prod(l.shape)) for l in
-            __import__("jax").tree_util.tree_leaves(params))
+    from speakerverification_tpu.utils.summary import count_params
+    n = count_params(params)
     print(f"wrote {out} ({n:,} params, arch {args.arch})")
 
 

@@ -29,6 +29,15 @@ from speakerverification_tpu.data.augment import (
 from speakerverification_tpu.data.manifest import Manifest
 from speakerverification_tpu.data.sampler import SpeakerBatchSampler
 
+
+def _usable_cpus() -> int:
+    """CPUs this process may actually run on: cgroup/affinity-aware
+    (os.cpu_count() reports the machine, not the container limit)."""
+    try:
+        return len(os.sched_getaffinity(0)) or 1
+    except AttributeError:                       # non-Linux
+        return os.cpu_count() or 1
+
 __all__ = ["TrainDataLoader", "EvalDataLoader", "train_data_loader"]
 
 
@@ -50,7 +59,7 @@ class TrainDataLoader:
         # small host thrash the GIL (measured 3.4x slower at 8 threads on
         # 1 CPU); the reference passes num_workers straight to torch
         # worker PROCESSES, which don't have this failure mode
-        self.num_workers = max(1, min(num_workers, os.cpu_count() or 1))
+        self.num_workers = max(1, min(num_workers, _usable_cpus()))
         self.prefetch = prefetch
         self.seed = seed
 
@@ -167,7 +176,7 @@ class EvalDataLoader:
         # small host thrash the GIL (measured 3.4x slower at 8 threads on
         # 1 CPU); the reference passes num_workers straight to torch
         # worker PROCESSES, which don't have this failure mode
-        self.num_workers = max(1, min(num_workers, os.cpu_count() or 1))
+        self.num_workers = max(1, min(num_workers, _usable_cpus()))
         self.pad_last = pad_last
 
     def __len__(self) -> int:

@@ -83,14 +83,16 @@ def shard_state_tp_global(state_host, mesh: Mesh,
     for every leaf is simply the full array. Requires the mesh's model
     axis to not cross process boundaries — asserted.
     """
-    assert mesh.axis_names[-1] == model_axis, (
-        "shard_state_tp_global assumes the model axis is the minor mesh "
-        f"axis, got {mesh.axis_names}")
+    if mesh.axis_names[-1] != model_axis:
+        raise ValueError(
+            "shard_state_tp_global assumes the model axis is the minor "
+            f"mesh axis, got {mesh.axis_names}")
     for row in mesh.devices.reshape(-1, mesh.shape[model_axis]):
         procs = {d.process_index for d in row}
-        assert len(procs) == 1, (
-            f"model axis crosses processes ({procs}); model_parallel must "
-            "divide the per-process device count")
+        if len(procs) != 1:
+            raise ValueError(
+                f"model axis crosses processes ({procs}); model_parallel "
+                "must divide the per-process device count")
     n_model = mesh.shape[model_axis]
     specs = tp_state_specs(state_host, model_axis, n_model)
 

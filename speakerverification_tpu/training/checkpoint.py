@@ -21,14 +21,46 @@ import flax.serialization as fser
 import jax
 
 __all__ = ["save_checkpoint", "load_checkpoint", "restore_into",
-           "CheckpointManager"]
+           "tree_to_host", "CheckpointManager"]
+
+
+def _leaf_to_host(x):
+    """Host copy of a (possibly partially-addressable) jax.Array.
+
+    Under multi-host tensor parallelism the classifier weight is sharded
+    ``P('model', None)`` over a mesh whose data axis spans processes —
+    neither fully addressable nor fully replicated, so a plain
+    ``device_get`` raises. Every model shard lives inside each process
+    (parallel/tp.py asserts this), so the local shards reassemble the
+    full array."""
+    import numpy as np
+
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        out = np.empty(x.shape, x.dtype)
+        seen: dict = {}
+        for s in x.addressable_shards:
+            key = tuple((sl.start, sl.stop) for sl in s.index)
+            if key not in seen:
+                seen[key] = int(np.prod(np.asarray(s.data).shape))
+                out[s.index] = np.asarray(s.data)
+        if sum(seen.values()) < int(np.prod(x.shape)):
+            raise ValueError(
+                f"array of shape {x.shape} is not reconstructible from "
+                "this process's shards (a mesh axis crosses processes)")
+        return out
+    return jax.device_get(x)
+
+
+def tree_to_host(tree):
+    """Pytree version of :func:`_leaf_to_host`."""
+    return jax.tree_util.tree_map(_leaf_to_host, tree)
 
 
 def save_checkpoint(path: str | Path, state, meta: Optional[dict] = None) -> Path:
     """Serialize a TrainState (or any pytree) + JSON meta sidecar."""
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
-    state = jax.device_get(state)
+    state = tree_to_host(state)
     path.write_bytes(fser.to_bytes(state))
     if meta is not None:
         path.with_suffix(path.suffix + ".json").write_text(json.dumps(meta))

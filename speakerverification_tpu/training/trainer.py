@@ -65,16 +65,13 @@ class Trainer:
     def __init__(self, hparams: Mapping, num_replicas: int = 1, rank: int = 0):
         self.hparams = dict(hparams)
 
-        # fail fast: model_parallel without a multi-device DP mesh would
-        # silently train an unsharded head (the builder swaps the loss
-        # class regardless)
         self.model_parallel = int(hparams.get("model_parallel", 1) or 1)
-        if self.model_parallel > 1 and not (
-                hparams.get("distributed") and len(jax.devices()) > 1):
+        if self.model_parallel > 1 and not hparams.get("distributed"):
+            # fail fast WITHOUT touching jax.devices(): any backend use
+            # here would break jax.distributed.initialize below
             raise ValueError(
                 f"model_parallel={self.model_parallel} requires "
-                f"--distributed and >1 visible device "
-                f"(have {len(jax.devices())})")
+                "--distributed")
 
         # Multi-host: one process per host drives its local devices; the
         # sampler shards per PROCESS (the reference's per-rank TrainSampler
@@ -88,6 +85,15 @@ class Trainer:
             if self.multiprocess and num_replicas == 1:
                 num_replicas = jax.process_count()
                 rank = jax.process_index()
+
+        # fail fast: model_parallel without a multi-device mesh would
+        # silently train an unsharded head (the builder swaps the loss
+        # class regardless); checked after distributed init so
+        # jax.devices() reflects the global mesh
+        if self.model_parallel > 1 and len(jax.devices()) <= 1:
+            raise ValueError(
+                f"model_parallel={self.model_parallel} requires >1 "
+                f"visible device (have {len(jax.devices())})")
 
         self.rank = rank
         self.num_replicas = num_replicas
@@ -347,8 +353,17 @@ class Trainer:
                 print(f"[WARN] scoring_mode={mode} but no cohort bank at "
                       f"{cp!r}; validating with cosine")
                 mode = "cosine"
+        v_params, v_stats = self.state.params, self.state.batch_stats
+        if self.multiprocess and self.model_parallel > 1:
+            # the sharded classifier weight spans non-addressable devices;
+            # validation embeds locally from host copies (the weight is
+            # unused by the embedding path anyway)
+            from speakerverification_tpu.training.checkpoint import (
+                tree_to_host,
+            )
+            v_params, v_stats = tree_to_host(v_params), tree_to_host(v_stats)
         sc, lab, _ = evaluate_from_list(
-            lambda w: self.embed_fn(self.state.params, self.state.batch_stats,
+            lambda w: self.embed_fn(v_params, v_stats,
                                     jnp.asarray(w)),
             listfile,
             self.hparams["audio_spec"],

@@ -301,6 +301,14 @@ def test_two_process_dp_tp_step(tmp_path):
         "w = state.params['loss']['weight']\n"
         "assert w.shape == (16, 8)\n"
         "assert w.sharding.spec[0] == 'model', w.sharding.spec\n"
+        "# checkpointing a state whose weight spans non-addressable\n"
+        "# devices must reassemble from local shards (tree_to_host)\n"
+        "import tempfile, os\n"
+        "from speakerverification_tpu.training.checkpoint import (\n"
+        "    save_checkpoint)\n"
+        "p = os.path.join(tempfile.mkdtemp(), 'ck_%d.msgpack' % pid)\n"
+        "save_checkpoint(p, state)\n"
+        "assert os.path.getsize(p) > 1000\n"
         "print('TP_PROBE_OK loss=%.6f' % loss)\n")
     env_base = {
         "JAX_PLATFORMS": "cpu",
@@ -324,3 +332,29 @@ def test_two_process_dp_tp_step(tmp_path):
         assert "TP_PROBE_OK" in out
         losses.append(float(out.split("TP_PROBE_OK loss=")[1].split()[0]))
     assert losses[0] == losses[1]
+
+
+@pytest.mark.slow
+def test_two_process_trainer_model_parallel(tmp_path):
+    """Full Trainer across 2 processes with model_parallel: 2 — covers
+    the distributed-init ordering (jax.distributed.initialize must
+    precede any backend use, including the model_parallel fail-fast)
+    and rank-0 checkpointing of the model-sharded state."""
+    manifest = _make_dataset(tmp_path)
+    port = _free_port()
+    hparams = _hparams(tmp_path, manifest, port)
+    hparams["model_parallel"] = 2
+    hparams["number_of_epochs"] = 1
+    cfg_path = tmp_path / "hparams.json"
+    cfg_path.write_text(json.dumps(hparams))
+
+    procs = [_launch(r, 2, port, cfg_path) for r in (0, 1)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=900)
+        outs.append(out)
+    for r, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {r} failed:\n{out[-4000:]}"
+        assert "WORKER_DONE" in out
+    assert (tmp_path / "save" / "ECAPA_TDNN" / "AAmSoftmax" / "model"
+            / "last_state.msgpack").exists()
