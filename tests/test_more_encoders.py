@@ -55,7 +55,8 @@ def test_image_encoders_small(name):
 
 
 @pytest.mark.parametrize("which", [
-    "RawNeXt", pytest.param("ResNeXt", marks=pytest.mark.slow)])
+    pytest.param("RawNeXt", marks=pytest.mark.slow),
+    pytest.param("ResNeXt", marks=pytest.mark.slow)])
 def test_next_family_small(which):
     import speakerverification_tpu.models.next as NX
     # batch of 2: train-mode BatchNorm on a single example zeroes the code

@@ -194,6 +194,45 @@ def test_two_process_global_batch_and_psum(tmp_path):
         "                                    num_eval=2, batch_size=2))\n"
         "assert g.shape == (5, 2, 8), g.shape\n"
         "assert np.allclose(np.asarray(g), ref)\n"
+        "# --- DP x TP over a (4 data x 2 model) mesh, same processes ---\n"
+        "from speakerverification_tpu.parallel import (\n"
+        "    make_dp_tp_train_step, shard_state_tp_global)\n"
+        "import flax.linen as nn\n"
+        "from speakerverification_tpu.encoder import SpeakerEncoder\n"
+        "from speakerverification_tpu.losses import ShardedAAmSoftmax\n"
+        "from speakerverification_tpu.optim import build_optimizer\n"
+        "from speakerverification_tpu.training import create_train_state\n"
+        "class BNFree(nn.Module):\n"
+        "    @nn.compact\n"
+        "    def __call__(self, x, train=False):\n"
+        "        return nn.Dense(8)(x.mean(axis=1))\n"
+        "model = SpeakerEncoder(backbone=BNFree(),\n"
+        "    loss=ShardedAAmSoftmax(nOut=8, nClasses=16))\n"
+        "mesh2 = make_mesh(('data', 'model'), shape=(4, 2))\n"
+        "tx = build_optimizer('adam', learning_rate=1e-2)\n"
+        "rng3 = np.random.default_rng(0)   # same on both ranks\n"
+        "wave_g = rng3.normal(0, .1, (8, 2, 4000)).astype(np.float32)\n"
+        "label_g = (np.arange(8, dtype=np.int32) * 2) % 16\n"
+        "wave_l = wave_g[pid*4:(pid+1)*4]\n"
+        "label_l = label_g[pid*4:(pid+1)*4]\n"
+        "state = create_train_state(model, tx, jax.random.PRNGKey(0),\n"
+        "    jnp.asarray(wave_g), jnp.asarray(label_g))\n"
+        "state = shard_state_tp_global(jax.device_get(state), mesh2)\n"
+        "b2 = global_batch({'wave': wave_l, 'label': label_l}, mesh2)\n"
+        "step = make_dp_tp_train_step(model, tx, mesh2, state, donate=False)\n"
+        "state, m = step(state, b2['wave'], b2['label'],\n"
+        "    jax.random.PRNGKey(1), jnp.float32(1e-2))\n"
+        "tp_loss = float(m['loss'])\n"
+        "assert np.isfinite(tp_loss)\n"
+        "w2 = state.params['loss']['weight']\n"
+        "assert w2.shape == (16, 8) and w2.sharding.spec[0] == 'model'\n"
+        "# checkpoint a state whose weight spans non-addressable devices\n"
+        "from speakerverification_tpu.training.checkpoint import (\n"
+        "    save_checkpoint)\n"
+        "pck = os.path.join(tempfile.mkdtemp(), 'ck_%d.msgpack' % pid)\n"
+        "save_checkpoint(pck, state)\n"
+        "assert os.path.getsize(pck) > 1000\n"
+        "print('TP_PROBE_OK loss=%.6f' % tp_loss)\n"
         "print('PROBE_OK', pid)\n")
     env_base = {
         "JAX_PLATFORMS": "cpu",
@@ -209,10 +248,14 @@ def test_two_process_global_batch_and_psum(tmp_path):
         procs.append(subprocess.Popen(
             [sys.executable, str(script)], env=env, cwd=str(REPO),
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+    tp_losses = []
     for r, p in enumerate(procs):
-        out, _ = p.communicate(timeout=300)
+        out, _ = p.communicate(timeout=420)
         assert p.returncode == 0, f"rank {r} failed:\n{out[-3000:]}"
         assert "PROBE_OK" in out
+        assert "TP_PROBE_OK" in out
+        tp_losses.append(float(out.split("TP_PROBE_OK loss=")[1].split()[0]))
+    assert tp_losses[0] == tp_losses[1]
 
 
 @pytest.mark.slow
@@ -252,86 +295,6 @@ def test_two_process_training_matches_single_process(tmp_path):
     np.testing.assert_allclose(mp_losses, ref_losses, rtol=2e-3,
                                err_msg="2-process DP diverged from the "
                                        "single-process 8-device replay")
-
-
-def test_two_process_dp_tp_step(tmp_path):
-    """Multi-host DP × TP: two processes × 4 virtual devices run one
-    class-sharded train step over the (4 data × 2 model) global mesh —
-    the classifier weight is sharded within each process and both ranks
-    must report the identical finite loss."""
-    port = _free_port()
-    script = tmp_path / "tp_probe.py"
-    script.write_text(
-        "import os\n"
-        "os.environ['JAX_PLATFORMS'] = 'cpu'\n"
-        "import jax\n"
-        "jax.config.update('jax_platforms', 'cpu')\n"
-        "from speakerverification_tpu.parallel import (\n"
-        "    global_batch, make_dp_tp_train_step, make_mesh,\n"
-        "    maybe_initialize_distributed, shard_state_tp_global)\n"
-        "assert maybe_initialize_distributed({})\n"
-        "import numpy as np, jax.numpy as jnp\n"
-        "import flax.linen as nn\n"
-        "from speakerverification_tpu.encoder import SpeakerEncoder\n"
-        "from speakerverification_tpu.losses import ShardedAAmSoftmax\n"
-        "from speakerverification_tpu.optim import build_optimizer\n"
-        "from speakerverification_tpu.training import create_train_state\n"
-        "class BNFree(nn.Module):\n"
-        "    @nn.compact\n"
-        "    def __call__(self, x, train=False):\n"
-        "        return nn.Dense(8)(x.mean(axis=1))\n"
-        "model = SpeakerEncoder(backbone=BNFree(),\n"
-        "    loss=ShardedAAmSoftmax(nOut=8, nClasses=16))\n"
-        "mesh = make_mesh(('data', 'model'), shape=(4, 2))\n"
-        "tx = build_optimizer('adam', learning_rate=1e-2)\n"
-        "rng = np.random.default_rng(0)   # same on both ranks\n"
-        "wave_g = rng.normal(0, .1, (8, 2, 4000)).astype(np.float32)\n"
-        "label_g = (np.arange(8, dtype=np.int32) * 2) % 16\n"
-        "pid = jax.process_index()\n"
-        "wave_l, label_l = wave_g[pid*4:(pid+1)*4], label_g[pid*4:(pid+1)*4]\n"
-        "state = create_train_state(model, tx, jax.random.PRNGKey(0),\n"
-        "    jnp.asarray(wave_g), jnp.asarray(label_g))\n"
-        "state = shard_state_tp_global(jax.device_get(state), mesh)\n"
-        "batch = global_batch({'wave': wave_l, 'label': label_l}, mesh)\n"
-        "step = make_dp_tp_train_step(model, tx, mesh, state, donate=False)\n"
-        "state, m = step(state, batch['wave'], batch['label'],\n"
-        "    jax.random.PRNGKey(1), jnp.float32(1e-2))\n"
-        "loss = float(m['loss'])\n"
-        "assert np.isfinite(loss)\n"
-        "w = state.params['loss']['weight']\n"
-        "assert w.shape == (16, 8)\n"
-        "assert w.sharding.spec[0] == 'model', w.sharding.spec\n"
-        "# checkpointing a state whose weight spans non-addressable\n"
-        "# devices must reassemble from local shards (tree_to_host)\n"
-        "import tempfile, os\n"
-        "from speakerverification_tpu.training.checkpoint import (\n"
-        "    save_checkpoint)\n"
-        "p = os.path.join(tempfile.mkdtemp(), 'ck_%d.msgpack' % pid)\n"
-        "save_checkpoint(p, state)\n"
-        "assert os.path.getsize(p) > 1000\n"
-        "print('TP_PROBE_OK loss=%.6f' % loss)\n")
-    env_base = {
-        "JAX_PLATFORMS": "cpu",
-        "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
-        "JAX_COMPILATION_CACHE_DIR": "/tmp/svtpu_jax_cache",
-        "PYTHONPATH": str(REPO),
-    }
-    procs = []
-    for r in (0, 1):
-        env = dict(os.environ)
-        env.update(env_base)
-        env.update({"SVTPU_NUM_PROCESSES": "2", "SVTPU_PROCESS_ID": str(r),
-                    "SVTPU_COORDINATOR": f"localhost:{port}"})
-        procs.append(subprocess.Popen(
-            [sys.executable, str(script)], env=env, cwd=str(REPO),
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
-    losses = []
-    for r, p in enumerate(procs):
-        out, _ = p.communicate(timeout=420)
-        assert p.returncode == 0, f"rank {r} failed:\n{out[-3000:]}"
-        assert "TP_PROBE_OK" in out
-        losses.append(float(out.split("TP_PROBE_OK loss=")[1].split()[0]))
-    assert losses[0] == losses[1]
 
 
 @pytest.mark.slow

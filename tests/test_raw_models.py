@@ -120,7 +120,7 @@ def test_sinc_conv_differentiable():
     def f(params):
         return jnp.sum(sc.apply({"params": params}, x) ** 2)
 
-    g = jax.grad(f)(variables["params"])
+    g = jax.jit(jax.grad(f))(variables["params"])
     assert float(jnp.abs(g["low_hz"]).sum()) > 0
     assert float(jnp.abs(g["band_hz"]).sum()) > 0
     assert all(np.all(np.isfinite(np.asarray(l)))

@@ -15,6 +15,7 @@ def _feats(b=2, t=100, m=40, seed=0):
                         ).astype(np.float32))
 
 
+@pytest.mark.slow   # covered by test_resnetse34_forward_parity
 def test_resnetse34_forward():
     model = build_model("ResNetSE34", nOut=64, n_mels=40)
     x = _feats()
