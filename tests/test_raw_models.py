@@ -56,7 +56,8 @@ def test_sinc_conv_shapes_and_stride():
 @pytest.mark.parametrize("name,kw", [
     ("RawNet3", dict(C=128, model_scale=4)),
     pytest.param("RawNet2", dict(), marks=pytest.mark.slow),
-    ("RawNet2_custom", dict(front_proc="sinc", aggregate="asp")),
+    pytest.param("RawNet2_custom", dict(front_proc="sinc", aggregate="asp"),
+                 marks=pytest.mark.slow),
     pytest.param("RawNet2_custom", dict(front_proc="conv", aggregate="gru"),
                  marks=pytest.mark.slow),
 ])

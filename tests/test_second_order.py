@@ -23,8 +23,9 @@ def _quadratic():
     return params, loss
 
 
-@pytest.mark.parametrize("name,lr,steps", [("Shampoo", 0.3, 80),
-                                           ("Apollo", 0.001, 300),
+@pytest.mark.parametrize("name,lr,steps", [
+    ("Shampoo", 0.3, 80),
+    pytest.param("Apollo", 0.001, 300, marks=pytest.mark.slow),
                                            ("A2GradUni", 0.1, 80),
                                            ("Adahessian", 0.1, 80)])
 def test_second_order_reduces_quadratic(name, lr, steps):
