@@ -25,6 +25,7 @@ def test_resnetse34_forward():
     assert np.all(np.isfinite(np.asarray(out)))
 
 
+@pytest.mark.slow   # V2 block variant; basic family covered by the parity test
 def test_resnetse34v2_sap():
     model = build_model("ResNetSE34V2", nOut=32, n_mels=40,
                         encoder_type="SAP")
