@@ -87,7 +87,9 @@ def _launch(rank: int, nprocs: int, port: int, cfg_path: Path):
         "SVTPU_PROCESS_ID": str(rank),
         "SVTPU_COORDINATOR": f"localhost:{port}",
         "JAX_PLATFORMS": "cpu",
-        "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=4 "
+                     "--xla_backend_optimization_level=0 "
+                     "--xla_llvm_disable_expensive_passes=true",
         "JAX_COMPILATION_CACHE_DIR": "/tmp/svtpu_jax_cache",
         "PYTHONPATH": str(REPO),
     })
@@ -236,7 +238,9 @@ def test_two_process_global_batch_and_psum(tmp_path):
         "print('PROBE_OK', pid)\n")
     env_base = {
         "JAX_PLATFORMS": "cpu",
-        "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=4 "
+                     "--xla_backend_optimization_level=0 "
+                     "--xla_llvm_disable_expensive_passes=true",
         "PYTHONPATH": str(REPO),
     }
     procs = []
