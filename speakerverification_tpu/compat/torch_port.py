@@ -237,13 +237,15 @@ def raw3_ecapa_from_torch_state_dict(sd: Mapping, model_scale: int = 8,
             {"ecapa": e_stats, "raw_branch": r_stats})
 
 
-def resnetse_from_torch_state_dict(sd: Mapping, layers=(3, 4, 6, 3)):
+def resnetse_from_torch_state_dict(sd: Mapping, layers=(3, 4, 6, 3),
+                                  block: str = "basic"):
     """Port a reference ResNetSE (SEBasicBlock trunk) state dict.
 
     Reference: src/models/ResNetBaseline.py:141-301 with
     src/models/blocks/ResNetBlocks.py:178-213 basic blocks (conv-bn-relu,
     conv-bn, SE with bias-free c/16 excitation, optional 1x1+BN
-    downsample). Flax child order in models/resnetse.py::ResNetSE:
+    downsample) or :255-298 SEBottleneck (1x1 / 3x3-stride / 1x1 x4,
+    ``block="bottleneck"`` — ResNetSE50/101/152). Flax child order in models/resnetse.py::ResNetSE:
     stem Conv_0/BatchNorm_0, SEBasicBlock_0..N (Conv_0, BatchNorm_0,
     Conv_1, BatchNorm_1, SELayer_0{Dense_0,Dense_1}, downsample
     Conv_2/BatchNorm_2), attention Conv_1/BatchNorm_1/Conv_2, fc Dense_0.
@@ -266,21 +268,29 @@ def resnetse_from_torch_state_dict(sd: Mapping, layers=(3, 4, 6, 3)):
     conv2d("conv1", "Conv_0")
     bn("bn1", "BatchNorm_0")
 
+    n_convs = {"basic": 2, "bottleneck": 3}[block]
+    block_cls = {"basic": "SEBasicBlock", "bottleneck": "SEBottleneck"}[block]
     bi = 0
     for g in range(4):
         for i in range(layers[g]):
-            tp, fp = f"layer{g + 1}.{i}", f"SEBasicBlock_{bi}"
-            conv2d(f"{tp}.conv1", f"{fp}/Conv_0")
-            bn(f"{tp}.bn1", f"{fp}/BatchNorm_0")
-            conv2d(f"{tp}.conv2", f"{fp}/Conv_1")
-            bn(f"{tp}.bn2", f"{fp}/BatchNorm_1")
-            _set(params, f"{fp}/SELayer_0/Dense_0/kernel",
-                 _np(sd, f"{tp}.se.excitation.0.weight").T)
-            _set(params, f"{fp}/SELayer_0/Dense_1/kernel",
-                 _np(sd, f"{tp}.se.excitation.2.weight").T)
+            tp, fp = f"layer{g + 1}.{i}", f"{block_cls}_{bi}"
+            for c in range(n_convs):
+                conv2d(f"{tp}.conv{c + 1}", f"{fp}/Conv_{c}")
+                bn(f"{tp}.bn{c + 1}", f"{fp}/BatchNorm_{c}")
+            if block == "basic":       # blocks/-file SE: bias-free
+                _set(params, f"{fp}/SELayer_0/Dense_0/kernel",
+                     _np(sd, f"{tp}.se.excitation.0.weight").T)
+                _set(params, f"{fp}/SELayer_0/Dense_1/kernel",
+                     _np(sd, f"{tp}.se.excitation.2.weight").T)
+            else:                       # root-file SE: biased, se.fc.*
+                for j, dn in ((0, "Dense_0"), (2, "Dense_1")):
+                    _set(params, f"{fp}/SELayer_0/{dn}/kernel",
+                         _np(sd, f"{tp}.se.fc.{j}.weight").T)
+                    _set(params, f"{fp}/SELayer_0/{dn}/bias",
+                         _np(sd, f"{tp}.se.fc.{j}.bias"))
             if f"{tp}.downsample.0.weight" in sd:
-                conv2d(f"{tp}.downsample.0", f"{fp}/Conv_2")
-                bn(f"{tp}.downsample.1", f"{fp}/BatchNorm_2")
+                conv2d(f"{tp}.downsample.0", f"{fp}/Conv_{n_convs}")
+                bn(f"{tp}.downsample.1", f"{fp}/BatchNorm_{n_convs}")
             bi += 1
 
     conv1d("attention.0", "Conv_1")
@@ -315,6 +325,8 @@ _PORTERS = {
         sd, model_scale=a.model_scale,
         ecapa_res2net_scale=a.res2net_scale),
     "ResNetSE34": lambda sd, a: resnetse_from_torch_state_dict(sd),
+    "ResNetSE50": lambda sd, a: resnetse_from_torch_state_dict(
+        sd, block="bottleneck"),
 }
 
 

@@ -29,15 +29,25 @@ __all__ = ["ResNetSE", "SEBasicBlock", "SEBasicBlockV2", "SEBottleneck"]
 
 
 class SELayer(nn.Module):
+    """Squeeze-excitation. The reference has TWO variants: the basic-block
+    family uses bias-free ``c/reduction`` excitation
+    (src/models/blocks/ResNetBlocks.py:301-313), while the bottleneck
+    family (ResNetSE50/101/152 import the ROOT src/models/ResNetBlocks.py)
+    uses Linear layers WITH bias and a FIXED ``internal`` width — the
+    ``reduction`` argument is passed as the neuron count
+    (ResNetBlocks.py:292-307, SEBottleneck :264)."""
     reduction: int = 16
+    internal: int = 0                  # >0: fixed width (root-file variant)
+    use_bias: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         c = x.shape[-1]
+        width = self.internal if self.internal > 0 else max(
+            c // self.reduction, 1)
         y = x.mean(axis=(1, 2))                       # squeeze over H, W
-        y = jax.nn.relu(nn.Dense(max(c // self.reduction, 1),
-                                 use_bias=False)(y))
-        y = jax.nn.sigmoid(nn.Dense(c, use_bias=False)(y))
+        y = jax.nn.relu(nn.Dense(width, use_bias=self.use_bias)(y))
+        y = jax.nn.sigmoid(nn.Dense(c, use_bias=self.use_bias)(y))
         return x * y[:, None, None, :]
 
 
@@ -111,7 +121,8 @@ class SEBottleneck(nn.Module):
         out = jax.nn.relu(_bn(train)(out))
         out = nn.Conv(self.planes * 4, (1, 1), use_bias=False)(out)
         out = _bn(train)(out)
-        out = SELayer()(out)
+        # root-file SE variant: biased, fixed 16-neuron excitation
+        out = SELayer(internal=16, use_bias=True)(out)
         out_ch = self.planes * 4
         if self.stride != (1, 1) or x.shape[-1] != out_ch:
             residual = nn.Conv(out_ch, (1, 1), self.stride,

@@ -410,3 +410,52 @@ def test_checkpoint_converter_cli(tmp_path, reference_ecapa):
             jax.tree_util.tree_flatten_with_path(direct_params)[0]):
         assert jax.tree_util.keystr(p1) == jax.tree_util.keystr(p2)
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.slow
+def test_resnetse50_forward_parity():
+    """SEBottleneck-family port (ResNetSE50/101/152 share the block)."""
+    import torch
+
+    from speakerverification_tpu.compat.torch_port import (
+        resnetse_from_torch_state_dict,
+    )
+
+    for name in ("torchaudio", "nnAudio", "nnAudio.features"):
+        sys.modules.setdefault(name, types.ModuleType(name))
+    if "/root/reference/src" not in sys.path:
+        sys.path.insert(0, "/root/reference/src")
+    from models import ResNetSE50 as RefR
+
+    torch.manual_seed(0)
+    kwargs = dict(n_mels=40, augment=False,
+                  augment_options={"augment_chain": []}, features="raw")
+    net = RefR.MainModel(nOut=32, **kwargs)
+    net.eval()
+
+    params, stats = resnetse_from_torch_state_dict(net.state_dict(),
+                                                   block="bottleneck")
+    ours = build_model("ResNetSE50", nOut=32, n_mels=40, feature_type="raw")
+    template = ours.init(jax.random.PRNGKey(0), jnp.zeros((1, 48, 40)))
+
+    def tree_paths(t):
+        return {"/".join(k.key for k in p)
+                for p, _ in jax.tree_util.tree_flatten_with_path(t)[0]}
+
+    missing = tree_paths(template["params"]) - tree_paths(params)
+    extra = tree_paths(params) - tree_paths(template["params"])
+    assert not missing, f"unmapped params: {sorted(missing)[:5]}"
+    assert not extra, f"extra params: {sorted(extra)[:5]}"
+
+    rng = np.random.default_rng(0)
+    feats = (rng.normal(0.5, 0.2, (2, 48, 40)) ** 2).astype(np.float32)
+    with torch.no_grad():
+        ref = net(torch.from_numpy(feats.transpose(0, 2, 1))).numpy()
+    got = np.asarray(jax.jit(lambda v, x: ours.apply(v, x, train=False))(
+        {"params": params, "batch_stats": stats}, jnp.asarray(feats)))
+
+    cos = np.sum(ref * got, -1) / (
+        np.linalg.norm(ref, axis=-1) * np.linalg.norm(got, axis=-1))
+    np.testing.assert_allclose(cos, 1.0, atol=1e-5)
+    rel = np.max(np.abs(ref - got)) / (np.max(np.abs(ref)) + 1e-9)
+    assert rel < 2e-3, rel
