@@ -33,10 +33,23 @@ def _default_cutoff(n_classes: int) -> Tuple[int, ...]:
 
 
 class AdaptiveSoftmaxLoss(nn.Module):
+    """``variant`` selects the reference structure being matched:
+
+    * ``"v1"`` — adasoftmax_v1.py:33-57: tail ``i`` projects to
+      ``nOut // reduce_factor**i`` (the FIRST tail has no reduction) and
+      the tail output Linear carries a bias.
+    * ``"v2"`` — adasoftmax_v2.py:8-24: tail ``i`` projects to
+      ``nOut // 4**(i+1)`` and both tail Linears are bias-free.
+
+    Both reference AdaptiveLoss variants sum head CE (with tail targets
+    remapped to their cluster slot) and within-cluster tail CE, summed
+    then divided by batch — algebraically the composed-NLL mean below.
+    """
     nOut: int = 192
     nClasses: int = 5994
     cutoff: Sequence[int] = ()
     reduce_factor: int = 4
+    variant: str = "v2"
     test_normalize: bool = True
 
     @nn.compact
@@ -53,9 +66,15 @@ class AdaptiveSoftmaxLoss(nn.Module):
         # composed log-probs: [B, nClasses]
         parts = [head_logp[:, :cutoff[0]]]
         for i in range(n_tails):
-            proj_dim = max(self.nOut // (self.reduce_factor ** (i + 1)), 1)
+            if self.variant == "v1":
+                proj_dim = max(self.nOut // (self.reduce_factor ** i), 1)
+                out_bias = True
+            else:
+                proj_dim = max(self.nOut // (self.reduce_factor ** (i + 1)), 1)
+                out_bias = False
             h = nn.Dense(proj_dim, use_bias=False, name=f"tail{i}_proj")(x)
-            tail_logits = nn.Dense(cutoff[i + 1] - cutoff[i], use_bias=False,
+            tail_logits = nn.Dense(cutoff[i + 1] - cutoff[i],
+                                   use_bias=out_bias,
                                    name=f"tail{i}_out")(h)
             tail_logp = jax.nn.log_softmax(tail_logits, axis=-1)
             parts.append(head_logp[:, cutoff[0] + i:cutoff[0] + i + 1]
@@ -66,5 +85,9 @@ class AdaptiveSoftmaxLoss(nn.Module):
         return loss, top1_percent(logp, label)
 
 
-LOSSES.register("adasoftmax_v1")(AdaptiveSoftmaxLoss)
+class AdaptiveSoftmaxLossV1(AdaptiveSoftmaxLoss):
+    variant: str = "v1"
+
+
+LOSSES.register("adasoftmax_v1")(AdaptiveSoftmaxLossV1)
 LOSSES.register("adasoftmax_v2")(AdaptiveSoftmaxLoss)

@@ -162,6 +162,11 @@ class MSAmSoftmax(nn.Module):
 
 @LOSSES.register("CircleLoss")
 class CircleLoss(nn.Module):
+    """Parity note: the reference computes similarities on RAW embeddings
+    — its forward never normalizes (CircleLoss.py:28-41; only the
+    ``__main__`` demo normalizes, and the paper assumes cosine). Matched
+    live in test_losses_live_parity.py; normalize upstream (or use
+    CircleLossV2, which does normalize) for paper behavior."""
     m: float = 0.25
     gamma: float = 256.0
     test_normalize: bool = True
@@ -170,8 +175,7 @@ class CircleLoss(nn.Module):
     def __call__(self, x: jax.Array, label: jax.Array):
         feats, labels = flatten_grouped(x, label)
         B = feats.shape[0]
-        fn = l2_normalize(feats, -1)
-        sim = fn @ fn.T
+        sim = feats @ feats.T
         same = labels[:, None] == labels[None, :]
         triu = jnp.triu(jnp.ones((B, B), bool), k=1)
         pos_mask = same & triu
