@@ -22,7 +22,9 @@ import numpy as np
 
 __all__ = ["ecapa_from_torch_state_dict", "rawnet3_from_torch_state_dict",
            "raw3_ecapa_from_torch_state_dict",
-           "resnetse_from_torch_state_dict", "load_reference_checkpoint"]
+           "resnetse_from_torch_state_dict",
+           "repvgg_from_torch_state_dict", "titanet_from_torch_state_dict",
+           "load_reference_checkpoint"]
 
 
 def load_reference_checkpoint(path, n_blocks: int = 4,
@@ -301,6 +303,91 @@ def resnetse_from_torch_state_dict(sd: Mapping, layers=(3, 4, 6, 3),
     return params, stats
 
 
+def repvgg_from_torch_state_dict(sd: Mapping, num_blocks=(8, 14, 24, 1)):
+    """Port a reference RepVGG train-mode state dict
+    (src/models/RepVGG.py:27-207). Torch modules per block:
+    ``rbr_dense.{conv,bn}``, ``rbr_1x1.{conv,bn}``, optional
+    ``rbr_identity`` (BN only, shape-preserving blocks), optional
+    ``se.{down,up}`` 1×1 convs; head ``linear``. Flax children
+    (models/image_encoders.py::RepVGGBlock): rbr_dense/BatchNorm_0,
+    rbr_1x1/BatchNorm_1, BatchNorm_2, Dense_0/Dense_1, head Dense_0."""
+    params: dict = {}
+    stats: dict = {}
+
+    def block(tp, fp):
+        _set(params, f"{fp}/rbr_dense/kernel",
+             _np(sd, f"{tp}.rbr_dense.conv.weight").transpose(2, 3, 1, 0))
+        _bn_at(params, stats, sd, f"{tp}.rbr_dense.bn", f"{fp}/BatchNorm_0")
+        _set(params, f"{fp}/rbr_1x1/kernel",
+             _np(sd, f"{tp}.rbr_1x1.conv.weight").transpose(2, 3, 1, 0))
+        _bn_at(params, stats, sd, f"{tp}.rbr_1x1.bn", f"{fp}/BatchNorm_1")
+        if f"{tp}.rbr_identity.weight" in sd:
+            _bn_at(params, stats, sd, f"{tp}.rbr_identity",
+                   f"{fp}/BatchNorm_2")
+        if f"{tp}.se.down.weight" in sd:
+            for tk, fk in (("down", "Dense_0"), ("up", "Dense_1")):
+                _set(params, f"{fp}/{fk}/kernel",
+                     _np(sd, f"{tp}.se.{tk}.weight")[:, :, 0, 0].T)
+                _set(params, f"{fp}/{fk}/bias", _np(sd, f"{tp}.se.{tk}.bias"))
+
+    block("stage0", "RepVGGBlock_0")
+    bi = 1
+    for g, n in enumerate(num_blocks):
+        for i in range(n):
+            block(f"stage{g + 1}.{i}", f"RepVGGBlock_{bi}")
+            bi += 1
+    _set(params, "Dense_0/kernel", _np(sd, "linear.weight").T)
+    _set(params, "Dense_0/bias", _np(sd, "linear.bias"))
+    return params, stats
+
+
+def titanet_from_torch_state_dict(sd: Mapping, n_mega_blocks: int,
+                                  n_sub_blocks: int = 3):
+    """Port a reference TitaNet state dict (src/models/TitaNet.py:10-443,
+    blocks/titanet_blocks.py). Torch layout: ``encoder.prolog/epilog``
+    ConvBlock1d (conv_block.0 conv, .1 BN), ``encoder.mega_blocks.N``
+    (sub_blocks.J depthwise+pointwise+BN, sub_blocks.<last> bias-free SE,
+    skip_connection 1×1+BN), ``decoder.pool.0`` ASP linears, ``.1`` BN,
+    ``decoder.linear`` Linear+BN. Flax children (models/titanet.py):
+    ConvBlock1d_0, MegaBlock_*, ConvBlock1d_1, Dense_0/1 (ASP),
+    BatchNorm_0, Dense_2, BatchNorm_1."""
+    params: dict = {}
+    stats: dict = {}
+
+    def convblock(tp, fp):
+        _conv1d_at(params, stats, sd, f"{tp}.conv_block.0", f"{fp}/Conv_0")
+        _bn_at(params, stats, sd, f"{tp}.conv_block.1", f"{fp}/BatchNorm_0")
+
+    convblock("encoder.prolog", "ConvBlock1d_0")
+    for m in range(n_mega_blocks):
+        tp, fp = f"encoder.mega_blocks.{m}", f"MegaBlock_{m}"
+        _conv1d_at(params, stats, sd, f"{tp}.skip_connection.0",
+                   f"{fp}/Conv_0")
+        _bn_at(params, stats, sd, f"{tp}.skip_connection.1",
+               f"{fp}/BatchNorm_0")
+        for j in range(n_sub_blocks):
+            sp = f"{tp}.sub_blocks.{j}.conv_block"
+            fsp = f"{fp}/ConvBlock1d_{j}"
+            _conv1d_at(params, stats, sd, f"{sp}.0.conv.0", f"{fsp}/Conv_0")
+            _conv1d_at(params, stats, sd, f"{sp}.0.conv.1", f"{fsp}/Conv_1")
+            _bn_at(params, stats, sd, f"{sp}.1", f"{fsp}/BatchNorm_0")
+        se = f"{tp}.sub_blocks.{n_sub_blocks}.excitation"
+        _set(params, f"{fp}/Dense_0/kernel", _np(sd, f"{se}.0.weight").T)
+        _set(params, f"{fp}/Dense_1/kernel", _np(sd, f"{se}.2.weight").T)
+    convblock("encoder.epilog", "ConvBlock1d_1")
+
+    _set(params, "Dense_0/kernel", _np(sd, "decoder.pool.0.in_linear.weight").T)
+    _set(params, "Dense_0/bias", _np(sd, "decoder.pool.0.in_linear.bias"))
+    _set(params, "Dense_1/kernel",
+         _np(sd, "decoder.pool.0.out_linear.weight").T)
+    _set(params, "Dense_1/bias", _np(sd, "decoder.pool.0.out_linear.bias"))
+    _bn_at(params, stats, sd, "decoder.pool.1", "BatchNorm_0")
+    _set(params, "Dense_2/kernel", _np(sd, "decoder.linear.0.weight").T)
+    _set(params, "Dense_2/bias", _np(sd, "decoder.linear.0.bias"))
+    _bn_at(params, stats, sd, "decoder.linear.1", "BatchNorm_1")
+    return params, stats
+
+
 def _strip_reference_prefixes(sd: Mapping) -> dict:
     """Unwrap DDP/SpeakerEncoder prefixes from a reference checkpoint
     (src/model.py:24-33 WrappedModel ``module.``; ``__S__.`` backbone /
@@ -327,6 +414,9 @@ _PORTERS = {
     "ResNetSE34": lambda sd, a: resnetse_from_torch_state_dict(sd),
     "ResNetSE50": lambda sd, a: resnetse_from_torch_state_dict(
         sd, block="bottleneck"),
+    "RepVGG": lambda sd, a: repvgg_from_torch_state_dict(sd),
+    "TitaNet": lambda sd, a: titanet_from_torch_state_dict(
+        sd, n_mega_blocks=getattr(a, "n_mega_blocks", 14)),
 }
 
 

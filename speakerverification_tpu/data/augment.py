@@ -14,8 +14,10 @@ train dataset (src/dataloader.py:113-144):
 * ``env_corrupt``: rev / noise / both / none with p = .2/.4/.2/.2 and a
   random order for 'both'.
 * time-domain speed/volume/pitch (src/processing/augment.py:16-97):
-  implemented with polyphase resampling instead of pydub/librosa (not in
-  this image); pitch shift = resample + length-restore approximation.
+  speed/volume via polyphase resampling and gain; pitch shift is the
+  exact librosa semantics — STFT phase vocoder time-stretch then
+  polyphase resample back to length (``augment_pitch`` below,
+  ops/phase_vocoder.py), matching ``librosa.effects.pitch_shift``.
 
 File-list layout conventions (musan_split/*/*/*/*.wav etc.) match the
 reference so existing augment folders drop in unchanged.

@@ -37,13 +37,18 @@ def _bn(train):
     return nn.BatchNorm(use_running_average=not train, momentum=0.9)
 
 
-def _prep(x: jax.Array, log_input: bool) -> jax.Array:
-    """log + CMN + non-affine instance norm, to NHWC mel image."""
+def _prep(x: jax.Array, log_input: bool,
+          instance_norm: bool = True) -> jax.Array:
+    """log + CMN (+ non-affine instance norm), to NHWC mel image.
+
+    RepVGG is the one reference image encoder with NO instance norm
+    (src/models/RepVGG.py:186-198); the rest normalize per-channel."""
     if log_input:
         x = jnp.log(x + 1e-6)
         x = x - jnp.mean(x, axis=1, keepdims=True)
-    x = (x - jnp.mean(x, axis=1, keepdims=True)) / jnp.sqrt(
-        jnp.var(x, axis=1, keepdims=True) + 1e-5)
+    if instance_norm:
+        x = (x - jnp.mean(x, axis=1, keepdims=True)) / jnp.sqrt(
+            jnp.var(x, axis=1, keepdims=True) + 1e-5)
     return jnp.transpose(x, (0, 2, 1))[..., None]      # [B, mels, T, 1]
 
 
@@ -191,6 +196,10 @@ class EfficientNetV2(nn.Module):
 # ---------------------------------------------------------------------------
 
 class RepVGGBlock(nn.Module):
+    """Parity: src/models/RepVGG.py:27-71. Torch p1 padding (explicit, NOT
+    SAME — they differ at stride 2 on even sizes), SE reduction //8 via
+    ResNetBlocks.SEBlock (RepVGG.py:43-45), identity-BN branch when
+    shape-preserving."""
     out_ch: int
     stride: int = 1
     use_se: bool = False
@@ -201,10 +210,11 @@ class RepVGGBlock(nn.Module):
         in_ch = x.shape[-1]
         if self.deploy:
             h = nn.Conv(self.out_ch, (3, 3), (self.stride, self.stride),
-                        padding="SAME", name="rbr_reparam")(x)
+                        padding=((1, 1), (1, 1)), name="rbr_reparam")(x)
         else:
             dense = nn.Conv(self.out_ch, (3, 3),
-                            (self.stride, self.stride), padding="SAME",
+                            (self.stride, self.stride),
+                            padding=((1, 1), (1, 1)),
                             use_bias=False, name="rbr_dense")(x)
             dense = _bn(train)(dense)
             one = nn.Conv(self.out_ch, (1, 1),
@@ -216,14 +226,19 @@ class RepVGGBlock(nn.Module):
                 h = h + _bn(train)(x)
         if self.use_se:
             s = h.mean(axis=(1, 2))
-            s = jax.nn.relu(nn.Dense(max(self.out_ch // 16, 1))(s))
+            s = jax.nn.relu(nn.Dense(max(self.out_ch // 8, 1))(s))
             s = jax.nn.sigmoid(nn.Dense(self.out_ch)(s))
             h = h * s[:, None, None, :]
         return jax.nn.relu(h)
 
 
 class RepVGG(nn.Module):
-    """RepVGG-D2se layout (parity: src/models/RepVGG.py:335-337)."""
+    """RepVGG-D2se layout (parity: src/models/RepVGG.py:335-337).
+
+    Unlike the other mel-image encoders the reference RepVGG applies NO
+    instance norm — only log+CMN for melspectrogram features
+    (RepVGG.py:186-198) — hence ``_prep(..., instance_norm=False)``.
+    """
     nOut: int = 256
     num_blocks: Sequence[int] = (8, 14, 24, 1)
     width: Sequence[float] = (2.5, 2.5, 2.5, 5.0)
@@ -233,7 +248,7 @@ class RepVGG(nn.Module):
 
     @nn.compact
     def __call__(self, x, train=False):
-        x = _prep(x, self.log_input)
+        x = _prep(x, self.log_input, instance_norm=False)
         ch0 = min(64, int(64 * self.width[0]))
         h = RepVGGBlock(ch0, 2, self.use_se, self.deploy)(x, train=train)
         for stage, (n, w) in enumerate(zip(self.num_blocks, self.width)):
@@ -242,6 +257,51 @@ class RepVGG(nn.Module):
                 h = RepVGGBlock(out_ch, 2 if i == 0 else 1, self.use_se,
                                 self.deploy)(h, train=train)
         return nn.Dense(self.nOut)(h.mean(axis=(1, 2)))
+
+
+def repvgg_reparameterize(variables: dict) -> dict:
+    """Fold a train-mode RepVGG's 3×3+1×1+identity branches into deploy
+    3×3 convs (the ``switch_to_deploy`` fold, src/models/RepVGG.py:80-136).
+
+    Per block: fuse each conv's BN into (kernel·t, β−μ·t) with
+    t = γ/√(σ²+ε), pad the 1×1 kernel to 3×3, and add an identity 3×3
+    kernel for the BN-only branch; sums become the deploy conv's kernel
+    and bias. Returns ``{"params": ...}`` for ``deploy=True`` apply
+    (SE and head params copied through; eval-equality is proven in
+    tests/test_torch_parity.py::test_repvgg_reparameterize_fold).
+    """
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    eps = 1e-5
+
+    def fuse(kernel, bn_p, bn_s):
+        t = bn_p["scale"] / jnp.sqrt(bn_s["var"] + eps)
+        return kernel * t, bn_p["bias"] - bn_s["mean"] * t
+
+    out = {}
+    for name, sub in params.items():
+        if not name.startswith("RepVGGBlock_"):
+            out[name] = sub
+            continue
+        st = stats.get(name, {})
+        k3, b3 = fuse(sub["rbr_dense"]["kernel"],
+                      sub["BatchNorm_0"], st["BatchNorm_0"])
+        k1, b1 = fuse(sub["rbr_1x1"]["kernel"],
+                      sub["BatchNorm_1"], st["BatchNorm_1"])
+        k1 = jnp.pad(k1, ((1, 1), (1, 1), (0, 0), (0, 0)))
+        kernel, bias = k3 + k1, b3 + b1
+        if "BatchNorm_2" in sub:                   # identity branch
+            in_ch = k3.shape[2]
+            kid = jnp.zeros_like(k3).at[
+                1, 1, jnp.arange(in_ch), jnp.arange(in_ch)].set(1.0)
+            kfold, bfold = fuse(kid, sub["BatchNorm_2"], st["BatchNorm_2"])
+            kernel, bias = kernel + kfold, bias + bfold
+        new = {"rbr_reparam": {"kernel": kernel, "bias": bias}}
+        for k, v in sub.items():                   # SE denses pass through
+            if k.startswith("Dense_"):
+                new[k] = v
+        out[name] = new
+    return {"params": out}
 
 
 # ---------------------------------------------------------------------------

@@ -183,7 +183,9 @@ class Res2NetBlock(nn.Module):
                 inv = jax.lax.rsqrt(bn_s["var"].astype(jnp.float32) + 1e-5)
                 s = bn_p["scale"].astype(jnp.float32) * inv
                 ws.append(conv["kernel"])
-                cbs.append(conv["bias"].astype(jnp.float32))
+                # a bias-free Conv1d config has no 'bias' leaf
+                cb = conv.get("bias", jnp.zeros((hidden,)))
+                cbs.append(cb.astype(jnp.float32))
                 ss.append(s)
                 bs.append(bn_p["bias"].astype(jnp.float32)
                           - bn_s["mean"].astype(jnp.float32) * s)

@@ -63,10 +63,12 @@ class MegaBlock(nn.Module):
         for _ in range(self.n_sub_blocks):
             h = ConvBlock1d(self.features, self.kernel_size, depthwise=True,
                             dropout=self.dropout)(h, train=train)
-        # squeeze-excitation over the temporal context
+        # squeeze-excitation over the temporal context (bias-free
+        # excitation, blocks/titanet_blocks.py:166-171)
         s = h.mean(axis=1)
-        s = jax.nn.relu(nn.Dense(self.features // self.se_reduction)(s))
-        s = jax.nn.sigmoid(nn.Dense(self.features)(s))
+        s = jax.nn.relu(nn.Dense(self.features // self.se_reduction,
+                                 use_bias=False)(s))
+        s = jax.nn.sigmoid(nn.Dense(self.features, use_bias=False)(s))
         h = h * s[:, None, :]
 
         out = jax.nn.relu(skip + h)

@@ -57,48 +57,16 @@ def sgd(learning_rate, weight_decay=0.0, momentum=0.0, nesterov=False, **kw):
         optax.scale(-learning_rate))
 
 
-@OPTIMIZERS.register("AdaBelief")
-def adabelief(learning_rate, weight_decay=0.0, b1=0.9, b2=0.999,
-              eps=1e-16, eps_root=1e-16, **kw):
-    # Reference AdaBelief defaults to decoupled decay (weight_decouple=True).
-    return optax.chain(optax.scale_by_belief(b1, b2, eps, eps_root),
-                       optax.add_decayed_weights(weight_decay),
-                       optax.scale(-learning_rate))
-
-
-@OPTIMIZERS.register("RAdam")
-def radam(learning_rate, weight_decay=0.0, b1=0.9, b2=0.999, eps=1e-8, **kw):
-    return optax.chain(_l2(weight_decay), optax.scale_by_radam(b1, b2, eps),
-                       optax.scale(-learning_rate))
-
-
-@OPTIMIZERS.register("Lamb")
-def lamb(learning_rate, weight_decay=0.0, b1=0.9, b2=0.999, eps=1e-6, **kw):
-    return optax.lamb(learning_rate, b1=b1, b2=b2, eps=eps,
-                      weight_decay=weight_decay)
-
-
-@OPTIMIZERS.register("LARS")
-def lars(learning_rate, weight_decay=0.0, momentum=0.9, **kw):
-    return optax.lars(learning_rate, weight_decay=weight_decay,
-                      momentum=momentum)
-
-
-@OPTIMIZERS.register("NovoGrad")
-def novograd(learning_rate, weight_decay=0.0, b1=0.9, b2=0.25, eps=1e-8, **kw):
-    return optax.novograd(learning_rate, b1=b1, b2=b2, eps=eps,
-                          weight_decay=weight_decay)
+# AdaBelief / RAdam / Lamb / LARS / NovoGrad / Adafactor live in
+# optim/custom.py as exact ports of the reference's vendored semantics
+# (the optax built-ins diverge in decay coupling, debiasing, or state
+# seeding; see tests/test_optim_trajectory_parity.py).
 
 
 @OPTIMIZERS.register("Yogi")
 def yogi(learning_rate, weight_decay=0.0, b1=0.9, b2=0.999, eps=1e-3, **kw):
     return optax.chain(_l2(weight_decay), optax.scale_by_yogi(b1, b2, eps),
                        optax.scale(-learning_rate))
-
-
-@OPTIMIZERS.register("Adafactor")
-def adafactor(learning_rate, weight_decay=0.0, **kw):
-    return optax.adafactor(learning_rate, weight_decay_rate=weight_decay or None)
 
 
 @OPTIMIZERS.register("Lookahead")

@@ -122,60 +122,96 @@ def make_adahessian_loss_update(loss_fn: Callable, tx, n_probes: int = 1):
 
 class ShampooState(NamedTuple):
     count: chex.Array
-    stats: chex.ArrayTree          # per-leaf tuple of preconditioner stats
+    buf: chex.ArrayTree            # momentum buffers (preconditioned grads)
+    preconds: chex.ArrayTree       # per-leaf tuple: one dim×dim mat per axis
+    inv_preconds: chex.ArrayTree   # cached inverse roots (update_freq > 1)
 
 
-def _inv_pth_root(mat: jax.Array, p: float, eps: float = 1e-6) -> jax.Array:
-    w, v = jnp.linalg.eigh(mat + eps * jnp.eye(mat.shape[0], dtype=mat.dtype))
-    w = jnp.maximum(w, eps)
-    return (v * jnp.power(w, -1.0 / p)) @ v.T
+def _inv_pth_root(mat: jax.Array, p: float) -> jax.Array:
+    """mat^(−1/p) via SVD, mirroring the reference route (Shampoo.py:7-12:
+    ``u @ s.pow(power).diag() @ v.t()``). mat is symmetric PD by ε·I
+    seeding; SVD rather than eigh because the inverse amplifies the
+    ~1/ε eigenvalues of unexplored directions and the SVD route tracks
+    the reference's float32 trajectory much more closely."""
+    u, s, vt = jnp.linalg.svd(mat)
+    return (u * jnp.power(jnp.maximum(s, 1e-30), -1.0 / p)) @ vt
 
 
 @OPTIMIZERS.register("Shampoo")
-def shampoo(learning_rate, weight_decay=0.0, eps=1e-4, momentum=0.9, **kw):
-    """Kronecker-factored full-matrix preconditioning for 1-D/2-D params;
-    diagonal AdaGrad for higher ranks (keeps memory bounded)."""
+def shampoo(learning_rate, weight_decay=0.0, momentum=0.0, epsilon=1e-4,
+            update_freq=1, **kw):
+    """Shampoo, exact port of the reference semantics
+    (src/optimizer/Shampoo.py:76-147): full-matrix preconditioner per
+    AXIS of every parameter (any rank) with matrix power −1/order,
+    sequential per-axis application (each axis preconditions the output
+    of the previous), preconditioners seeded at ε·I, momentum buffer
+    seeded from the first gradient and storing the PRECONDITIONED
+    gradient, coupled weight decay after momentum."""
+
+    def axis_mats(p):
+        return tuple(jnp.asarray(epsilon) * jnp.eye(d, dtype=p.dtype)
+                     for d in p.shape)
 
     def init(params):
-        def leaf_stats(p):
-            if p.ndim == 1:
-                return (jnp.zeros((p.shape[0], p.shape[0]), p.dtype),)
-            if p.ndim == 2 and max(p.shape) <= 2048:
-                return (jnp.zeros((p.shape[0], p.shape[0]), p.dtype),
-                        jnp.zeros((p.shape[1], p.shape[1]), p.dtype))
-            return (jnp.zeros_like(p),)
-        return ShampooState(jnp.zeros([], jnp.int32),
-                            jax.tree_util.tree_map(
-                                leaf_stats, params,
-                                is_leaf=lambda x: isinstance(x, jnp.ndarray)))
+        tup = lambda fn: jax.tree_util.tree_map(fn, params)
+        return ShampooState(
+            jnp.zeros([], jnp.int32), _zeros_like(params),
+            tup(axis_mats),
+            tup(lambda p: tuple(jnp.zeros((d, d), p.dtype)
+                                for d in p.shape)))
 
     def update(updates, state, params=None):
-        if weight_decay and params is not None:
-            updates = jax.tree_util.tree_map(
-                lambda g, p: g + weight_decay * p, updates, params)
+        first = state.count == 0
 
-        def precondition(g, stats):
-            if g.ndim == 1 and len(stats) == 1 and stats[0].ndim == 2:
-                l = stats[0] + jnp.outer(g, g)
-                return _inv_pth_root(l, 2.0) @ g, (l,)
-            if g.ndim == 2 and len(stats) == 2:
-                l = stats[0] + g @ g.T
-                r = stats[1] + g.T @ g
-                pre = _inv_pth_root(l, 4.0) @ g @ _inv_pth_root(r, 4.0)
-                return pre, (l, r)
-            s = stats[0] + g * g
-            return g / (jnp.sqrt(s) + eps), (s,)
+        def leaf(g, p, bf, pre, inv):
+            order = g.ndim
+            if momentum > 0:
+                bf_in = jnp.where(first, g, bf)
+                g = (1 - momentum) * g + momentum * bf_in
+            if weight_decay > 0 and p is not None:
+                g = g + weight_decay * p
+            new_pre, new_inv = [], []
+            original_shape = g.shape
+            for dim_id in range(order):
+                dim = g.shape[0] if dim_id == 0 else None
+                # transpose axis dim_id to the front, matricize
+                perm = list(range(order))
+                perm[0], perm[dim_id] = perm[dim_id], perm[0]
+                g = jnp.transpose(g, perm)
+                transposed_shape = g.shape
+                dim = g.shape[0]
+                gm = g.reshape(dim, -1)
+                pre_d = pre[dim_id] + gm @ gm.T
+                inv_d = jnp.where(state.count % update_freq == 0,
+                                  _inv_pth_root(pre_d, float(order)),
+                                  inv[dim_id])
+                if dim_id == order - 1:
+                    gm = gm.T @ inv_d
+                    g = gm.reshape(original_shape)
+                else:
+                    gm = inv_d @ gm
+                    g = gm.reshape(transposed_shape)
+                new_pre.append(pre_d)
+                new_inv.append(inv_d)
+            return -learning_rate * g, g, tuple(new_pre), tuple(new_inv)
 
-        flat_u, treedef = jax.tree_util.tree_flatten(updates)
-        flat_s = treedef.flatten_up_to(state.stats)
-        out, new_stats = [], []
-        for g, st in zip(flat_u, flat_s):
-            pg, ns = precondition(g, st)
-            out.append(-learning_rate * pg)
-            new_stats.append(ns)
-        return (jax.tree_util.tree_unflatten(treedef, out),
-                ShampooState(state.count + 1,
-                             jax.tree_util.tree_unflatten(treedef, new_stats)))
+        is_tup = lambda x: isinstance(x, tuple)
+        flat_g, treedef = jax.tree_util.tree_flatten(updates)
+        flat_p = (treedef.flatten_up_to(params) if params is not None
+                  else [None] * len(flat_g))
+        bufs = treedef.flatten_up_to(state.buf)
+        pres = treedef.flatten_up_to(state.preconds)
+        invs = treedef.flatten_up_to(state.inv_preconds)
+        out, nbuf, npre, ninv = [], [], [], []
+        for g, p, bf, pre, inv in zip(flat_g, flat_p, bufs, pres, invs):
+            o, b2, p2, i2 = leaf(g, p, bf, pre, inv)
+            out.append(o)
+            nbuf.append(b2)
+            npre.append(p2)
+            ninv.append(i2)
+        uf = lambda ls: jax.tree_util.tree_unflatten(treedef, ls)
+        return uf(out), ShampooState(state.count + 1, uf(nbuf),
+                                     uf(npre), uf(ninv))
 
     return optax.GradientTransformation(init, update)
 
@@ -193,7 +229,12 @@ class ApolloState(NamedTuple):
 
 @OPTIMIZERS.register("Apollo")
 def apollo(learning_rate, weight_decay=0.0, beta=0.9, eps=1e-4,
-           rebound=0.01, warmup=10, init_lr=0.01, **kw):
+           warmup=0, init_lr=0.01, **kw):
+    """Apollo (Ma 2020), exact port of the reference semantics
+    (src/optimizer/Apollo.py:76-158): 4-norm-plus-eps normalization of
+    the previous direction (``norm + eps``, not max), curvature rebound
+    ``clamp(|B|, min=1)`` (line 153), warmup interpolation on the
+    PRE-increment step with warmup=0 default, coupled weight decay."""
     def init(params):
         z = _zeros_like(params)
         return ApolloState(jnp.zeros([], jnp.int32), z, z, z)
@@ -202,22 +243,29 @@ def apollo(learning_rate, weight_decay=0.0, beta=0.9, eps=1e-4,
         if weight_decay and params is not None:
             updates = jax.tree_util.tree_map(
                 lambda g, p: g + weight_decay * p, updates, params)
+        # warmup check uses the step BEFORE increment (Apollo.py:110-115)
+        if warmup > 0:
+            kf = state.count.astype(jnp.float32)
+            lr_t = jnp.where(state.count < warmup,
+                             (learning_rate - init_lr) * kf / warmup + init_lr,
+                             jnp.asarray(learning_rate, jnp.float32))
+        else:
+            lr_t = learning_rate
         count = state.count + 1
         alpha = (1 - beta) / (1 - beta ** count)
 
         def per_leaf(g, m, B, d):
-            # corrected-rate gradient EMA and its change
             delta_grad = g - m
             m_new = m + alpha * delta_grad
-            # normalized previous direction
-            denom = jnp.maximum(jnp.sum(d ** 4) ** 0.25, eps)
+            # normalized previous direction (norm + eps, Apollo.py:141)
+            denom = jnp.sum(d ** 4) ** 0.25 + eps
             d_p = d / denom
             v_sq = d_p * d_p
             # scalar quasi-Newton curvature update
             delta = (-alpha * jnp.sum((delta_grad / denom) * d_p)
                      - jnp.sum(B * v_sq))
             B_new = B + v_sq * delta
-            D = jnp.maximum(jnp.abs(B_new), rebound)
+            D = jnp.maximum(jnp.abs(B_new), 1.0)
             d_new = m_new / D
             return m_new, B_new, d_new
 
@@ -226,11 +274,6 @@ def apollo(learning_rate, weight_decay=0.0, beta=0.9, eps=1e-4,
         Bs = treedef.flatten_up_to(state.B)
         ds = treedef.flatten_up_to(state.d)
         new_m, new_B, new_d, out = [], [], [], []
-        # lr warmup (Apollo is unstable at full lr from step 1)
-        lr_t = jnp.where(count <= warmup,
-                         init_lr + (learning_rate - init_lr)
-                         * count / max(warmup, 1),
-                         learning_rate)
         for g, m, B, d in zip(flat, ms, Bs, ds):
             m2, B2, d2 = per_leaf(g, m, B, d)
             new_m.append(m2)
@@ -250,35 +293,56 @@ def apollo(learning_rate, weight_decay=0.0, beta=0.9, eps=1e-4,
 class A2GradState(NamedTuple):
     count: chex.Array
     avg_grad: chex.ArrayTree
-    v: chex.ArrayTree
+    v: chex.ArrayTree              # per-leaf SCALAR cumulative deviation²
+    x: chex.ArrayTree              # auxiliary iterate x_k
 
 
 @OPTIMIZERS.register("A2GradUni")
 def a2grad_uni(learning_rate, weight_decay=0.0, beta=10.0, lips=10.0, **kw):
-    """A2Grad with uniform moving average of squared gradient deviation."""
+    """A2Grad, uniform variant — exact port of the reference semantics
+    (src/optimizer/A2GradUni.py:58-108): ``lr`` is UNUSED (the rate comes
+    from gamma_k/h_k), v_k is a per-parameter scalar CUMULATIVE sum of
+    squared deviations from the running-mean gradient, the auxiliary
+    iterate x_k is seeded from the initial parameters, and the update
+    mixes p, x_{k+1} and the gradient with the PREVIOUS alpha_k."""
 
     def init(params):
-        return A2GradState(jnp.zeros([], jnp.int32), _zeros_like(params),
-                           _zeros_like(params))
+        return A2GradState(
+            jnp.zeros([], jnp.int32), _zeros_like(params),
+            jax.tree_util.tree_map(lambda p: jnp.zeros([], p.dtype), params),
+            params)
 
-    def update(updates, state, params=None):
-        if weight_decay and params is not None:
-            updates = jax.tree_util.tree_map(
-                lambda g, p: g + weight_decay * p, updates, params)
+    def update(updates, state, params):
         k = state.count
         kf = k.astype(jnp.float32)
-        gamma = 2.0 / (kf + 2.0)
-        avg = jax.tree_util.tree_map(
-            lambda a, g: (1 - gamma) * a + gamma * g, state.avg_grad, updates)
-        delta2 = jax.tree_util.tree_map(
-            lambda g, a: (g - a) ** 2, updates, avg)
-        # uniform averaging of squared deviations
-        v = jax.tree_util.tree_map(
-            lambda vo, d: (vo * kf + d) / (kf + 1.0), state.v, delta2)
-        out = jax.tree_util.tree_map(
-            lambda g, vv: -learning_rate * g
-            / (lips / (kf + 1.0) + beta * jnp.sqrt((kf + 1.0) * vv) + 1e-12),
-            updates, v)
-        return out, A2GradState(k + 1, avg, v)
+        gamma_k = 2.0 * lips / (kf + 1.0)
+        alpha_prev = jnp.where(k == 0, 1.0, 2.0 / (kf + 2.0))
+        alpha_next = 2.0 / (kf + 3.0)
+
+        def leaf(g, p, avg, v, x):
+            avg_new = (avg * kf + g) / (kf + 1.0)
+            delta = g - avg_new
+            v_new = v + jnp.sum(delta * delta)
+            h_k = jnp.sqrt(v_new)
+            coef = 1.0 / (gamma_k + beta * h_k)
+            x_new = x - coef * g
+            p_new = ((1 - alpha_next) * p + alpha_next * x_new
+                     - (1 - alpha_next) * alpha_prev * coef * g)
+            return p_new - p, avg_new, v_new, x_new
+
+        flat_g, treedef = jax.tree_util.tree_flatten(updates)
+        flat_p = treedef.flatten_up_to(params)
+        avgs = treedef.flatten_up_to(state.avg_grad)
+        vs = treedef.flatten_up_to(state.v)
+        xs = treedef.flatten_up_to(state.x)
+        out, na, nv, nx = [], [], [], []
+        for g, p, a, v, x in zip(flat_g, flat_p, avgs, vs, xs):
+            o, a2, v2, x2 = leaf(g, p, a, v, x)
+            out.append(o)
+            na.append(a2)
+            nv.append(v2)
+            nx.append(x2)
+        uf = lambda ls: jax.tree_util.tree_unflatten(treedef, ls)
+        return uf(out), A2GradState(k + 1, uf(na), uf(nv), uf(nx))
 
     return optax.GradientTransformation(init, update)

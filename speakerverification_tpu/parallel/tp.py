@@ -116,6 +116,16 @@ def make_dp_tp_train_step(model, tx, mesh: Mesh, state_template,
     model axis).
     """
     n_model = mesh.shape[model_axis]
+    # the library API must not silently shard a non-shard-aware head:
+    # tp_state_specs shards any 2-D 'weight' under a 'loss' path, which
+    # computes wrong math for a head that never psums over model_axis
+    loss_mod = getattr(model, "loss", None)
+    if getattr(loss_mod, "model_axis", None) != model_axis:
+        raise ValueError(
+            "make_dp_tp_train_step requires a model-axis-aware loss head "
+            f"(got {type(loss_mod).__name__} with model_axis="
+            f"{getattr(loss_mod, 'model_axis', None)!r}, expected "
+            f"{model_axis!r}); use ShardedAAmSoftmax or set model_parallel=1")
     state_specs = tp_state_specs(state_template, model_axis, n_model)
     if not any(s == P(model_axis, None)
                for s in jax.tree_util.tree_leaves(

@@ -20,7 +20,10 @@ if "xla_force_host_platform_device_count" not in _flags:
 # cheap LLVM passes cut cold compile ~36 % (measured) and every oracle/
 # torch-parity/DP-equality test still passes — test-only, production
 # flags are untouched.
-if "xla_backend_optimization_level" not in _flags:
+if ("xla_backend_optimization_level" not in _flags
+        and not os.environ.get("SV_TPU_KEEP_XLA_FLAGS")):
+    # SV_TPU_KEEP_XLA_FLAGS=1 opts out (the O2 numeric canary in
+    # test_frontend.py re-runs oracle tests at the default pipeline)
     _flags += (" --xla_backend_optimization_level=0"
                " --xla_llvm_disable_expensive_passes=true")
 os.environ["XLA_FLAGS"] = _flags

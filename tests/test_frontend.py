@@ -1,5 +1,7 @@
 """Frontend golden tests vs an independent scipy/numpy STFT oracle."""
 
+import os
+
 import numpy as np
 import pytest
 import scipy.fft
@@ -122,3 +124,26 @@ def test_batch_shapes_preserved():
     x = jnp.zeros((2, 3, 16000))
     out = fn(x)
     assert out.shape == (2, 3, 201, 80)
+
+
+@pytest.mark.slow
+def test_numeric_parity_at_default_xla_opt_level():
+    """O2 canary (ADVICE r2): the whole CPU suite runs at
+    --xla_backend_optimization_level=0 for compile speed, so numeric
+    tolerances are otherwise never exercised at the optimization level
+    production uses. Re-run the scipy-oracle frontend tests in a
+    subprocess with the default (full) XLA pipeline."""
+    import subprocess
+    import sys
+
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "PYTEST_CURRENT_TEST")}
+    env["JAX_PLATFORMS"] = "cpu"
+    env["SV_TPU_KEEP_XLA_FLAGS"] = "1"   # conftest: skip the O0 override
+    r = subprocess.run(
+        [sys.executable, "-m", "pytest", "-q", "-p", "no:cacheprovider",
+         "tests/test_frontend.py::test_power_spectrogram_matches_scipy",
+         "tests/test_frontend.py::test_mel_spectrogram_matches_oracle"],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env, capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stdout + r.stderr
