@@ -24,7 +24,7 @@ __all__ = ["ecapa_from_torch_state_dict", "rawnet3_from_torch_state_dict",
            "raw3_ecapa_from_torch_state_dict",
            "resnetse_from_torch_state_dict",
            "repvgg_from_torch_state_dict", "titanet_from_torch_state_dict",
-           "load_reference_checkpoint"]
+           "rawnet2_from_torch_state_dict", "load_reference_checkpoint"]
 
 
 def load_reference_checkpoint(path, n_blocks: int = 4,
@@ -376,15 +376,79 @@ def titanet_from_torch_state_dict(sd: Mapping, n_mega_blocks: int,
         _set(params, f"{fp}/Dense_1/kernel", _np(sd, f"{se}.2.weight").T)
     convblock("encoder.epilog", "ConvBlock1d_1")
 
-    _set(params, "Dense_0/kernel", _np(sd, "decoder.pool.0.in_linear.weight").T)
-    _set(params, "Dense_0/bias", _np(sd, "decoder.pool.0.in_linear.bias"))
-    _set(params, "Dense_1/kernel",
+    # flax names submodules in CONSTRUCTION order: in Dense(out)(tanh(
+    # Dense(hidden)(h))) the outer Dense is constructed first → Dense_0
+    # is out_linear, Dense_1 is in_linear
+    _set(params, "Dense_0/kernel",
          _np(sd, "decoder.pool.0.out_linear.weight").T)
-    _set(params, "Dense_1/bias", _np(sd, "decoder.pool.0.out_linear.bias"))
+    _set(params, "Dense_0/bias", _np(sd, "decoder.pool.0.out_linear.bias"))
+    _set(params, "Dense_1/kernel", _np(sd, "decoder.pool.0.in_linear.weight").T)
+    _set(params, "Dense_1/bias", _np(sd, "decoder.pool.0.in_linear.bias"))
     _bn_at(params, stats, sd, "decoder.pool.1", "BatchNorm_0")
     _set(params, "Dense_2/kernel", _np(sd, "decoder.linear.0.weight").T)
     _set(params, "Dense_2/bias", _np(sd, "decoder.linear.0.bias"))
     _bn_at(params, stats, sd, "decoder.linear.1", "BatchNorm_1")
+    return params, stats
+
+
+def rawnet2_from_torch_state_dict(sd: Mapping, n_blocks: int = 6):
+    """Port a reference RawNet2 (SincNet baseline) state dict
+    (src/models/RawNet_baseline.py:485-571). Torch: ``ln`` sample
+    LayerNorm, ``first_conv`` SincConv_fast, ``first_bn``, six
+    ``blockN.0`` Residual_block_wFRM (bn1 absent on the first), ``
+    bn_before_gru``, one-layer ``gru``, ``fc1_gru`` (the embedding —
+    fc2_gru/sig are dead code in forward). Flax children
+    (models/rawnet2.py): SampleLayerNorm_0, SincConv_0, BatchNorm_0,
+    ResidualBlockFRM_*, BatchNorm_1, GRUCell_0, Dense_0."""
+    params: dict = {}
+    stats: dict = {}
+
+    _set(params, "SampleLayerNorm_0/gamma", _np(sd, "ln.gamma"))
+    _set(params, "SampleLayerNorm_0/beta", _np(sd, "ln.beta"))
+    _set(params, "SincConv_0/low_hz", _np(sd, "first_conv.low_hz_")[:, 0])
+    _set(params, "SincConv_0/band_hz", _np(sd, "first_conv.band_hz_")[:, 0])
+    _bn_at(params, stats, sd, "first_bn", "BatchNorm_0")
+
+    for i in range(n_blocks):
+        tp, fp = f"block{i}.0", f"ResidualBlockFRM_{i}"
+        first = i == 0
+        if not first:
+            _bn_at(params, stats, sd, f"{tp}.bn1", f"{fp}/BatchNorm_0")
+        _conv1d_at(params, stats, sd, f"{tp}.conv1", f"{fp}/Conv_0")
+        _bn_at(params, stats, sd, f"{tp}.bn2",
+               f"{fp}/BatchNorm_0" if first else f"{fp}/BatchNorm_1")
+        _conv1d_at(params, stats, sd, f"{tp}.conv2", f"{fp}/Conv_1")
+        if f"{tp}.conv_downsample.weight" in sd:
+            _conv1d_at(params, stats, sd, f"{tp}.conv_downsample",
+                       f"{fp}/Conv_2")
+        _set(params, f"{fp}/FRM_0/Dense_0/kernel",
+             _np(sd, f"{tp}.frm.fc.weight").T)
+        _set(params, f"{fp}/FRM_0/Dense_0/bias", _np(sd, f"{tp}.frm.fc.bias"))
+
+    _bn_at(params, stats, sd, "bn_before_gru", "BatchNorm_1")
+
+    # torch GRU gates stack (r|z|n) rows; flax GRUCell keeps them as
+    # separate Dense's with input-side bias only for r/z (so the two
+    # torch biases fold into one) and the hidden-side n bias kept
+    # separate (it sits inside the reset gate product)
+    w_ih, w_hh = _np(sd, "gru.weight_ih_l0"), _np(sd, "gru.weight_hh_l0")
+    b_ih, b_hh = _np(sd, "gru.bias_ih_l0"), _np(sd, "gru.bias_hh_l0")
+    H = w_hh.shape[1]
+    for j, g in enumerate(("r", "z", "n")):
+        wi = w_ih[j * H:(j + 1) * H].T
+        wh = w_hh[j * H:(j + 1) * H].T
+        bi = b_ih[j * H:(j + 1) * H]
+        bh = b_hh[j * H:(j + 1) * H]
+        _set(params, f"GRUCell_0/i{g}/kernel", wi)
+        _set(params, f"GRUCell_0/h{g}/kernel", wh)
+        if g == "n":
+            _set(params, "GRUCell_0/in/bias", bi)
+            _set(params, "GRUCell_0/hn/bias", bh)
+        else:
+            _set(params, f"GRUCell_0/i{g}/bias", bi + bh)
+
+    _set(params, "Dense_0/kernel", _np(sd, "fc1_gru.weight").T)
+    _set(params, "Dense_0/bias", _np(sd, "fc1_gru.bias"))
     return params, stats
 
 
@@ -417,6 +481,7 @@ _PORTERS = {
     "RepVGG": lambda sd, a: repvgg_from_torch_state_dict(sd),
     "TitaNet": lambda sd, a: titanet_from_torch_state_dict(
         sd, n_mega_blocks=getattr(a, "n_mega_blocks", 14)),
+    "RawNet2": lambda sd, a: rawnet2_from_torch_state_dict(sd),
 }
 
 

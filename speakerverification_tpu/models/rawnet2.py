@@ -25,7 +25,26 @@ from speakerverification_tpu.registry import MODELS
 __all__ = ["RawNet2"]
 
 
+class SampleLayerNorm(nn.Module):
+    """The reference's custom LayerNorm (RawNet_baseline.py:13-24):
+    per-sample-position affine, UNBIASED std (torch ``Tensor.std``), and
+    eps added to the std (not the variance)."""
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:          # [B, T]
+        gamma = self.param("gamma", nn.initializers.ones, (x.shape[-1],))
+        beta = self.param("beta", nn.initializers.zeros, (x.shape[-1],))
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        std = jnp.sqrt(jnp.var(x, axis=-1, keepdims=True, ddof=1))
+        return gamma * (x - mean) / (std + self.eps) + beta
+
+
 class RawNet2(nn.Module):
+    """Embedding = ``fc1_gru`` output; the reference's fc2_gru/sig are
+    dead code in forward (RawNet_baseline.py:528-534,562-563) and its
+    fc1 width is the hard-coded nb_fc_node=512, so nOut here plays the
+    nb_fc_node role."""
     nOut: int = 512
     first_filters: int = 128
     block_filters: Tuple[Tuple[int, int], ...] = (
@@ -38,13 +57,13 @@ class RawNet2(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         """``x``: raw waveform [B, T] → embeddings [B, nOut]."""
-        # sample-axis LayerNorm (torch LayerNorm(nb_samp),
-        # RawNet_baseline.py:500,541) — normalizes each utterance over time
-        # with learnable per-position affine.
-        x = nn.LayerNorm(reduction_axes=-1, feature_axes=-1)(x)
+        x = SampleLayerNorm()(x)
 
+        # SincNet frontend: mel init from 10 Hz and the linspace window
+        # grid (SincConv_fast, RawNet_baseline.py:297,313-314)
         x = SincConv(self.first_filters, self.first_conv_size,
-                     sample_rate=self.sample_rate)(x)        # [B, F, 128]
+                     sample_rate=self.sample_rate, init_low_hz=10.0,
+                     window_grid="linspace")(x)              # [B, F, 128]
         x = max_pool1d(jnp.abs(x), 3)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
         x = leaky_relu_03(x)

@@ -32,9 +32,13 @@ def _mel_to_hz_htk(mel):
 
 
 def sinc_init_frequencies(out_channels: int, sample_rate: int,
-                          min_low_hz: float = 50.0, min_band_hz: float = 50.0):
-    """Mel-spaced initial (low_hz, band_hz) pairs (SincNet init)."""
-    low_hz = 30.0
+                          min_low_hz: float = 50.0, min_band_hz: float = 50.0,
+                          low_hz: float = 30.0):
+    """Mel-spaced initial (low_hz, band_hz) pairs (SincNet init).
+
+    ``low_hz=30`` for the asteroid-style RawNet3 frontend; the
+    SincConv_fast frontend starts at 10 Hz
+    (src/models/RawNet_baseline.py:297)."""
     high_hz = sample_rate / 2.0 - (min_low_hz + min_band_hz)
     mel = np.linspace(_hz_to_mel_htk(low_hz), _hz_to_mel_htk(high_hz),
                       out_channels + 1)
@@ -50,6 +54,11 @@ class SincConv(nn.Module):
     min_low_hz: float = 50.0
     min_band_hz: float = 50.0
     padding: str = "VALID"
+    init_low_hz: float = 30.0
+    # "arange": integer window grid (asteroid-style, RawNet3);
+    # "linspace": SincConv_fast's half-window linspace(0, k/2-1, k//2)
+    # grid with non-integer step (RawNet_baseline.py:313-314)
+    window_grid: str = "arange"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -57,7 +66,7 @@ class SincConv(nn.Module):
         assert self.kernel_size % 2 == 1, "kernel_size must be odd"
         low_init, band_init = sinc_init_frequencies(
             self.out_channels, self.sample_rate,
-            self.min_low_hz, self.min_band_hz)
+            self.min_low_hz, self.min_band_hz, low_hz=self.init_low_hz)
         low_hz = self.param("low_hz", lambda rng: jnp.asarray(low_init))
         band_hz = self.param("band_hz", lambda rng: jnp.asarray(band_init))
 
@@ -68,9 +77,14 @@ class SincConv(nn.Module):
 
         half = (self.kernel_size - 1) // 2
         n_left = 2.0 * math.pi * jnp.arange(-half, 0.0) / self.sample_rate
-        # half hamming window over the left lobe (SincConv_fast's window_)
+        # half hamming window over the left lobe
+        if self.window_grid == "linspace":
+            grid = jnp.linspace(0.0, self.kernel_size / 2.0 - 1.0,
+                                self.kernel_size // 2)
+        else:
+            grid = jnp.arange(half, dtype=jnp.float32)
         window = 0.54 - 0.46 * jnp.cos(
-            2.0 * math.pi * jnp.arange(half) / self.kernel_size)
+            2.0 * math.pi * grid / self.kernel_size)
 
         f_low = low[:, None] * n_left[None, :]                         # [C, half]
         f_high = high[:, None] * n_left[None, :]
