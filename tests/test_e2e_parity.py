@@ -165,3 +165,143 @@ def test_trained_eer_parity_with_reference():
     print(f"PARITY torch EER={eer_t:.4f}% jax EER={eer_j:.4f}% "
           f"delta={abs(eer_t - eer_j):.4f}%")
     assert abs(eer_t - eer_j) < 0.1, (eer_t, eer_j)
+
+
+def _synthetic_waves(rng, n_spk=10, n_utts_per_spk=8, n_samp=6640, sr=16000):
+    """Per-speaker sinusoid mixtures + noise — spectral identity the sinc
+    frontend must learn to separate. [n, n_samp] float32."""
+    t = np.arange(n_samp) / sr
+    waves, labels = [], []
+    freqs = rng.uniform(200, 3800, (n_spk, 3))
+    for s in range(n_spk):
+        base = sum(np.sin(2 * np.pi * f * t + rng.uniform(0, 6.28))
+                   for f in freqs[s])
+        for _ in range(n_utts_per_spk):
+            # noise high enough that the trained EER is NON-trivial —
+            # a 0-vs-0 comparison would prove nothing
+            x = 0.1 * base + rng.normal(0, 0.22, n_samp)
+            waves.append(x.astype(np.float32))
+            labels.append(s)
+    return np.stack(waves), np.asarray(labels, np.int32)
+
+
+@pytest.mark.slow
+def test_trained_eer_parity_rawnet2_full_path():
+    """Trained parity on the DEFAULT raw-waveform path (VERDICT r2 #4):
+    unlike the ECAPA test above, nothing is precomputed — both sides
+    consume raw waves, so the sample LayerNorm, the sinc frontend's
+    LEARNABLE cutoffs, FRM blocks and GRU are all trained and compared.
+    Small RawNet2 config (reference class, RawNet_baseline.py:485-563)."""
+    import torch
+
+    from test_torch_parity import _install_asteroid_stub
+    _install_asteroid_stub()                  # stubs all absent ref deps
+    if "/root/reference/src" not in sys.path:
+        sys.path.insert(0, "/root/reference/src")
+    from models import RawNet_baseline as RefRN
+    from losses import AAmSoftmax as RefL
+
+    from speakerverification_tpu.compat.torch_port import (
+        rawnet2_from_torch_state_dict,
+    )
+    from speakerverification_tpu.losses import build_loss
+    from speakerverification_tpu.models.rawnet2 import RawNet2
+
+    EMB_R = 24
+    steps = 20
+    rng = np.random.default_rng(5)
+    waves, labels = _synthetic_waves(rng)
+    # separate, larger eval set: with only 80 utts the EER's resolution
+    # is ~0.36 % (one flipped pair), coarser than the 0.1 % parity gate
+    eval_waves, eval_labels = _synthetic_waves(rng, n_utts_per_spk=30)
+    order = rng.permutation(len(waves))
+    batches = [(waves[order[i:i + BATCH]], labels[order[i:i + BATCH]])
+               for i in range(0, (len(order) // BATCH) * BATCH, BATCH)]
+    batches = (batches * ((steps // len(batches)) + 1))[:steps]
+
+    filters = [32, [32, 32], [32, 64], [64, 64]]
+
+    def make_ref():
+        torch.manual_seed(21)
+        return RefRN.RawNet2(filters=[f if isinstance(f, int) else list(f)
+                                      for f in filters],
+                             nb_classes=N_SPK, gru_node=64, nb_fc_node=EMB_R,
+                             sample_rate=16000, max_frames=40)
+
+    # ---- torch side ----
+    net = make_ref()
+    loss_t = RefL.AAmSoftmax(nOut=EMB_R, nClasses=N_SPK, margin=0.2, scale=30)
+    opt = torch.optim.Adam(list(net.parameters()) + list(loss_t.parameters()),
+                           lr=1e-3)
+    net.train()
+    torch_losses = []
+    for bx, by in batches:
+        opt.zero_grad()
+        e = net(torch.from_numpy(bx))
+        l, _ = loss_t(e.unsqueeze(1), torch.from_numpy(by).long())
+        l.backward()
+        opt.step()
+        torch_losses.append(float(l.detach()))
+    net.eval()
+    with torch.no_grad():
+        emb_t = net(torch.from_numpy(eval_waves)).numpy()
+
+    # ---- ours from the ported identical init ----
+    net0 = make_ref()
+    loss0 = RefL.AAmSoftmax(nOut=EMB_R, nClasses=N_SPK, margin=0.2, scale=30)
+    bb_params, bb_stats = rawnet2_from_torch_state_dict(net0.state_dict())
+    model = RawNet2(nOut=EMB_R, first_filters=32,
+                    block_filters=((32, 32), (32, 32), (32, 64),
+                                   (64, 64), (64, 64), (64, 64)),
+                    gru_node=64, sample_rate=16000)
+    head = build_loss("AAmSoftmax", nOut=EMB_R, nClasses=N_SPK,
+                      margin=0.2, scale=30)
+    params = {"backbone": bb_params,
+              "head": {"weight": loss0.weight.detach().numpy()}}
+    stats = {"backbone": bb_stats}
+
+    import optax
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(params)
+
+    def loss_fn(p, s, bx, by):
+        e, mut = model.apply({"params": p["backbone"],
+                              "batch_stats": s["backbone"]}, bx, train=True,
+                             mutable=["batch_stats"])
+        l, prec = head.apply({"params": p["head"]}, e[:, None, :], by)
+        return l, mut["batch_stats"]
+
+    @jax.jit
+    def step(p, s, opt_state, bx, by):
+        (l, new_stats), g = jax.value_and_grad(loss_fn, has_aux=True)(
+            p, s, bx, by)
+        updates, opt_state = tx.update(g, opt_state, p)
+        return optax.apply_updates(p, updates), {"backbone": new_stats}, \
+            opt_state, l
+
+    jax_losses = []
+    for bx, by in batches:
+        params, stats, opt_state, l = step(params, stats, opt_state,
+                                           jnp.asarray(bx), jnp.asarray(by))
+        jax_losses.append(float(l))
+
+    emb_j = np.asarray(model.apply(
+        {"params": params["backbone"], "batch_stats": stats["backbone"]},
+        jnp.asarray(eval_waves)))
+
+    print("torch:", " ".join(f"{l:.4f}" for l in torch_losses))
+    print("jax:  ", " ".join(f"{l:.4f}" for l in jax_losses))
+    np.testing.assert_allclose(jax_losses[0], torch_losses[0], rtol=1e-4)
+    # the GRU recurrence amplifies float32 drift, and per-step losses
+    # bounce an order of magnitude on this noisy task — so the tail is
+    # compared SMOOTHED (mean of the last 5 steps), not step-by-step
+    tt = float(np.mean(torch_losses[-5:]))
+    tj = float(np.mean(jax_losses[-5:]))
+    assert abs(tj - tt) / max(tt, 1e-6) < 0.3 or abs(tj - tt) < 0.05, (
+        f"smoothed loss tails diverged: torch={tt:.4f} jax={tj:.4f}")
+
+    eer_t = _all_pairs_eer(emb_t, eval_labels)
+    eer_j = _all_pairs_eer(emb_j, eval_labels)
+    print(f"RAW PARITY torch EER={eer_t:.4f}% jax EER={eer_j:.4f}% "
+          f"delta={abs(eer_t - eer_j):.4f}%")
+    assert abs(eer_t - eer_j) < 0.1, (eer_t, eer_j)
