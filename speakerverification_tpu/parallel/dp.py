@@ -31,14 +31,18 @@ __all__ = ["make_dp_train_step", "replicate_state", "shard_batch"]
 
 
 def make_dp_train_step(model, tx, mesh: Mesh, axis: str = "data",
-                       donate: bool = True, compute_dtype=None) -> Callable:
+                       donate: bool = True, compute_dtype=None,
+                       augment_fn=None) -> Callable:
     """Build ``step(state, wave, label, rng, lr) -> (state, metrics)``
     where wave/label are globally-shaped arrays sharded on ``axis``.
 
     ``compute_dtype`` forwards the bf16 mixed-precision policy to the
-    inner step (same semantics as the single-device path)."""
+    inner step (same semantics as the single-device path);
+    ``augment_fn`` the on-device augmentation hook (runs per shard with
+    the per-replica folded rng, so shards draw independent corruption)."""
     inner = make_train_step(model, tx, axis_name=axis,
-                            compute_dtype=compute_dtype)
+                            compute_dtype=compute_dtype,
+                            augment_fn=augment_fn)
 
     def per_replica(state, wave, label, rng, lr):
         rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))

@@ -106,7 +106,8 @@ def shard_state_tp_global(state_host, mesh: Mesh,
 
 def make_dp_tp_train_step(model, tx, mesh: Mesh, state_template,
                           data_axis: str = "data", model_axis: str = "model",
-                          donate: bool = True, compute_dtype=None) -> Callable:
+                          donate: bool = True, compute_dtype=None,
+                          augment_fn=None) -> Callable:
     """Build the 2-D-sharded ``step(state, wave, label, rng, lr)``.
 
     ``state_template`` provides the pytree structure for the per-leaf
@@ -140,7 +141,8 @@ def make_dp_tp_train_step(model, tx, mesh: Mesh, state_template,
             "pad the class count or lower model_parallel")
     inner = make_train_step(model, tx, axis_name=data_axis,
                             compute_dtype=compute_dtype,
-                            grad_scale=1.0 / n_model)
+                            grad_scale=1.0 / n_model,
+                            augment_fn=augment_fn)
 
     def per_shard(state, wave, label, rng, lr):
         # fold the DATA index only: model shards must draw identical

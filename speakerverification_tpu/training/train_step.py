@@ -34,11 +34,17 @@ __all__ = ["make_train_step", "make_eval_embed_fn"]
 def make_train_step(model, tx: optax.GradientTransformation,
                     axis_name: Optional[str] = None,
                     compute_dtype: Optional[jnp.dtype] = None,
-                    grad_scale: float = 1.0) -> Callable:
+                    grad_scale: float = 1.0,
+                    augment_fn: Optional[Callable] = None) -> Callable:
     """Build ``step(state, wave, label, rng, lr) -> (state, metrics)``.
 
     With ``axis_name`` set, the step is meant to run inside ``shard_map``
     over that mesh axis: gradients and metrics are ``psum``-averaged.
+
+    ``augment_fn(wave, rng) -> wave`` runs INSIDE the jitted step before
+    the forward pass — the hook for on-device batched augmentation
+    (ops/device_augment.py::device_env_corrupt with bound banks); it
+    draws from a dedicated rng fold so model rngs are unchanged.
 
     ``compute_dtype=jnp.bfloat16`` enables mixed precision: fp32 master
     params are cast to bf16 for the forward/backward pass (bf16's fp32
@@ -51,6 +57,9 @@ def make_train_step(model, tx: optax.GradientTransformation,
     """
 
     def step(state: TrainState, wave, label, rng, lr):
+        if augment_fn is not None:
+            wave = augment_fn(wave, jax.random.fold_in(rng, 2))
+
         def loss_fn(params):
             apply_params = params
             if compute_dtype is not None:
