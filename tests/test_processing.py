@@ -206,3 +206,84 @@ def test_benchmark_dataset(tmp_path):
                             num_eval=5)
     assert res["overall_accuracy"] == 1.0
     assert set(res["per_speaker"]) == {"0", "1", "2"}
+
+
+# ---------------------------------------------------------------------------
+# VAD golden-segment fixtures (VERDICT r2 item #7)
+# ---------------------------------------------------------------------------
+
+def _golden_signal(sr=16000):
+    """Deterministic silence/speech layout, 30 ms frame-aligned.
+
+    Frames (30 ms each): 0-39 silence, 40-99 speech, 100-139 silence,
+    140-199 speech, 200-232 silence. Speech = loud low-ZCR harmonic;
+    silence = tiny noise. Ground truth is the CONSTRUCTION, so the
+    expected segments below are derived from the collector's documented
+    semantics (vad_tool.py:74-140), not from running the code:
+
+    * trigger after 10 consecutive voiced frames in the 300 ms ring →
+      the segment starts AT the first voiced frame (the ring's content
+      is prepended);
+    * de-trigger after 10 consecutive unvoiced frames → the segment
+      includes those 10 trailing silence frames.
+
+    Golden: [(40, 110), (140, 210)] in frame units.
+    """
+    n = int(sr * 0.03)
+    rng = np.random.default_rng(42)
+    t = np.arange(n) / sr
+    frames = []
+    for i in range(233):
+        speech = (40 <= i < 100) or (140 <= i < 200)
+        if speech:
+            f = sum(0.3 / (h + 1) * np.sin(2 * np.pi * 220 * (h + 1)
+                                           * (t + i * 0.03))
+                    for h in range(3)) + rng.normal(0, 0.01, n)
+        else:
+            f = rng.normal(0, 0.001, n)
+        frames.append(f.astype(np.float32))
+    return np.concatenate(frames), [(40, 110), (140, 210)]
+
+
+def test_vad_golden_segments_fallback():
+    """Energy+ZCR fallback must reproduce the constructed golden
+    segmentation exactly (fixed expectations, not self-comparison)."""
+    audio, golden = _golden_signal()
+    vad = VAD(mode=2, use_webrtcvad=False)
+    segs = vad.collect_segments(audio, 16000)
+    n = int(16000 * 0.03)
+    assert len(segs) == len(golden), [len(s) / n for s in segs]
+    for seg, (f0, f1) in zip(segs, golden):
+        assert len(seg) == (f1 - f0) * n, (len(seg) / n, f0, f1)
+        np.testing.assert_array_equal(seg, audio[f0 * n:f1 * n])
+
+
+def test_vad_webrtc_branch_golden_segments(monkeypatch):
+    """Drive the webrtcvad BRANCH (vad.py:52-57: i2 PCM conversion,
+    per-frame bytes calls) with a mock webrtcvad whose decision is a
+    plain amplitude threshold; the same golden segments must come out.
+    (The real package is absent in this image — the exact-parity branch
+    itself is what's under test here, with a deterministic oracle.)"""
+    import sys
+    import types
+
+    class _MockVad:
+        def __init__(self, mode):
+            self.mode = mode
+
+        def is_speech(self, pcm_bytes, sample_rate):
+            pcm = np.frombuffer(pcm_bytes, dtype="<i2")
+            return float(np.sqrt(np.mean(pcm.astype(np.float64) ** 2))) > 1000
+
+    mod = types.ModuleType("webrtcvad")
+    mod.Vad = _MockVad
+    monkeypatch.setitem(sys.modules, "webrtcvad", mod)
+
+    audio, golden = _golden_signal()
+    vad = VAD(mode=2, use_webrtcvad=True)
+    assert vad._webrtc is not None          # the branch is active
+    segs = vad.collect_segments(audio, 16000)
+    n = int(16000 * 0.03)
+    assert len(segs) == len(golden)
+    for seg, (f0, f1) in zip(segs, golden):
+        np.testing.assert_array_equal(seg, audio[f0 * n:f1 * n])
