@@ -13,7 +13,8 @@ src/models/ECAPA_TDNN.py:469-478), params cast in-step.
 
 MFU: FLOPs come from XLA cost analysis of the compiled program;
 peak is TPU v5e bf16 (197 TFLOP/s). A training-step entry (forward +
-backward + AdaBelief update, batch 64 utts) is reported alongside.
+backward + AdaBelief update, batch 256 utts — the measured sweet spot,
+see bench_train_sweep.py) is reported alongside.
 
 Timing methodology: the axon tunnel adds ~3.65 ms of host round-trip
 per dispatch (measured with a trivial jitted add — a production host
@@ -189,7 +190,12 @@ def main() -> None:
     from speakerverification_tpu.training.state import create_train_state
 
     tx = build_optimizer("AdaBelief", learning_rate=1e-3, weight_decay=2e-5)
-    tb = 32                                              # 32×2 = 64 utts/step
+    # 128×2 = 256 utts/step: measured sweet spot (bench_train_sweep.py —
+    # 61.8/66.7/71.7 TF/s at 64/128/256 utts; 256 utts runs at 78 % of
+    # the chip's practical GEMM peak, nearly matching extraction's 80 %,
+    # so the r2 "training efficiency gap" was batch amortization of the
+    # ~60 µs per-instruction floor, not a step-structure defect)
+    tb = 128
     twave = jnp.asarray(rng.normal(0, 0.1, (tb, 2, T)).astype(np.float32))
     tlabel = jnp.asarray(np.arange(tb) % 5994, jnp.int32)
     state = create_train_state(model_bf16, tx, jax.random.PRNGKey(0),
