@@ -24,7 +24,8 @@ __all__ = ["ecapa_from_torch_state_dict", "rawnet3_from_torch_state_dict",
            "raw3_ecapa_from_torch_state_dict",
            "resnetse_from_torch_state_dict",
            "repvgg_from_torch_state_dict", "titanet_from_torch_state_dict",
-           "rawnet2_from_torch_state_dict", "load_reference_checkpoint"]
+           "rawnet2_from_torch_state_dict", "scnet_from_torch_state_dict",
+           "efficientnet_from_torch_state_dict", "load_reference_checkpoint"]
 
 
 def load_reference_checkpoint(path, n_blocks: int = 4,
@@ -452,6 +453,116 @@ def rawnet2_from_torch_state_dict(sd: Mapping, n_blocks: int = 6):
     return params, stats
 
 
+def scnet_from_torch_state_dict(sd: Mapping, layers=(3, 4, 6, 3)):
+    """Port a reference SCNet-50 state dict (src/models/SCnet.py +
+    utils/SCnet_utils.py). Torch per-block modules: conv1_a/bn1_a,
+    conv1_b/bn1_b, k1.{0,1}, scconv.k2.{1,2} (index 0 is the AvgPool),
+    scconv.k3.{0,1}, scconv.k4.{0,1}, conv3/bn3, downsample.{0,1}.
+    Flax children (models/image_encoders.py::SCBottleneck, construction
+    order): Conv_0/BN_0 = 1×1a, Conv_1/BN_1 = k1, Conv_2/BN_2 = 1×1b,
+    Conv_3/BN_3 = k2, Conv_4/BN_4 = k3, Conv_5/BN_5 = k4,
+    Conv_6/BN_6 = conv3, Conv_7/BN_7 = downsample."""
+    params: dict = {}
+    stats: dict = {}
+
+    def conv2d(tk, fk):
+        _set(params, f"{fk}/kernel",
+             _np(sd, f"{tk}.weight").transpose(2, 3, 1, 0))
+
+    def bn(tk, fk):
+        _bn_at(params, stats, sd, tk, fk)
+
+    conv2d("conv1", "Conv_0")
+    bn("bn1", "BatchNorm_0")
+    bi = 0
+    pairs = [("conv1_a", 0), ("k1.0", 1), ("conv1_b", 2),
+             ("scconv.k2.1", 3), ("scconv.k3.0", 4), ("scconv.k4.0", 5),
+             ("conv3", 6)]
+    bns = [("bn1_a", 0), ("k1.1", 1), ("bn1_b", 2), ("scconv.k2.2", 3),
+           ("scconv.k3.1", 4), ("scconv.k4.1", 5), ("bn3", 6)]
+    for g in range(4):
+        for i in range(layers[g]):
+            tp, fp = f"layer{g + 1}.{i}", f"SCBottleneck_{bi}"
+            for tk, ci in pairs:
+                conv2d(f"{tp}.{tk}", f"{fp}/Conv_{ci}")
+            for tk, ci in bns:
+                bn(f"{tp}.{tk}", f"{fp}/BatchNorm_{ci}")
+            if f"{tp}.downsample.0.weight" in sd:
+                conv2d(f"{tp}.downsample.0", f"{fp}/Conv_7")
+                bn(f"{tp}.downsample.1", f"{fp}/BatchNorm_7")
+            bi += 1
+    _set(params, "Dense_0/kernel", _np(sd, "fc.weight").T)
+    _set(params, "Dense_0/bias", _np(sd, "fc.bias"))
+    return params, stats
+
+
+def efficientnet_from_torch_state_dict(sd: Mapping, width_coeff=1.4,
+                                       depth_coeff=1.8,
+                                       aggregate: str = "ASP"):
+    """Port a reference EfficientNet state dict (src/models/
+    EfficientNet.py + Efficient_utils.py). Torch per-block modules
+    (``blocks.{stage}.layers.{i}``): expand_conv.{0,1} (absent when
+    expand==1), depth_wise_conv.{0,1}, se.se.{1,3} 1×1 convs,
+    project_conv.{0,1}; stem/head conv_bn_act pairs; fc / fc_attn heads.
+    The ``attention.*`` weights are skipped — with the head's global
+    pool the ASP softmax runs over one step and they cannot affect the
+    output (EfficientNet.py:132-139,184-192)."""
+    import math
+
+    params: dict = {}
+    stats: dict = {}
+
+    def renew_ch(x):
+        if not width_coeff:
+            return x
+        x *= width_coeff
+        new = max(8, int(x + 4) // 8 * 8)
+        return new + 8 if new < 0.9 * x else new
+
+    def conv2d(tk, fk):
+        _set(params, f"{fk}/kernel",
+             _np(sd, f"{tk}.weight").transpose(2, 3, 1, 0))
+        if f"{tk}.bias" in sd:
+            _set(params, f"{fk}/bias", _np(sd, f"{tk}.bias"))
+
+    def bn(tk, fk):
+        _bn_at(params, stats, sd, tk, fk)
+
+    conv2d("stem.0", "Conv_0")
+    bn("stem.1", "BatchNorm_0")
+
+    specs = [(16, 1, 1), (24, 6, 2), (40, 6, 2), (80, 6, 3),
+             (112, 6, 3), (192, 6, 4), (320, 6, 1)]
+    mb = 0
+    for stage, (out, expand, rep) in enumerate(specs):
+        for i in range(int(math.ceil(rep * depth_coeff))):
+            tp = f"blocks.{stage}.layers.{i}"
+            fp = f"MBConv_{mb}"
+            ci = 0
+            if expand != 1:
+                conv2d(f"{tp}.expand_conv.0", f"{fp}/Conv_0")
+                bn(f"{tp}.expand_conv.1", f"{fp}/BatchNorm_0")
+                ci = 1
+            conv2d(f"{tp}.depth_wise_conv.0", f"{fp}/Conv_{ci}")
+            bn(f"{tp}.depth_wise_conv.1", f"{fp}/BatchNorm_{ci}")
+            _set(params, f"{fp}/Dense_0/kernel",
+                 _np(sd, f"{tp}.se.se.1.weight")[:, :, 0, 0].T)
+            _set(params, f"{fp}/Dense_0/bias", _np(sd, f"{tp}.se.se.1.bias"))
+            _set(params, f"{fp}/Dense_1/kernel",
+                 _np(sd, f"{tp}.se.se.3.weight")[:, :, 0, 0].T)
+            _set(params, f"{fp}/Dense_1/bias", _np(sd, f"{tp}.se.se.3.bias"))
+            conv2d(f"{tp}.project_conv.0", f"{fp}/Conv_{ci + 1}")
+            bn(f"{tp}.project_conv.1", f"{fp}/BatchNorm_{ci + 1}")
+            mb += 1
+
+    conv2d("head.0", "Conv_1")
+    bn("head.1", "BatchNorm_1")
+    fck = "fc" if aggregate == "flatten" else "fc_attn"
+    _set(params, "Dense_0/kernel", _np(sd, f"{fck}.weight").T)
+    _set(params, "Dense_0/bias", _np(sd, f"{fck}.bias"))
+    return params, stats
+
+
 def _strip_reference_prefixes(sd: Mapping) -> dict:
     """Unwrap DDP/SpeakerEncoder prefixes from a reference checkpoint
     (src/model.py:24-33 WrappedModel ``module.``; ``__S__.`` backbone /
@@ -482,6 +593,8 @@ _PORTERS = {
     "TitaNet": lambda sd, a: titanet_from_torch_state_dict(
         sd, n_mega_blocks=getattr(a, "n_mega_blocks", 14)),
     "RawNet2": lambda sd, a: rawnet2_from_torch_state_dict(sd),
+    "SCnet": lambda sd, a: scnet_from_torch_state_dict(sd),
+    "EfficientNet": lambda sd, a: efficientnet_from_torch_state_dict(sd),
 }
 
 

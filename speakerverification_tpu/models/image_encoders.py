@@ -62,33 +62,35 @@ class MBConv(nn.Module):
     kernel: int
     stride: int
     se_ratio: float = 0.25
-    drop_connect: float = 0.2
+    bn_eps: float = 1e-5     # EfficientNet v1's conv_bn_act uses 1e-3
 
     @nn.compact
     def __call__(self, x, train=False):
+        def bn(y):
+            return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                epsilon=self.bn_eps)(y)
+
         in_ch = x.shape[-1]
         h = x
         if self.expand != 1:
             h = nn.Conv(in_ch * self.expand, (1, 1), use_bias=False)(h)
-            h = jax.nn.swish(_bn(train)(h))
+            h = jax.nn.swish(bn(h))
         h = nn.Conv(h.shape[-1], (self.kernel, self.kernel),
                     (self.stride, self.stride), padding="SAME",
                     feature_group_count=h.shape[-1], use_bias=False)(h)
-        h = jax.nn.swish(_bn(train)(h))
-        # squeeze-excitation
+        h = jax.nn.swish(bn(h))
+        # squeeze-excitation (squeeze width from the block INPUT channels,
+        # Efficient_utils.py SEModule / EfficientNet.py:23-24)
         se_ch = max(1, int(in_ch * self.se_ratio))
         s = h.mean(axis=(1, 2))
         s = jax.nn.swish(nn.Dense(se_ch)(s))
         s = jax.nn.sigmoid(nn.Dense(h.shape[-1])(s))
         h = h * s[:, None, None, :]
         h = nn.Conv(self.out_ch, (1, 1), use_bias=False)(h)
-        h = _bn(train)(h)
+        h = bn(h)
         if self.stride == 1 and in_ch == self.out_ch:
-            if train and self.drop_connect > 0:
-                keep = 1.0 - self.drop_connect
-                mask = jax.random.bernoulli(
-                    self.make_rng("dropout"), keep, (x.shape[0], 1, 1, 1))
-                h = h * mask / keep
+            # the reference's DropConnect is dead code — always Identity
+            # (EfficientNet.py:38-40), so the skip is a plain residual
             h = h + x
         return h
 
@@ -111,31 +113,38 @@ class EfficientNet(nn.Module):
 
     @nn.compact
     def __call__(self, x, train=False):
+        def bn(y):       # conv_bn_act pins eps=1e-3 (Efficient_utils.py:8-16)
+            return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                epsilon=1e-3)(y)
+
         x = _prep(x, self.log_input)
         h = nn.Conv(self._ch(32), (3, 3), (2, 2), padding="SAME",
                     use_bias=False)(x)
-        h = jax.nn.swish(_bn(train)(h))
+        h = jax.nn.swish(bn(h))
 
         specs = [(16, 1, 3, 1, 1), (24, 6, 3, 2, 2), (40, 6, 5, 2, 2),
                  (80, 6, 3, 2, 3), (112, 6, 5, 1, 3), (192, 6, 5, 2, 4),
                  (320, 6, 3, 1, 1)]
         for out, expand, k, s, rep in specs:
             for i in range(self._rep(rep)):
-                h = MBConv(self._ch(out), expand, k, s if i == 0 else 1)(
-                    h, train=train)
+                h = MBConv(self._ch(out), expand, k, s if i == 0 else 1,
+                           bn_eps=1e-3)(h, train=train)
 
         h = nn.Conv(self._ch(1280), (1, 1), use_bias=False)(h)
-        h = jax.nn.swish(_bn(train)(h))
+        h = jax.nn.swish(bn(h))
         pooled = h.mean(axis=(1, 2))                   # [B, 1280]
         pooled = nn.Dropout(self.dropout_rate,
                             deterministic=not train)(pooled)
 
         if self.aggregate == "flatten":
             return nn.Dense(self.nOut)(pooled)
-        # 'ASP' over the single pooled step (reference parity: the head's
-        # global pool runs before ASP, EfficientNet.py:132-139,184-192)
+        # 'ASP' after the head's global pool (EfficientNet.py:132-139,
+        # 184-192): with T=1 the attention softmax is identically 1 (the
+        # attention convs exist in the reference but cannot affect the
+        # output), mu = pooled, and sg = sqrt(clamp(0, min=1e-5)) — a
+        # CONSTANT sqrt(1e-5), not zero, feeding fc_attn
         mu = pooled
-        sg = jnp.zeros_like(pooled)
+        sg = jnp.full_like(pooled, jnp.sqrt(1e-5))
         return nn.Dense(self.nOut)(jnp.concatenate([mu, sg], axis=-1))
 
 
@@ -309,41 +318,50 @@ def repvgg_reparameterize(variables: dict) -> dict:
 # ---------------------------------------------------------------------------
 
 class SCBottleneck(nn.Module):
-    """Self-calibrated bottleneck (parity: src/models/SCnet.py SCConv)."""
+    """Self-calibrated bottleneck, exact port of the reference block
+    (src/models/utils/SCnet_utils.py:54-129): group_width = planes/2,
+    torch-p=d explicit padding (stride-2 SAME differs), per-branch
+    conv→BN→relu ordering, SCConv with AvgPool(pooling_r)→k2 (stride 1)
+    →nearest-upsample gate, k3 (stride 1), k4 (stride), and the
+    downsample rule ``stride != 1 or in_ch != planes·4``."""
     planes: int
     stride: int = 1
+    dilation: int = 1
     pooling_r: int = 4
 
     @nn.compact
     def __call__(self, x, train=False):
         in_ch = x.shape[-1]
         half = self.planes // 2
+        d = self.dilation
+        pad = ((d, d), (d, d))
         residual = x
 
-        # branch a: plain conv
+        # branch a: 1×1 then k1 (SCnet_utils.py:103-112)
         a = nn.Conv(half, (1, 1), use_bias=False)(x)
         a = jax.nn.relu(_bn(train)(a))
-        a = nn.Conv(half, (3, 3), (self.stride, self.stride),
-                    padding="SAME", use_bias=False)(a)
+        a = nn.Conv(half, (3, 3), (self.stride, self.stride), padding=pad,
+                    kernel_dilation=(d, d), use_bias=False)(a)
         a = jax.nn.relu(_bn(train)(a))
 
-        # branch b: self-calibrated conv
+        # branch b: 1×1 then self-calibrated conv
         b = nn.Conv(half, (1, 1), use_bias=False)(x)
         b = jax.nn.relu(_bn(train)(b))
-        # k2: pooled path; k3: identity path; k4: output conv
-        # (pooling window clamped so deep stages with tiny spatial dims
-        # keep a non-empty calibration map)
+        # torch AvgPool2d(r, r): VALID floor pooling (window clamped so
+        # deep stages with tiny spatial dims keep a non-empty map)
         r = max(1, min(self.pooling_r, b.shape[1], b.shape[2]))
         pooled = nn.avg_pool(b, (r, r), (r, r))
-        k2 = nn.Conv(half, (3, 3), padding="SAME", use_bias=False)(pooled)
+        k2 = nn.Conv(half, (3, 3), padding=pad, kernel_dilation=(d, d),
+                     use_bias=False)(pooled)
         k2 = _bn(train)(k2)
         k2 = jax.image.resize(k2, b.shape, "nearest")
         gate = jax.nn.sigmoid(b + k2)
-        k3 = nn.Conv(half, (3, 3), padding="SAME", use_bias=False)(b)
+        k3 = nn.Conv(half, (3, 3), padding=pad, kernel_dilation=(d, d),
+                     use_bias=False)(b)
         k3 = _bn(train)(k3)
         b = k3 * gate
-        b = nn.Conv(half, (3, 3), (self.stride, self.stride),
-                    padding="SAME", use_bias=False)(b)
+        b = nn.Conv(half, (3, 3), (self.stride, self.stride), padding=pad,
+                    kernel_dilation=(d, d), use_bias=False)(b)
         b = jax.nn.relu(_bn(train)(b))
 
         out = jnp.concatenate([a, b], axis=-1)
@@ -358,21 +376,34 @@ class SCBottleneck(nn.Module):
 
 
 class SCNet(nn.Module):
+    """SCNet-50, the reference MainModel layout (src/models/SCnet.py:
+    265-271: dilated=True): 7×7-s2-p3 stem + 3×3-s2-p1 maxpool, stages
+    [3,4,6,3] at planes 64/128/256/512 where layers 3/4 keep stride 1
+    with dilations — first block dil 1 then 2 (layer3), first 2 then 4
+    (layer4), SCnet.py:123-160 — GAP, Linear."""
     nOut: int = 256
     layers: Sequence[int] = (3, 4, 6, 3)
     log_input: bool = True
+    dilated: bool = True
 
     @nn.compact
     def __call__(self, x, train=False):
         x = _prep(x, self.log_input)
-        h = nn.Conv(64, (7, 7), (2, 2), padding="SAME", use_bias=False)(x)
+        h = nn.Conv(64, (7, 7), (2, 2), padding=((3, 3), (3, 3)),
+                    use_bias=False)(x)
         h = jax.nn.relu(_bn(train)(h))
-        h = nn.max_pool(h, (3, 3), (2, 2), padding="SAME")
+        h = nn.max_pool(h, (3, 3), (2, 2), padding=((1, 1), (1, 1)))
         for stage, n in enumerate(self.layers):
             planes = 64 << stage
             for i in range(n):
-                stride = 2 if stage > 0 and i == 0 else 1
-                h = SCBottleneck(planes, stride)(h, train=train)
+                if self.dilated and stage >= 2:
+                    stride = 1
+                    base = 2 if stage == 2 else 4
+                    dil = base // 2 if i == 0 else base
+                else:
+                    stride = 2 if stage > 0 and i == 0 else 1
+                    dil = 1
+                h = SCBottleneck(planes, stride, dil)(h, train=train)
         return nn.Dense(self.nOut)(h.mean(axis=(1, 2)))
 
 

@@ -110,6 +110,7 @@ def test_build_banks_from_host_augmentor(tmp_path):
     assert set(np.asarray(banks.snr_lo)) <= {0.0, 5.0}
 
 
+@pytest.mark.slow
 def test_train_step_augment_hook():
     """augment_fn runs inside the jitted step and training stays finite."""
     from speakerverification_tpu.encoder import SpeakerEncoder

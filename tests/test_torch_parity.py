@@ -660,3 +660,95 @@ def test_rawnet2_forward_parity():
     assert got.shape == ref.shape
     rel = np.max(np.abs(got - ref)) / (np.max(np.abs(ref)) + 1e-9)
     assert rel < 2e-3, rel
+
+
+@pytest.mark.slow
+def test_scnet_forward_parity():
+    """SCNet-50 weight-port parity (src/models/SCnet.py MainModel with
+    dilated=True + utils/SCnet_utils.py SCBottleneck): stem p3/p1
+    paddings, self-calibrated conv (pooled gate, nearest upsample),
+    stride-1 dilated layers 3/4. Small [1,1,1,1] layout exercises every
+    stage's stride/dilation combination."""
+    import torch
+
+    from speakerverification_tpu.compat.torch_port import (
+        scnet_from_torch_state_dict,
+    )
+    from speakerverification_tpu.models.image_encoders import SCNet
+
+    for name in ("torchaudio", "nnAudio", "nnAudio.features"):
+        sys.modules.setdefault(name, types.ModuleType(name))
+    if "/root/reference/src" not in sys.path:
+        sys.path.insert(0, "/root/reference/src")
+    from models.SCnet import SCNet as RefSC
+    from models.utils.SCnet_utils import SCBottleneck as RefBlock
+
+    torch.manual_seed(17)
+    kwargs = dict(n_mels=32, augment=False,
+                  augment_options={"augment_chain": []}, features="raw")
+    net = RefSC(RefBlock, [1, 1, 1, 1], nOut=24, deep_stem=False,
+                stem_width=32, avg_down=False, avd=False, dilated=True,
+                **kwargs)
+    net.eval()
+
+    params, stats = scnet_from_torch_state_dict(net.state_dict(),
+                                                layers=(1, 1, 1, 1))
+    ours = SCNet(nOut=24, layers=(1, 1, 1, 1), log_input=False)
+    rng = np.random.default_rng(18)
+    feats = rng.normal(0, 1, (2, 64, 32)).astype(np.float32)   # [B, T, mel]
+    template = ours.init(jax.random.PRNGKey(0), jnp.asarray(feats))
+    _assert_trees_match(template, params, stats)
+
+    with torch.no_grad():
+        # reference: [B, n_mels, T], features='raw' → instancenorm only
+        ref = net(torch.from_numpy(feats.transpose(0, 2, 1))).numpy()
+    got = np.asarray(jax.jit(lambda v, x: ours.apply(v, x, train=False))(
+        {"params": params, "batch_stats": stats}, jnp.asarray(feats)))
+    assert got.shape == ref.shape
+    rel = np.max(np.abs(got - ref)) / (np.max(np.abs(ref)) + 1e-9)
+    assert rel < 2e-3, rel
+
+
+@pytest.mark.slow
+def test_efficientnet_forward_parity():
+    """EfficientNet weight-port parity (src/models/EfficientNet.py, ASP
+    aggregate): TF-SAME paddings, conv_bn_act's eps=1e-3 BNs, SE squeeze
+    from block input channels, the degenerate post-pool ASP whose sg is
+    the constant sqrt(1e-5). Small width/depth (0.5/0.5) covers every
+    stage incl. the expand==1 first stage."""
+    import torch
+
+    from speakerverification_tpu.compat.torch_port import (
+        efficientnet_from_torch_state_dict,
+    )
+    from speakerverification_tpu.models.image_encoders import EfficientNet
+
+    for name in ("torchaudio", "nnAudio", "nnAudio.features"):
+        sys.modules.setdefault(name, types.ModuleType(name))
+    if "/root/reference/src" not in sys.path:
+        sys.path.insert(0, "/root/reference/src")
+    from models.EfficientNet import EfficientNet as RefEff
+
+    torch.manual_seed(19)
+    kwargs = dict(n_mels=32, augment=False,
+                  augment_options={"augment_chain": []}, features="raw")
+    net = RefEff(0.5, 0.5, aggregate="ASP", dropout_rate=0.0, nOut=24,
+                 **kwargs)
+    net.eval()
+
+    params, stats = efficientnet_from_torch_state_dict(
+        net.state_dict(), width_coeff=0.5, depth_coeff=0.5)
+    ours = EfficientNet(nOut=24, width_coeff=0.5, depth_coeff=0.5,
+                        dropout_rate=0.0, aggregate="ASP", log_input=False)
+    rng = np.random.default_rng(20)
+    feats = rng.normal(0, 1, (2, 64, 32)).astype(np.float32)   # [B, T, mel]
+    template = ours.init(jax.random.PRNGKey(0), jnp.asarray(feats))
+    _assert_trees_match(template, params, stats)
+
+    with torch.no_grad():
+        ref = net(torch.from_numpy(feats.transpose(0, 2, 1))).numpy()
+    got = np.asarray(jax.jit(lambda v, x: ours.apply(v, x, train=False))(
+        {"params": params, "batch_stats": stats}, jnp.asarray(feats)))
+    assert got.shape == ref.shape
+    rel = np.max(np.abs(got - ref)) / (np.max(np.abs(ref)) + 1e-9)
+    assert rel < 2e-3, rel
