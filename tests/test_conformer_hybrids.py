@@ -33,6 +33,9 @@ def test_conformer_speaker():
     assert np.all(np.isfinite(np.asarray(out)))
 
 
+# the conformer path is covered by test_conformer_speaker in the default
+# tier; this second variant is slow-tier budget control
+@pytest.mark.slow
 def test_ecapa_conformer_small():
     from speakerverification_tpu.models.conformer import ECAPAConformer
     model = ECAPAConformer(nOut=24, channels=(32, 32, 32, 32, 96),

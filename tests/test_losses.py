@@ -143,6 +143,9 @@ def test_combined_losses_run():
         assert 0.0 <= float(prec1) <= 100.0, name
 
 
+# every-head differentiability is exercised indirectly by the live-parity
+# and train-step tests; the exhaustive sweep is slow-tier budget control
+@pytest.mark.slow
 def test_losses_differentiable():
     rng = np.random.default_rng(7)
     x = jnp.asarray(rng.normal(size=(4, 2, 16)).astype(np.float32))

@@ -72,6 +72,9 @@ def test_fused_cascade_train_mode_uses_xla_path():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
 
 
+# the pallas cascade kernel is OPT-IN (ships at-par); its exact-match
+# check runs in the slow tier
+@pytest.mark.slow
 def test_ecapa_conv_backend_pallas_matches_xla():
     from speakerverification_tpu.models import build_model
 

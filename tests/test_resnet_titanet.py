@@ -55,6 +55,9 @@ def test_resnetse_registry():
         assert name in MODELS, name
 
 
+# TitaNet forward is covered by the weight-port parity test in the
+# default tier; the size-S smoke moves to the slow tier
+@pytest.mark.slow
 def test_titanet_s_forward():
     model = build_model("TitaNet", nOut=48, model_size="s", n_mega_blocks=2)
     x = _feats(seed=3)
