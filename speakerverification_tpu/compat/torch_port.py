@@ -25,7 +25,8 @@ __all__ = ["ecapa_from_torch_state_dict", "rawnet3_from_torch_state_dict",
            "resnetse_from_torch_state_dict",
            "repvgg_from_torch_state_dict", "titanet_from_torch_state_dict",
            "rawnet2_from_torch_state_dict", "scnet_from_torch_state_dict",
-           "efficientnet_from_torch_state_dict", "load_reference_checkpoint"]
+           "efficientnet_from_torch_state_dict",
+           "rawnext_from_torch_state_dict", "load_reference_checkpoint"]
 
 
 def load_reference_checkpoint(path, n_blocks: int = 4,
@@ -271,8 +272,9 @@ def resnetse_from_torch_state_dict(sd: Mapping, layers=(3, 4, 6, 3),
     conv2d("conv1", "Conv_0")
     bn("bn1", "BatchNorm_0")
 
-    n_convs = {"basic": 2, "bottleneck": 3}[block]
-    block_cls = {"basic": "SEBasicBlock", "bottleneck": "SEBottleneck"}[block]
+    n_convs = {"basic": 2, "basicv2": 2, "bottleneck": 3}[block]
+    block_cls = {"basic": "SEBasicBlock", "basicv2": "SEBasicBlockV2",
+                 "bottleneck": "SEBottleneck"}[block]
     bi = 0
     for g in range(4):
         for i in range(layers[g]):
@@ -563,6 +565,83 @@ def efficientnet_from_torch_state_dict(sd: Mapping, width_coeff=1.4,
     return params, stats
 
 
+def _convt1d_at(params, sd, tkey, fkey):
+    """torch ConvTranspose1d [in, out, k] → flax ConvTranspose kernel:
+    spatially FLIPPED [k, in, out] (flax transpose_kernel=False computes
+    the fractionally-strided conv with an unflipped kernel; verified
+    numerically against torch)."""
+    w = _np(sd, f"{tkey}.weight")
+    _set(params, f"{fkey}/kernel", w.transpose(2, 0, 1)[::-1].copy())
+    if f"{tkey}.bias" in sd:
+        _set(params, f"{fkey}/bias", _np(sd, f"{tkey}.bias"))
+
+
+def rawnext_from_torch_state_dict(sd: Mapping, levels=(1, 1, 1, 2, 2, 1)):
+    """Port a reference RawNeXt state dict (src/models/RawNeXt.py +
+    NeXt_utils.py). Per elastic block: conv1/bn1/conv2/bn2/conv3 +
+    _d and _u branch triples, conv_t / conv_t_u transposed convs,
+    gate_moduel.attention.{0,2,3}, the SHARED bn3, optional shortcut.0.
+    DLA trees recurse tree1/tree2(/root); the dead ``project``/
+    ``downsample`` members (never used in Tree.forward, RawNeXt.py:65-80)
+    are skipped."""
+    params: dict = {}
+    stats: dict = {}
+
+    def block(tp, fp):
+        ci = 0
+        if f"{tp}.shortcut.0.weight" in sd:
+            _conv1d_at(params, stats, sd, f"{tp}.shortcut.0", f"{fp}/Conv_0",
+                       bias=False)
+            ci = 1
+        grid = [("conv1", "bn1"), ("conv2", "bn2"), ("conv3", None),
+                ("conv1_d", "bn1_d"), ("conv2_d", "bn2_d"), ("conv3_d", None),
+                ("conv1_u", "bn1_u"), ("conv2_u", "bn2_u"), ("conv3_u", None)]
+        bi = 0
+        for conv_k, bn_k in grid:
+            _conv1d_at(params, stats, sd, f"{tp}.{conv_k}", f"{fp}/Conv_{ci}")
+            ci += 1
+            if bn_k is not None:
+                _bn_at(params, stats, sd, f"{tp}.{bn_k}",
+                       f"{fp}/BatchNorm_{bi}")
+                bi += 1
+        _convt1d_at(params, sd, f"{tp}.conv_t", f"{fp}/ConvTranspose_0")
+        _convt1d_at(params, sd, f"{tp}.conv_t_u", f"{fp}/ConvTranspose_1")
+        gm = f"{tp}.gate_moduel.attention"
+        _conv1d_at(params, stats, sd, f"{gm}.0", f"{fp}/GateModule_0/Conv_0")
+        _bn_at(params, stats, sd, f"{gm}.2", f"{fp}/GateModule_0/BatchNorm_0")
+        _conv1d_at(params, stats, sd, f"{gm}.3", f"{fp}/GateModule_0/Conv_1")
+        _bn_at(params, stats, sd, f"{tp}.bn3", f"{fp}/BatchNorm_{bi}")
+
+    def tree(tp, fp, lv):
+        if lv == 1:
+            block(f"{tp}.tree1", f"{fp}/ElasticBottleneck_0")
+            block(f"{tp}.tree2", f"{fp}/ElasticBottleneck_1")
+            _conv1d_at(params, stats, sd, f"{tp}.root.conv",
+                       f"{fp}/Root_0/Conv_0", bias=False)
+            _bn_at(params, stats, sd, f"{tp}.root.bn",
+                   f"{fp}/Root_0/BatchNorm_0")
+        else:
+            tree(f"{tp}.tree1", f"{fp}/Tree_0", lv - 1)
+            tree(f"{tp}.tree2", f"{fp}/Tree_1", lv - 1)
+
+    _conv1d_at(params, stats, sd, "base_layer.0", "Conv_0", bias=False)
+    _bn_at(params, stats, sd, "base_layer.1", "BatchNorm_0")
+    _conv1d_at(params, stats, sd, "level0.0", "Conv_1", bias=False)
+    _bn_at(params, stats, sd, "level0.1", "BatchNorm_1")
+    _conv1d_at(params, stats, sd, "level1.0", "Conv_2", bias=False)
+    _bn_at(params, stats, sd, "level1.1", "BatchNorm_2")
+    for i, li in enumerate(range(2, 6)):
+        tree(f"level{li}", f"Tree_{i}", levels[li])
+    _conv1d_at(params, stats, sd, "attention.0", "Conv_3")
+    _bn_at(params, stats, sd, "attention.2", "BatchNorm_3")
+    _conv1d_at(params, stats, sd, "attention.3", "Conv_4")
+    _bn_at(params, stats, sd, "bn_agg", "BatchNorm_4")
+    _set(params, "Dense_0/kernel", _np(sd, "fc.weight").T)
+    _set(params, "Dense_0/bias", _np(sd, "fc.bias"))
+    _bn_at(params, stats, sd, "bn_code", "BatchNorm_5")
+    return params, stats
+
+
 def _strip_reference_prefixes(sd: Mapping) -> dict:
     """Unwrap DDP/SpeakerEncoder prefixes from a reference checkpoint
     (src/model.py:24-33 WrappedModel ``module.``; ``__S__.`` backbone /
@@ -589,12 +668,15 @@ _PORTERS = {
     "ResNetSE34": lambda sd, a: resnetse_from_torch_state_dict(sd),
     "ResNetSE50": lambda sd, a: resnetse_from_torch_state_dict(
         sd, block="bottleneck"),
+    "ResNetSE34V2": lambda sd, a: resnetse_from_torch_state_dict(
+        sd, block="basicv2"),
     "RepVGG": lambda sd, a: repvgg_from_torch_state_dict(sd),
     "TitaNet": lambda sd, a: titanet_from_torch_state_dict(
         sd, n_mega_blocks=getattr(a, "n_mega_blocks", 14)),
     "RawNet2": lambda sd, a: rawnet2_from_torch_state_dict(sd),
     "SCnet": lambda sd, a: scnet_from_torch_state_dict(sd),
     "EfficientNet": lambda sd, a: efficientnet_from_torch_state_dict(sd),
+    "RawNeXt": lambda sd, a: rawnext_from_torch_state_dict(sd),
 }
 
 

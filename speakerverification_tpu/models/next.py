@@ -37,23 +37,31 @@ def _bn(train):
 
 
 class GateModule(nn.Module):
-    """Softmax gate over n branch outputs (parity: NeXt_utils.py:5-29)."""
+    """Softmax gate over n branch outputs (parity: NeXt_utils.py:5-29).
+
+    The reference pools the CONCATENATED branches to [B, n·C] and
+    reshapes row-major to [B, C, n] (NeXt_utils.py:19) — so gate slot j
+    of channel i reads concat channel 3i+j, an INTERLEAVED view, while
+    the weights are applied to each branch's contiguous slice
+    (:22-28). Replicated exactly: the scrambled view feeds the MLP, the
+    per-slot softmax weights multiply the unscrambled branches."""
     channels: int
     bottleneck: int
     nb_input: int
 
     @nn.compact
     def __call__(self, branches, train=False):
-        # branches: list of [B, T, C]; gate MLP mixes channels per branch
-        # slot, softmax over the branch axis (NeXt_utils.py:18-28).
-        stacked = jnp.stack(branches, axis=1)         # [B, n, T, C]
-        pooled = stacked.mean(axis=2)                 # [B, n, C]
-        h = nn.Conv(self.bottleneck, (1,))(pooled)    # 1x1 over branch axis
+        n = len(branches)
+        pooled = jnp.concatenate([b.mean(axis=1) for b in branches],
+                                 axis=-1)                    # [B, n*C]
+        gate_in = pooled.reshape(pooled.shape[0], self.channels, n)
+        gate_in = jnp.transpose(gate_in, (0, 2, 1))          # [B, n, C]
+        h = nn.Conv(self.bottleneck, (1,))(gate_in)
         h = jax.nn.relu(h)
         h = _bn(train)(h)
-        h = nn.Conv(self.channels, (1,))(h)           # [B, n, C]
-        w = jax.nn.softmax(h, axis=1)                 # softmax over branches
-        return jnp.sum(stacked * w[:, :, None, :], axis=1)
+        h = nn.Conv(self.channels, (1,))(h)                  # [B, n, C]
+        w = jax.nn.softmax(h, axis=1)                        # over slots
+        return sum(w[:, i, None, :] * branches[i] for i in range(n))
 
 
 class ElasticBottleneck(nn.Module):
@@ -94,14 +102,17 @@ class ElasticBottleneck(nn.Module):
 
         if self.dsp:
             # low-resolution: avgpool3 -> branch -> convT x3
+            # (torch ConvTranspose1d k3 s3 p0 == flax VALID, length 3L)
             x_d = nn.avg_pool(x, (3,), (3,))
             out_d = branch(x_d, width_split, card_split)
-            out_d = nn.ConvTranspose(self.planes, (3,), (3,))(out_d)
+            out_d = nn.ConvTranspose(self.planes, (3,), (3,),
+                                     padding="VALID")(out_d)
             out_d = out_d[:, :out.shape[1], :]
             branches.append(out_d)
             if self.up_path:
                 # high-resolution: convT x3 -> branch -> avgpool3
-                x_u = nn.ConvTranspose(inplanes, (3,), (3,))(x)
+                x_u = nn.ConvTranspose(inplanes, (3,), (3,),
+                                       padding="VALID")(x)
                 out_u = branch(x_u, width_split, card_split)
                 out_u = nn.avg_pool(out_u, (3,), (3,))[:, :out.shape[1], :]
                 branches.append(out_u)
@@ -112,6 +123,9 @@ class ElasticBottleneck(nn.Module):
         else:
             out = sum(branches)
 
+        # the SHARED bn3 runs after branch aggregation, before the
+        # residual add (NeXt_utils.py:137-177)
+        out = _bn(train)(out)
         return jax.nn.relu(out + residual)
 
 

@@ -80,7 +80,13 @@ class SEBasicBlock(nn.Module):
 
 
 class SEBasicBlockV2(nn.Module):
-    """Pre-activation variant (Interspeech'21 DF-ResNet lineage)."""
+    """Pre-activation variant (Interspeech'21 DF-ResNet lineage).
+
+    Defined in the ROOT ResNetBlocks.py (:211-246), so its SE is that
+    file's SELayer — biased Linears with a FIXED 16-neuron squeeze
+    (``SELayer(planes, reduction)`` binds 16 to ``internal_neurons``,
+    :292-307) — unlike SEBasicBlock's bias-free c/16 excitation from
+    blocks/ResNetBlocks.py."""
     expansion = 1
     planes: int
     stride: Tuple[int, int] = (1, 1)
@@ -97,7 +103,7 @@ class SEBasicBlockV2(nn.Module):
         out = nn.Conv(self.planes, (3, 3), padding=((1, 1), (1, 1)),
                       use_bias=False)(out)
         out = _bn(train)(out)
-        out = SELayer()(out)
+        out = SELayer(internal=16, use_bias=True)(out)
         if self.stride != (1, 1) or x.shape[-1] != self.planes:
             residual = nn.Conv(self.planes, (1, 1), self.stride,
                                use_bias=False)(x)

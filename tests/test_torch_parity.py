@@ -752,3 +752,90 @@ def test_efficientnet_forward_parity():
     assert got.shape == ref.shape
     rel = np.max(np.abs(got - ref)) / (np.max(np.abs(ref)) + 1e-9)
     assert rel < 2e-3, rel
+
+
+@pytest.mark.slow
+def test_resnetse34v2_forward_parity():
+    """Pre-activation SEBasicBlockV2 family (root ResNetBlocks.py:211-246:
+    relu-first blocks with the BIASED fixed-16-neuron SELayer — not the
+    bias-free c/16 excitation SEBasicBlock uses)."""
+    import torch
+
+    from speakerverification_tpu.compat.torch_port import (
+        resnetse_from_torch_state_dict,
+    )
+
+    for name in ("torchaudio", "nnAudio", "nnAudio.features"):
+        sys.modules.setdefault(name, types.ModuleType(name))
+    if "/root/reference/src" not in sys.path:
+        sys.path.insert(0, "/root/reference/src")
+    from models import ResNetSE34V2 as RefR
+
+    torch.manual_seed(23)
+    kwargs = dict(n_mels=40, augment=False,
+                  augment_options={"augment_chain": []}, features="raw")
+    net = RefR.MainModel(nOut=32, **kwargs)
+    net.eval()
+
+    params, stats = resnetse_from_torch_state_dict(net.state_dict(),
+                                                   block="basicv2")
+    ours = build_model("ResNetSE34V2", nOut=32, n_mels=40,
+                       feature_type="raw")
+    template = ours.init(jax.random.PRNGKey(0), jnp.zeros((1, 48, 40)))
+    _assert_trees_match(template, params, stats)
+
+    rng = np.random.default_rng(24)
+    feats = (rng.normal(0.5, 0.2, (2, 48, 40)) ** 2).astype(np.float32)
+    with torch.no_grad():
+        ref = net(torch.from_numpy(feats.transpose(0, 2, 1))).numpy()
+    got = np.asarray(jax.jit(lambda v, x: ours.apply(v, x, train=False))(
+        {"params": params, "batch_stats": stats}, jnp.asarray(feats)))
+    rel = np.max(np.abs(ref - got)) / (np.max(np.abs(ref)) + 1e-9)
+    assert rel < 2e-3, rel
+
+
+@pytest.mark.slow
+def test_rawnext_forward_parity():
+    """RawNeXt weight-port parity (src/models/RawNeXt.py + NeXt_utils.py):
+    DLA trees over elastic DSP bottlenecks — shared bn3 AFTER branch
+    aggregation, the gate's channel-INTERLEAVED pooled view, torch
+    ConvTranspose kernel flip. Small channels; batch 1 (the reference's
+    59049-wrap `x.repeat(batch, ...)` squares the batch dim for B>1 —
+    documented divergence; we wrap per example)."""
+    import torch
+
+    from speakerverification_tpu.compat.torch_port import (
+        rawnext_from_torch_state_dict,
+    )
+    from speakerverification_tpu.models.next import RawNeXt
+
+    for name in ("torchaudio", "nnAudio", "nnAudio.features"):
+        sys.modules.setdefault(name, types.ModuleType(name))
+    if "/root/reference/src" not in sys.path:
+        sys.path.insert(0, "/root/reference/src")
+    from models.RawNeXt import RawNeXt as RefRN
+
+    torch.manual_seed(29)
+    levels = [1, 1, 1, 1, 1, 1]
+    channels = [32, 32, 64, 64, 96, 96]
+    net = RefRN(levels=levels, channels=channels, code_dim=24,
+                dsp=True, up_path=True, gate=True)
+    net.eval()
+
+    params, stats = rawnext_from_torch_state_dict(net.state_dict(),
+                                                  levels=levels)
+    ours = RawNeXt(nOut=24, levels=tuple(levels), channels=tuple(channels))
+    rng = np.random.default_rng(30)
+    wave = rng.normal(0, 0.1, (1, 16000)).astype(np.float32)
+    template = ours.init(jax.random.PRNGKey(0), jnp.asarray(wave))
+    _assert_trees_match(template, params, stats)
+
+    with torch.no_grad():
+        # do_infer=True: unnormalized code (our eval path; the ×9 train
+        # normalization is compared implicitly through cosine scoring)
+        ref = net(torch.from_numpy(wave), do_infer=True).numpy()
+    got = np.asarray(jax.jit(lambda v, x: ours.apply(v, x, train=False))(
+        {"params": params, "batch_stats": stats}, jnp.asarray(wave)))
+    assert got.shape == ref.shape
+    rel = np.max(np.abs(got - ref)) / (np.max(np.abs(ref)) + 1e-9)
+    assert rel < 2e-3, rel
