@@ -26,7 +26,8 @@ __all__ = ["ecapa_from_torch_state_dict", "rawnet3_from_torch_state_dict",
            "repvgg_from_torch_state_dict", "titanet_from_torch_state_dict",
            "rawnet2_from_torch_state_dict", "scnet_from_torch_state_dict",
            "efficientnet_from_torch_state_dict",
-           "rawnext_from_torch_state_dict", "load_reference_checkpoint"]
+           "rawnext_from_torch_state_dict",
+           "conformer_from_torch_state_dict", "load_reference_checkpoint"]
 
 
 def load_reference_checkpoint(path, n_blocks: int = 4,
@@ -642,6 +643,97 @@ def rawnext_from_torch_state_dict(sd: Mapping, levels=(1, 1, 1, 2, 2, 1)):
     return params, stats
 
 
+def _ln_at(params, sd, tkey, fkey):
+    _set(params, f"{fkey}/scale", _np(sd, f"{tkey}.weight"))
+    _set(params, f"{fkey}/bias", _np(sd, f"{tkey}.bias"))
+
+
+def conformer_from_torch_state_dict(sd: Mapping, num_layers: int = 6,
+                                    n_mels: int = 80):
+    """Port a reference Conformer_ state dict (src/models/Conformer.py +
+    the vendored conformer package). Torch: instance_norm,
+    conv_subsample (two VALID 3×3-s2 conv2d), input_projection Linear
+    over the (C-major, freq-minor) flatten — reordered here to our
+    (freq-major, C-minor) NHWC flatten — six blocks of
+    FFN/MHSA/conv/FFN/LN, the ASP attention head + attention_norm, and
+    the 1×1-conv fc. The dead ``asp``/``asp_bn`` modules (created but
+    bypassed in forward, Conformer.py:106-120) are skipped."""
+    params: dict = {}
+    stats: dict = {}
+    enc = "ConformerEncoder_0"
+
+    _set(params, "inorm_scale", _np(sd, "instance_norm.weight"))
+    _set(params, "inorm_bias", _np(sd, "instance_norm.bias"))
+
+    # subsampling convs: torch [out, in, kh, kw] → flax [kh, kw, in, out]
+    for i, t in ((0, "0"), (1, "2")):
+        _set(params, f"{enc}/Conv_{i}/kernel",
+             _np(sd, f"conformer_block.conv_subsample.sequential.{t}.weight"
+                 ).transpose(2, 3, 1, 0))
+        _set(params, f"{enc}/Conv_{i}/bias",
+             _np(sd, f"conformer_block.conv_subsample.sequential.{t}.bias"))
+
+    # input projection: torch flattens [B, T', C, D'] as C-major
+    # (encoder.py:180-181); our NHWC reshape is D'-major — permute cols
+    w = _np(sd, "conformer_block.input_projection.0.linear.weight")   # [E, C*D']
+    dsub = ((n_mels - 1) // 2 - 1) // 2
+    n_ch = w.shape[1] // dsub
+    idx = np.arange(w.shape[1]).reshape(n_ch, dsub).T.reshape(-1)
+    _set(params, f"{enc}/Dense_0/kernel", w[:, idx].T)
+    _set(params, f"{enc}/Dense_0/bias",
+         _np(sd, "conformer_block.input_projection.0.linear.bias"))
+
+    def linear(tk, fk, bias=True):
+        _set(params, f"{fk}/kernel", _np(sd, f"{tk}.weight").T)
+        if bias and f"{tk}.bias" in sd:
+            _set(params, f"{fk}/bias", _np(sd, f"{tk}.bias"))
+
+    for li in range(num_layers):
+        tp = f"conformer_block.layers.{li}.sequential"
+        fp = f"{enc}/ConformerBlock_{li}"
+        for si, ff in ((0, "_FeedForward_0"), (3, "_FeedForward_1")):
+            _ln_at(params, sd, f"{tp}.{si}.module.sequential.0",
+                   f"{fp}/{ff}/LayerNorm_0")
+            linear(f"{tp}.{si}.module.sequential.1.linear",
+                   f"{fp}/{ff}/Dense_0")
+            linear(f"{tp}.{si}.module.sequential.4.linear",
+                   f"{fp}/{ff}/Dense_1")
+        mh = f"{tp}.1.module"
+        fmh = f"{fp}/MHSAModule_0"
+        _ln_at(params, sd, f"{mh}.layer_norm", f"{fmh}/LayerNorm_0")
+        att = f"{fmh}/RelativeMultiHeadAttention_0"
+        linear(f"{mh}.attention.query_proj.linear", f"{att}/Dense_0")
+        linear(f"{mh}.attention.key_proj.linear", f"{att}/Dense_1")
+        linear(f"{mh}.attention.value_proj.linear", f"{att}/Dense_2")
+        linear(f"{mh}.attention.pos_proj.linear", f"{att}/Dense_3",
+               bias=False)
+        linear(f"{mh}.attention.out_proj.linear", f"{att}/Dense_4")
+        _set(params, f"{att}/u_bias", _np(sd, f"{mh}.attention.u_bias"))
+        _set(params, f"{att}/v_bias", _np(sd, f"{mh}.attention.v_bias"))
+        cv = f"{tp}.2.module.sequential"
+        fcv = f"{fp}/_ConvModule_0"
+        _ln_at(params, sd, f"{cv}.0", f"{fcv}/LayerNorm_0")
+        # pointwise convs [out, in, 1] → Dense
+        _set(params, f"{fcv}/Dense_0/kernel",
+             _np(sd, f"{cv}.2.conv.weight")[:, :, 0].T)
+        _set(params, f"{fcv}/Dense_0/bias", _np(sd, f"{cv}.2.conv.bias"))
+        _conv1d_at(params, stats, sd, f"{cv}.4.conv", f"{fcv}/Conv_0")
+        _bn_at(params, stats, sd, f"{cv}.5", f"{fcv}/BatchNorm_0")
+        _set(params, f"{fcv}/Dense_1/kernel",
+             _np(sd, f"{cv}.7.conv.weight")[:, :, 0].T)
+        _set(params, f"{fcv}/Dense_1/bias", _np(sd, f"{cv}.7.conv.bias"))
+        _ln_at(params, sd, f"{tp}.4", f"{fp}/LayerNorm_0")
+
+    _conv1d_at(params, stats, sd, "attention.0", "Conv_0")
+    _bn_at(params, stats, sd, "attention.2", "BatchNorm_0")
+    _conv1d_at(params, stats, sd, "attention.3", "Conv_1")
+    _bn_at(params, stats, sd, "attention_norm", "BatchNorm_1")
+    _set(params, "Dense_0/kernel", _np(sd, "fc.conv.weight")[:, :, 0].T)
+    if "fc.conv.bias" in sd:
+        _set(params, "Dense_0/bias", _np(sd, "fc.conv.bias"))
+    return params, stats
+
+
 def _strip_reference_prefixes(sd: Mapping) -> dict:
     """Unwrap DDP/SpeakerEncoder prefixes from a reference checkpoint
     (src/model.py:24-33 WrappedModel ``module.``; ``__S__.`` backbone /
@@ -677,6 +769,7 @@ _PORTERS = {
     "SCnet": lambda sd, a: scnet_from_torch_state_dict(sd),
     "EfficientNet": lambda sd, a: efficientnet_from_torch_state_dict(sd),
     "RawNeXt": lambda sd, a: rawnext_from_torch_state_dict(sd),
+    "Conformer": lambda sd, a: conformer_from_torch_state_dict(sd),
 }
 
 

@@ -140,13 +140,16 @@ class _ConvModule(nn.Module):
 
     @nn.compact
     def __call__(self, x, train=False):
+        # expansion_factor=2 IS the GLU doubling (convolution.py:136-145):
+        # pointwise to dim·2, GLU gates back to dim, depthwise stays at dim
         h = nn.LayerNorm()(x)
-        h = nn.Dense(self.dim * self.expansion * 2)(h)   # pointwise
+        h = nn.Dense(self.dim * self.expansion)(h)       # pointwise
         a, b = jnp.split(h, 2, axis=-1)
-        h = a * jax.nn.sigmoid(b)                        # GLU
-        h = nn.Conv(self.dim * self.expansion, (self.kernel_size,),
-                    padding="SAME",
-                    feature_group_count=self.dim * self.expansion)(h)
+        h = a * jax.nn.sigmoid(b)                        # GLU → dim
+        # the vendored DepthwiseConv1d is bias-free (convolution.py:50)
+        h = nn.Conv(self.dim, (self.kernel_size,),
+                    padding="SAME", use_bias=False,
+                    feature_group_count=self.dim)(h)
         h = nn.BatchNorm(use_running_average=not train, momentum=0.9)(h)
         h = jax.nn.swish(h)
         h = nn.Dense(self.dim)(h)

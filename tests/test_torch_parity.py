@@ -839,3 +839,48 @@ def test_rawnext_forward_parity():
     assert got.shape == ref.shape
     rel = np.max(np.abs(got - ref)) / (np.max(np.abs(ref)) + 1e-9)
     assert rel < 2e-3, rel
+
+
+@pytest.mark.slow
+def test_conformer_full_model_parity():
+    """Full Conformer_ model port (src/models/Conformer.py + the vendored
+    package): affine instance norm, VALID conv2d subsampling with the
+    C-major→freq-major flatten permutation in the input projection, six
+    FFN/rel-MHSA/conv/FFN blocks, ASP + attention_norm, 1×1-conv fc.
+    Extends the block-level MHSA parity to the whole architecture."""
+    import torch
+
+    from speakerverification_tpu.compat.torch_port import (
+        conformer_from_torch_state_dict,
+    )
+    from speakerverification_tpu.models.conformer import ConformerSpeaker
+
+    for name in ("torchaudio", "nnAudio", "nnAudio.features"):
+        sys.modules.setdefault(name, types.ModuleType(name))
+    if "/root/reference/src" not in sys.path:
+        sys.path.insert(0, "/root/reference/src")
+    from models.Conformer import Conformer_ as RefC
+
+    torch.manual_seed(31)
+    kwargs = dict(n_mels=40, augment=False,
+                  augment_options={"augment_chain": []}, features="raw")
+    net = RefC(input_size=40, lin_neurons=24, attention_dim=16, **kwargs)
+    net.eval()
+
+    params, stats = conformer_from_torch_state_dict(net.state_dict(),
+                                                    num_layers=6, n_mels=40)
+    ours = ConformerSpeaker(nOut=24, encoder_dim=256, num_layers=6,
+                            attention_dim=16, feature_type="raw")
+    rng = np.random.default_rng(32)
+    feats = rng.normal(0, 1, (2, 53, 40)).astype(np.float32)  # [B, T, mel]
+    template = ours.init(jax.random.PRNGKey(0), jnp.asarray(feats))
+    _assert_trees_match(template, params, stats)
+
+    with torch.no_grad():
+        # reference takes [B, mel, T] (instance_norm over time)
+        ref = net(torch.from_numpy(feats.transpose(0, 2, 1))).numpy()
+    got = np.asarray(jax.jit(lambda v, x: ours.apply(v, x, train=False))(
+        {"params": params, "batch_stats": stats}, jnp.asarray(feats)))
+    assert got.shape == ref.shape
+    rel = np.max(np.abs(got - ref)) / (np.max(np.abs(ref)) + 1e-9)
+    assert rel < 2e-3, rel
