@@ -577,14 +577,16 @@ def _convt1d_at(params, sd, tkey, fkey):
         _set(params, f"{fkey}/bias", _np(sd, f"{tkey}.bias"))
 
 
-def rawnext_from_torch_state_dict(sd: Mapping, levels=(1, 1, 1, 2, 2, 1)):
+def rawnext_from_torch_state_dict(sd: Mapping, levels=(1, 1, 1, 2, 2, 1),
+                                  tree: bool = True):
     """Port a reference RawNeXt state dict (src/models/RawNeXt.py +
     NeXt_utils.py). Per elastic block: conv1/bn1/conv2/bn2/conv3 +
     _d and _u branch triples, conv_t / conv_t_u transposed convs,
     gate_moduel.attention.{0,2,3}, the SHARED bn3, optional shortcut.0.
     DLA trees recurse tree1/tree2(/root); the dead ``project``/
     ``downsample`` members (never used in Tree.forward, RawNeXt.py:65-80)
-    are skipped."""
+    are skipped. ``tree=False`` ports ResNeXt (src/models/ResNeXt.py:
+    9-125) — the same trunk with plain ``level{N}.{i}`` block stacks."""
     params: dict = {}
     stats: dict = {}
 
@@ -613,7 +615,7 @@ def rawnext_from_torch_state_dict(sd: Mapping, levels=(1, 1, 1, 2, 2, 1)):
         _conv1d_at(params, stats, sd, f"{gm}.3", f"{fp}/GateModule_0/Conv_1")
         _bn_at(params, stats, sd, f"{tp}.bn3", f"{fp}/BatchNorm_{bi}")
 
-    def tree(tp, fp, lv):
+    def walk_tree(tp, fp, lv):
         if lv == 1:
             block(f"{tp}.tree1", f"{fp}/ElasticBottleneck_0")
             block(f"{tp}.tree2", f"{fp}/ElasticBottleneck_1")
@@ -622,8 +624,8 @@ def rawnext_from_torch_state_dict(sd: Mapping, levels=(1, 1, 1, 2, 2, 1)):
             _bn_at(params, stats, sd, f"{tp}.root.bn",
                    f"{fp}/Root_0/BatchNorm_0")
         else:
-            tree(f"{tp}.tree1", f"{fp}/Tree_0", lv - 1)
-            tree(f"{tp}.tree2", f"{fp}/Tree_1", lv - 1)
+            walk_tree(f"{tp}.tree1", f"{fp}/Tree_0", lv - 1)
+            walk_tree(f"{tp}.tree2", f"{fp}/Tree_1", lv - 1)
 
     _conv1d_at(params, stats, sd, "base_layer.0", "Conv_0", bias=False)
     _bn_at(params, stats, sd, "base_layer.1", "BatchNorm_0")
@@ -631,8 +633,15 @@ def rawnext_from_torch_state_dict(sd: Mapping, levels=(1, 1, 1, 2, 2, 1)):
     _bn_at(params, stats, sd, "level0.1", "BatchNorm_1")
     _conv1d_at(params, stats, sd, "level1.0", "Conv_2", bias=False)
     _bn_at(params, stats, sd, "level1.1", "BatchNorm_2")
-    for i, li in enumerate(range(2, 6)):
-        tree(f"level{li}", f"Tree_{i}", levels[li])
+    if tree:
+        for i, li in enumerate(range(2, 6)):
+            walk_tree(f"level{li}", f"Tree_{i}", levels[li])
+    else:
+        bi = 0
+        for li in range(2, 6):
+            for i in range(levels[li]):
+                block(f"level{li}.{i}", f"ElasticBottleneck_{bi}")
+                bi += 1
     _conv1d_at(params, stats, sd, "attention.0", "Conv_3")
     _bn_at(params, stats, sd, "attention.2", "BatchNorm_3")
     _conv1d_at(params, stats, sd, "attention.3", "Conv_4")
@@ -770,6 +779,7 @@ _PORTERS = {
     "EfficientNet": lambda sd, a: efficientnet_from_torch_state_dict(sd),
     "RawNeXt": lambda sd, a: rawnext_from_torch_state_dict(sd),
     "Conformer": lambda sd, a: conformer_from_torch_state_dict(sd),
+    "ResNeXt": lambda sd, a: rawnext_from_torch_state_dict(sd, tree=False),
 }
 
 

@@ -884,3 +884,45 @@ def test_conformer_full_model_parity():
     assert got.shape == ref.shape
     rel = np.max(np.abs(got - ref)) / (np.max(np.abs(ref)) + 1e-9)
     assert rel < 2e-3, rel
+
+
+@pytest.mark.slow
+def test_resnext_forward_parity():
+    """ResNeXt weight-port parity (src/models/ResNeXt.py:9-125): the
+    RawNeXt trunk with plain block stacks instead of DLA trees, same
+    elastic DSP bottlenecks and ASP head."""
+    import torch
+
+    from speakerverification_tpu.compat.torch_port import (
+        rawnext_from_torch_state_dict,
+    )
+    from speakerverification_tpu.models.next import ResNeXt
+
+    for name in ("torchaudio", "nnAudio", "nnAudio.features"):
+        sys.modules.setdefault(name, types.ModuleType(name))
+    if "/root/reference/src" not in sys.path:
+        sys.path.insert(0, "/root/reference/src")
+    from models.ResNeXt import ResNeXt as RefRX
+
+    torch.manual_seed(33)
+    levels = [1, 1, 1, 1, 1, 1]
+    channels = [32, 32, 64, 64, 96, 96]
+    net = RefRX(levels=levels, channels=channels, code_dim=24,
+                dsp=True, up_path=True, gate=True)
+    net.eval()
+
+    params, stats = rawnext_from_torch_state_dict(net.state_dict(),
+                                                  levels=levels, tree=False)
+    ours = ResNeXt(nOut=24, levels=tuple(levels), channels=tuple(channels))
+    rng = np.random.default_rng(34)
+    wave = rng.normal(0, 0.1, (1, 16000)).astype(np.float32)
+    template = ours.init(jax.random.PRNGKey(0), jnp.asarray(wave))
+    _assert_trees_match(template, params, stats)
+
+    with torch.no_grad():
+        ref = net(torch.from_numpy(wave), is_test=True).numpy()
+    got = np.asarray(jax.jit(lambda v, x: ours.apply(v, x, train=False))(
+        {"params": params, "batch_stats": stats}, jnp.asarray(wave)))
+    assert got.shape == ref.shape
+    rel = np.max(np.abs(got - ref)) / (np.max(np.abs(ref)) + 1e-9)
+    assert rel < 2e-3, rel
