@@ -27,7 +27,9 @@ __all__ = ["ecapa_from_torch_state_dict", "rawnet3_from_torch_state_dict",
            "rawnet2_from_torch_state_dict", "scnet_from_torch_state_dict",
            "efficientnet_from_torch_state_dict",
            "rawnext_from_torch_state_dict",
-           "conformer_from_torch_state_dict", "load_reference_checkpoint"]
+           "conformer_from_torch_state_dict",
+           "ecapa_conformer_from_torch_state_dict",
+           "load_reference_checkpoint"]
 
 
 def load_reference_checkpoint(path, n_blocks: int = 4,
@@ -657,40 +659,30 @@ def _ln_at(params, sd, tkey, fkey):
     _set(params, f"{fkey}/bias", _np(sd, f"{tkey}.bias"))
 
 
-def conformer_from_torch_state_dict(sd: Mapping, num_layers: int = 6,
-                                    n_mels: int = 80):
-    """Port a reference Conformer_ state dict (src/models/Conformer.py +
-    the vendored conformer package). Torch: instance_norm,
+def _conformer_encoder_port(params, stats, sd, tenc: str, enc: str,
+                            num_layers: int, input_dim: int):
+    """Vendored ConformerEncoder → our ConformerEncoder_* subtree:
     conv_subsample (two VALID 3×3-s2 conv2d), input_projection Linear
-    over the (C-major, freq-minor) flatten — reordered here to our
-    (freq-major, C-minor) NHWC flatten — six blocks of
-    FFN/MHSA/conv/FFN/LN, the ASP attention head + attention_norm, and
-    the 1×1-conv fc. The dead ``asp``/``asp_bn`` modules (created but
-    bypassed in forward, Conformer.py:106-120) are skipped."""
-    params: dict = {}
-    stats: dict = {}
-    enc = "ConformerEncoder_0"
-
-    _set(params, "inorm_scale", _np(sd, "instance_norm.weight"))
-    _set(params, "inorm_bias", _np(sd, "instance_norm.bias"))
-
+    over the (C-major, freq-minor) flatten — reordered to our
+    (freq-major, C-minor) NHWC flatten — N FFN/MHSA/conv/FFN/LN
+    blocks."""
     # subsampling convs: torch [out, in, kh, kw] → flax [kh, kw, in, out]
     for i, t in ((0, "0"), (1, "2")):
         _set(params, f"{enc}/Conv_{i}/kernel",
-             _np(sd, f"conformer_block.conv_subsample.sequential.{t}.weight"
+             _np(sd, f"{tenc}.conv_subsample.sequential.{t}.weight"
                  ).transpose(2, 3, 1, 0))
         _set(params, f"{enc}/Conv_{i}/bias",
-             _np(sd, f"conformer_block.conv_subsample.sequential.{t}.bias"))
+             _np(sd, f"{tenc}.conv_subsample.sequential.{t}.bias"))
 
     # input projection: torch flattens [B, T', C, D'] as C-major
     # (encoder.py:180-181); our NHWC reshape is D'-major — permute cols
-    w = _np(sd, "conformer_block.input_projection.0.linear.weight")   # [E, C*D']
-    dsub = ((n_mels - 1) // 2 - 1) // 2
+    w = _np(sd, f"{tenc}.input_projection.0.linear.weight")   # [E, C*D']
+    dsub = ((input_dim - 1) // 2 - 1) // 2
     n_ch = w.shape[1] // dsub
     idx = np.arange(w.shape[1]).reshape(n_ch, dsub).T.reshape(-1)
     _set(params, f"{enc}/Dense_0/kernel", w[:, idx].T)
     _set(params, f"{enc}/Dense_0/bias",
-         _np(sd, "conformer_block.input_projection.0.linear.bias"))
+         _np(sd, f"{tenc}.input_projection.0.linear.bias"))
 
     def linear(tk, fk, bias=True):
         _set(params, f"{fk}/kernel", _np(sd, f"{tk}.weight").T)
@@ -698,7 +690,7 @@ def conformer_from_torch_state_dict(sd: Mapping, num_layers: int = 6,
             _set(params, f"{fk}/bias", _np(sd, f"{tk}.bias"))
 
     for li in range(num_layers):
-        tp = f"conformer_block.layers.{li}.sequential"
+        tp = f"{tenc}.layers.{li}.sequential"
         fp = f"{enc}/ConformerBlock_{li}"
         for si, ff in ((0, "_FeedForward_0"), (3, "_FeedForward_1")):
             _ln_at(params, sd, f"{tp}.{si}.module.sequential.0",
@@ -733,6 +725,22 @@ def conformer_from_torch_state_dict(sd: Mapping, num_layers: int = 6,
         _set(params, f"{fcv}/Dense_1/bias", _np(sd, f"{cv}.7.conv.bias"))
         _ln_at(params, sd, f"{tp}.4", f"{fp}/LayerNorm_0")
 
+
+def conformer_from_torch_state_dict(sd: Mapping, num_layers: int = 6,
+                                    n_mels: int = 80):
+    """Port a reference Conformer_ state dict (src/models/Conformer.py +
+    the vendored conformer package): instance_norm, the conformer
+    encoder (see _conformer_encoder_port), the ASP attention head +
+    attention_norm, and the 1×1-conv fc. The dead ``asp``/``asp_bn``
+    modules (created but bypassed in forward, Conformer.py:106-120) are
+    skipped."""
+    params: dict = {}
+    stats: dict = {}
+
+    _set(params, "inorm_scale", _np(sd, "instance_norm.weight"))
+    _set(params, "inorm_bias", _np(sd, "instance_norm.bias"))
+    _conformer_encoder_port(params, stats, sd, "conformer_block",
+                            "ConformerEncoder_0", num_layers, n_mels)
     _conv1d_at(params, stats, sd, "attention.0", "Conv_0")
     _bn_at(params, stats, sd, "attention.2", "BatchNorm_0")
     _conv1d_at(params, stats, sd, "attention.3", "Conv_1")
@@ -740,6 +748,27 @@ def conformer_from_torch_state_dict(sd: Mapping, num_layers: int = 6,
     _set(params, "Dense_0/kernel", _np(sd, "fc.conv.weight")[:, :, 0].T)
     if "fc.conv.bias" in sd:
         _set(params, "Dense_0/bias", _np(sd, "fc.conv.bias"))
+    return params, stats
+
+
+def ecapa_conformer_from_torch_state_dict(sd: Mapping, n_blocks: int = 4,
+                                          res2net_scale: int = 8,
+                                          num_layers: int = 16,
+                                          encoder_input_dim: int = 1536):
+    """Port a reference ECAPA_Conformer state dict
+    (src/models/ECAPA_Conformer.py:40-192): the ECAPA trunk (GELU
+    activation) reuses ecapa_from_torch_state_dict's mapping
+    (blocks/mfa/asp/asp_bn/fc share names), the affine instance norm
+    moves to ECAPAConformer's ``inorm_*`` params, and the 16-layer
+    conformer encoder rides _conformer_encoder_port with the trunk's
+    1536-dim features as the subsampled axis."""
+    sd = {k: _np(sd, k) for k in sd}
+    params, stats = ecapa_from_torch_state_dict(sd, n_blocks, res2net_scale)
+    params["inorm_scale"] = params.pop("input_norm_scale")
+    params["inorm_bias"] = params.pop("input_norm_bias")
+    _conformer_encoder_port(params, stats, sd, "conformer_block",
+                            "ConformerEncoder_0", num_layers,
+                            encoder_input_dim)
     return params, stats
 
 
@@ -780,6 +809,8 @@ _PORTERS = {
     "RawNeXt": lambda sd, a: rawnext_from_torch_state_dict(sd),
     "Conformer": lambda sd, a: conformer_from_torch_state_dict(sd),
     "ResNeXt": lambda sd, a: rawnext_from_torch_state_dict(sd, tree=False),
+    "ECAPA_Conformer": lambda sd, a: ecapa_conformer_from_torch_state_dict(
+        sd, n_blocks=a.n_blocks, res2net_scale=a.res2net_scale),
 }
 
 

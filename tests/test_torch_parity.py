@@ -926,3 +926,55 @@ def test_resnext_forward_parity():
     assert got.shape == ref.shape
     rel = np.max(np.abs(got - ref)) / (np.max(np.abs(ref)) + 1e-9)
     assert rel < 2e-3, rel
+
+
+@pytest.mark.slow
+def test_ecapa_conformer_forward_parity():
+    """ECAPA_Conformer hybrid port (src/models/ECAPA_Conformer.py): GELU
+    ECAPA trunk -> MFA -> 16-layer conformer encoder (subsampling over
+    the 3*C trunk features) -> SpeechBrain ASP -> fc."""
+    import torch
+
+    from speakerverification_tpu.compat.torch_port import (
+        ecapa_conformer_from_torch_state_dict,
+    )
+    from speakerverification_tpu.models.conformer import ECAPAConformer
+
+    _install_asteroid_stub()
+    if "/root/reference/src" not in sys.path:
+        sys.path.insert(0, "/root/reference/src")
+    # ECAPA_Conformer.py:6 imports the vendored package as top-level
+    # `conformer` — it expects src/models/conformer on sys.path
+    if "/root/reference/src/models/conformer" not in sys.path:
+        sys.path.insert(0, "/root/reference/src/models/conformer")
+    from models.ECAPA_Conformer import ECAPA_Conformer as RefEC
+
+    torch.manual_seed(35)
+    SMALL = dict(channels=[64, 64, 64, 64, 192], kernel_sizes=[5, 3, 3, 3, 1],
+                 dilations=[1, 2, 3, 4, 1], attention_channels=16,
+                 res2net_scale=4, se_channels=16)
+    kwargs = dict(n_mels=40, augment=False,
+                  augment_options={"augment_chain": []}, features="raw")
+    net = RefEC(input_size=40, lin_neurons=24, **SMALL, **kwargs)
+    net.eval()
+
+    params, stats = ecapa_conformer_from_torch_state_dict(
+        net.state_dict(), n_blocks=4, res2net_scale=4,
+        num_layers=16, encoder_input_dim=192)
+    ours = ECAPAConformer(nOut=24, channels=(64, 64, 64, 64, 192),
+                          kernel_sizes=(5, 3, 3, 3, 1),
+                          dilations=(1, 2, 3, 4, 1), res2net_scale=4,
+                          se_channels=16, attention_channels=16,
+                          feature_type="raw")
+    rng = np.random.default_rng(36)
+    feats = rng.normal(0, 1, (2, 53, 40)).astype(np.float32)
+    template = ours.init(jax.random.PRNGKey(0), jnp.asarray(feats))
+    _assert_trees_match(template, params, stats)
+
+    with torch.no_grad():
+        ref = net(torch.from_numpy(feats.transpose(0, 2, 1))).numpy()
+    got = np.asarray(jax.jit(lambda v, x: ours.apply(v, x, train=False))(
+        {"params": params, "batch_stats": stats}, jnp.asarray(feats)))
+    assert got.shape == ref.shape
+    rel = np.max(np.abs(got - ref)) / (np.max(np.abs(ref)) + 1e-9)
+    assert rel < 2e-3, rel
