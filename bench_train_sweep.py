@@ -47,7 +47,7 @@ def main():
 
     T = 32000
     ITERS = 5
-    tb = {"tb32": 32, "tb64": 64, "tb128": 128, "grad64": 64}[variant]
+    tb = {"tb32": 32, "tb64": 64, "tb128": 128, "tb256": 256, "grad64": 64}[variant]
 
     model = _flagship(frontend_backend="auto")
     model_bf16 = model.clone(compute_dtype=jnp.bfloat16)
