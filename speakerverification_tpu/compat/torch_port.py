@@ -29,6 +29,7 @@ __all__ = ["ecapa_from_torch_state_dict", "rawnet3_from_torch_state_dict",
            "rawnext_from_torch_state_dict",
            "conformer_from_torch_state_dict",
            "ecapa_conformer_from_torch_state_dict",
+           "rawnet2_custom_from_torch_state_dict",
            "load_reference_checkpoint"]
 
 
@@ -432,29 +433,101 @@ def rawnet2_from_torch_state_dict(sd: Mapping, n_blocks: int = 6):
         _set(params, f"{fp}/FRM_0/Dense_0/bias", _np(sd, f"{tp}.frm.fc.bias"))
 
     _bn_at(params, stats, sd, "bn_before_gru", "BatchNorm_1")
+    _gru_at(params, sd, "gru", "GRUCell_0")
+    _set(params, "Dense_0/kernel", _np(sd, "fc1_gru.weight").T)
+    _set(params, "Dense_0/bias", _np(sd, "fc1_gru.bias"))
+    return params, stats
 
-    # torch GRU gates stack (r|z|n) rows; flax GRUCell keeps them as
-    # separate Dense's with input-side bias only for r/z (so the two
-    # torch biases fold into one) and the hidden-side n bias kept
-    # separate (it sits inside the reset gate product)
-    w_ih, w_hh = _np(sd, "gru.weight_ih_l0"), _np(sd, "gru.weight_hh_l0")
-    b_ih, b_hh = _np(sd, "gru.bias_ih_l0"), _np(sd, "gru.bias_hh_l0")
+
+def _gru_at(params, sd, tkey, fkey):
+    """torch GRU gates stack (r|z|n) rows; flax GRUCell keeps them as
+    separate Dense's with input-side bias only for r/z (so the two
+    torch biases fold into one) and the hidden-side n bias kept
+    separate (it sits inside the reset gate product)."""
+    w_ih, w_hh = _np(sd, f"{tkey}.weight_ih_l0"), _np(sd, f"{tkey}.weight_hh_l0")
+    b_ih, b_hh = _np(sd, f"{tkey}.bias_ih_l0"), _np(sd, f"{tkey}.bias_hh_l0")
     H = w_hh.shape[1]
     for j, g in enumerate(("r", "z", "n")):
         wi = w_ih[j * H:(j + 1) * H].T
         wh = w_hh[j * H:(j + 1) * H].T
         bi = b_ih[j * H:(j + 1) * H]
         bh = b_hh[j * H:(j + 1) * H]
-        _set(params, f"GRUCell_0/i{g}/kernel", wi)
-        _set(params, f"GRUCell_0/h{g}/kernel", wh)
+        _set(params, f"{fkey}/i{g}/kernel", wi)
+        _set(params, f"{fkey}/h{g}/kernel", wh)
         if g == "n":
-            _set(params, "GRUCell_0/in/bias", bi)
-            _set(params, "GRUCell_0/hn/bias", bh)
+            _set(params, f"{fkey}/in/bias", bi)
+            _set(params, f"{fkey}/hn/bias", bh)
         else:
-            _set(params, f"GRUCell_0/i{g}/bias", bi + bh)
+            _set(params, f"{fkey}/i{g}/bias", bi + bh)
 
-    _set(params, "Dense_0/kernel", _np(sd, "fc1_gru.weight").T)
-    _set(params, "Dense_0/bias", _np(sd, "fc1_gru.bias"))
+
+def rawnet2_custom_from_torch_state_dict(sd: Mapping,
+                                         layers=(1, 1, 1, 2, 1, 2),
+                                         front_proc: str = "sinc",
+                                         aggregate: str = "asp"):
+    """Port a reference RawNet2_custom state dict
+    (src/models/RawNet2_custom.py:18-253): 'sinc' (sample LayerNorm +
+    SincConv_fast + first_bn) or 'conv' front, six pre-activation
+    RawNetBasicBlock groups (bn1/conv1/bn2/conv2, optional shortcut.0,
+    AFMS), and a 'gru' / 'asp' / 'sap' aggregation head."""
+    params: dict = {}
+    stats: dict = {}
+
+    if front_proc == "conv":
+        _conv1d_at(params, stats, sd, "conv1", "Conv_0")
+        bn_i, cv_i = 0, 1
+    else:
+        _set(params, "SampleLayerNorm_0/gamma", _np(sd, "ln.gamma"))
+        _set(params, "SampleLayerNorm_0/beta", _np(sd, "ln.beta"))
+        _set(params, "SincConv_0/low_hz", _np(sd, "first_conv.low_hz_")[:, 0])
+        _set(params, "SincConv_0/band_hz",
+             _np(sd, "first_conv.band_hz_")[:, 0])
+        _bn_at(params, stats, sd, "first_bn", "BatchNorm_0")
+        bn_i, cv_i = 1, 0
+
+    bi = 0
+    for g, n in enumerate(layers):
+        for i in range(n):
+            tp, fp = f"layer{g + 1}.{i}", f"RawNetBasicBlock_{bi}"
+            _bn_at(params, stats, sd, f"{tp}.bn1", f"{fp}/BatchNorm_0")
+            ci = 0
+            if f"{tp}.shortcut.0.weight" in sd:
+                _conv1d_at(params, stats, sd, f"{tp}.shortcut.0",
+                           f"{fp}/Conv_0", bias=False)
+                ci = 1
+            _conv1d_at(params, stats, sd, f"{tp}.conv1", f"{fp}/Conv_{ci}",
+                       bias=False)
+            _bn_at(params, stats, sd, f"{tp}.bn2", f"{fp}/BatchNorm_1")
+            _conv1d_at(params, stats, sd, f"{tp}.conv2", f"{fp}/Conv_{ci + 1}",
+                       bias=False)
+            _set(params, f"{fp}/AFMS_0/Dense_0/kernel",
+                 _np(sd, f"{tp}.afms.fc.weight").T)
+            _set(params, f"{fp}/AFMS_0/Dense_0/bias",
+                 _np(sd, f"{tp}.afms.fc.bias"))
+            _set(params, f"{fp}/AFMS_0/alpha",
+                 _np(sd, f"{tp}.afms.alpha").reshape(-1))
+            bi += 1
+
+    if aggregate == "gru":
+        _bn_at(params, stats, sd, "bn_before_gru", f"BatchNorm_{bn_i}")
+        _gru_at(params, sd, "gru", "GRUCell_0")
+        _set(params, "Dense_0/kernel", _np(sd, "fc_after_gru.weight").T)
+        _set(params, "Dense_0/bias", _np(sd, "fc_after_gru.bias"))
+    elif aggregate == "sap":
+        _bn_at(params, stats, sd, "bn_before_agg", f"BatchNorm_{bn_i}")
+        _set(params, "Dense_0/kernel",
+             _np(sd, "attention_sap.lin_proj.weight").T)
+        _set(params, "Dense_0/bias", _np(sd, "attention_sap.lin_proj.bias"))
+        _set(params, "sap_v", _np(sd, "attention_sap.v"))
+        _set(params, "Dense_1/kernel", _np(sd, "fc.weight").T)
+        _set(params, "Dense_1/bias", _np(sd, "fc.bias"))
+    else:
+        _bn_at(params, stats, sd, "bn_before_agg", f"BatchNorm_{bn_i}")
+        _conv1d_at(params, stats, sd, "attention.0", f"Conv_{cv_i}")
+        _bn_at(params, stats, sd, "attention.2", f"BatchNorm_{bn_i + 1}")
+        _conv1d_at(params, stats, sd, "attention.3", f"Conv_{cv_i + 1}")
+        _set(params, "Dense_0/kernel", _np(sd, "fc.weight").T)
+        _set(params, "Dense_0/bias", _np(sd, "fc.bias"))
     return params, stats
 
 
@@ -811,6 +884,7 @@ _PORTERS = {
     "ResNeXt": lambda sd, a: rawnext_from_torch_state_dict(sd, tree=False),
     "ECAPA_Conformer": lambda sd, a: ecapa_conformer_from_torch_state_dict(
         sd, n_blocks=a.n_blocks, res2net_scale=a.res2net_scale),
+    "RawNet2_custom": lambda sd, a: rawnet2_custom_from_torch_state_dict(sd),
 }
 
 

@@ -16,6 +16,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from speakerverification_tpu.models.rawnet2 import SampleLayerNorm
 from speakerverification_tpu.models.rawnet_blocks import (
     RawNetBasicBlock,
     leaky_relu_03,
@@ -46,12 +47,15 @@ class RawNet2Custom(nn.Module):
             x = nn.Conv(self.filters[0], (3,), strides=(3,),
                         padding="VALID")(x[:, :, None])
         elif self.front_proc == "sinc":
-            x = nn.LayerNorm(reduction_axes=-1, feature_axes=-1)(x)
+            # the reference's custom sample LayerNorm + SincConv_fast
+            # (RawNet2_custom.py:53-69: same classes as RawNet_baseline)
+            x = SampleLayerNorm()(x)
             x = SincConv(self.filters[0], self.first_conv_size,
-                         sample_rate=self.sample_rate)(x)
+                         sample_rate=self.sample_rate, init_low_hz=10.0,
+                         window_grid="linspace")(x)
             x = max_pool1d(jnp.abs(x), 3)
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
-            x = jax.nn.leaky_relu(x, 0.01)
+            x = leaky_relu_03(x)                # self.lrelu = LeakyReLU(0.3)
         else:
             raise ValueError(f"unknown front_proc {self.front_proc!r}")
 
@@ -64,14 +68,14 @@ class RawNet2Custom(nn.Module):
 
         if self.aggregate == "gru":
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
-            x = jax.nn.leaky_relu(x, 0.01)
+            x = leaky_relu_03(x)
             for _ in range(self.nb_gru_layers):
                 x = nn.RNN(nn.GRUCell(features=self.gru_node))(x)
             x = x[:, -1, :]
             return nn.Dense(self.nOut)(x)
 
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
-        x = jax.nn.leaky_relu(x, 0.01)
+        x = leaky_relu_03(x)
 
         if self.aggregate == "sap":
             # Classic attention: softmax(tanh(x @ W) @ v) over time

@@ -978,3 +978,59 @@ def test_ecapa_conformer_forward_parity():
     assert got.shape == ref.shape
     rel = np.max(np.abs(got - ref)) / (np.max(np.abs(ref)) + 1e-9)
     assert rel < 2e-3, rel
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("front,agg", [("sinc", "asp"), ("conv", "gru")])
+def test_rawnet2_custom_forward_parity(front, agg):
+    """RawNet2_custom port (src/models/RawNet2_custom.py:18-253) — the
+    block the four Raw_ECAPA hybrid MainModels embed. Covers both
+    frontends (sinc incl. learnable cutoffs; strided conv) and the
+    gru/asp aggregation heads; found and fixed our 0.01-vs-0.3 leaky
+    slope and the LayerNorm/sinc-window divergences inherited from the
+    baseline."""
+    import torch
+
+    from speakerverification_tpu.compat.torch_port import (
+        rawnet2_custom_from_torch_state_dict,
+    )
+    from speakerverification_tpu.models.rawnet2_custom import RawNet2Custom
+
+    _install_asteroid_stub()                 # stubs all absent ref deps
+    if "torchsummary" not in sys.modules:    # RawNet2_custom.py:14
+        tsm = types.ModuleType("torchsummary")
+        tsm.summary = lambda *a, **k: None
+        sys.modules["torchsummary"] = tsm
+    if "/root/reference/src" not in sys.path:
+        sys.path.insert(0, "/root/reference/src")
+    from models import RawNet2_custom as RefRC
+    from models.RawNet_baseline import RawNetBasicBlock as RefBlock
+
+    torch.manual_seed(37)
+    layers = [1, 1, 1, 1, 1, 1]
+    filters = [32, 32, 48, 48, 64, 64]
+    spec = {"sample_rate": 16000, "hop_len": 10, "win_len": 25,
+            "sentence_len": 1.0}
+    net = RefRC.RawNet2(RefBlock, layers, filters, audio_spec=spec,
+                        front_proc=front, aggregate=agg, att_dim=16,
+                        code_dim=24, gru_node=32)
+    net.eval()
+
+    params, stats = rawnet2_custom_from_torch_state_dict(
+        net.state_dict(), layers=layers, front_proc=front, aggregate=agg)
+    ours = RawNet2Custom(nOut=24, layers=tuple(layers),
+                         filters=tuple(filters), front_proc=front,
+                         aggregate=agg, att_dim=16, gru_node=32,
+                         sample_rate=16000)
+    rng = np.random.default_rng(38)
+    wave = rng.normal(0, 0.1, (2, 16000)).astype(np.float32)
+    template = ours.init(jax.random.PRNGKey(0), jnp.asarray(wave))
+    _assert_trees_match(template, params, stats)
+
+    with torch.no_grad():
+        ref = net(torch.from_numpy(wave)).numpy()
+    got = np.asarray(jax.jit(lambda v, x: ours.apply(v, x, train=False))(
+        {"params": params, "batch_stats": stats}, jnp.asarray(wave)))
+    assert got.shape == ref.shape
+    rel = np.max(np.abs(got - ref)) / (np.max(np.abs(ref)) + 1e-9)
+    assert rel < 2e-3, rel
