@@ -30,6 +30,8 @@ __all__ = ["ecapa_from_torch_state_dict", "rawnet3_from_torch_state_dict",
            "conformer_from_torch_state_dict",
            "ecapa_conformer_from_torch_state_dict",
            "rawnet2_custom_from_torch_state_dict",
+           "raw_ecapa2_from_torch_state_dict",
+           "raw_ecapa_hype_from_torch_state_dict",
            "load_reference_checkpoint"]
 
 
@@ -243,6 +245,48 @@ def raw3_ecapa_from_torch_state_dict(sd: Mapping, model_scale: int = 8,
         raw_sd, model_scale=model_scale)
     return ({"ecapa": e_params, "raw_branch": r_params},
             {"ecapa": e_stats, "raw_branch": r_stats})
+
+
+def raw_ecapa2_from_torch_state_dict(sd: Mapping, front_proc: str = "sinc",
+                                     aggregate: str = "asp",
+                                     ) -> Tuple[dict, dict]:
+    """Reference Raw_ECAPA / Raw_ECAPA_{sinc_asp,conv_asp,sinc_gru}
+    (src/models/Raw_ECAPA.py:20-33 and siblings: ECAPA_TDNN-192 branch ∥
+    RawNet2_custom branch, embeddings concatenated) → our RawECAPAHybrid
+    trees (submodule scopes ``ecapa`` / ``raw_branch``)."""
+    ecapa_sd = {k.removeprefix("ECAPA_TDNN."): v for k, v in sd.items()
+                if k.startswith("ECAPA_TDNN.")}
+    raw_sd = {k.removeprefix("rawnet2v2."): v for k, v in sd.items()
+              if k.startswith("rawnet2v2.")}
+    e_params, e_stats = ecapa_from_torch_state_dict(
+        ecapa_sd, n_blocks=4, res2net_scale=8)
+    r_params, r_stats = rawnet2_custom_from_torch_state_dict(
+        raw_sd, front_proc=front_proc, aggregate=aggregate)
+    return ({"ecapa": e_params, "raw_branch": r_params},
+            {"ecapa": e_stats, "raw_branch": r_stats})
+
+
+def raw_ecapa_hype_from_torch_state_dict(sd: Mapping) -> Tuple[dict, dict]:
+    """Reference Raw_ECAPA_hype (src/models/Raw_ECAPA_hype.py:18-88):
+    the two branches of Raw_ECAPA (rawnet2v2 at a FIXED nOut=512,
+    sinc/gru) plus a channel-attention head over the concatenated
+    704-dim embedding — bn_before_agg, 1×1-conv attention MLP (a Dense
+    pair here: the convs act on a singleton time axis), bn_final, fc."""
+    params, stats = raw_ecapa2_from_torch_state_dict(
+        sd, front_proc="sinc", aggregate="gru")
+
+    def dense_from_conv1x1(tk, fk):
+        _set(params, f"{fk}/kernel", _np(sd, f"{tk}.weight")[:, :, 0].T)
+        _set(params, f"{fk}/bias", _np(sd, f"{tk}.bias"))
+
+    _bn_at(params, stats, sd, "bn_before_agg", "BatchNorm_0")
+    dense_from_conv1x1("attention.0", "Dense_0")
+    _bn_at(params, stats, sd, "attention.2", "BatchNorm_1")
+    dense_from_conv1x1("attention.3", "Dense_1")
+    _bn_at(params, stats, sd, "bn_final", "BatchNorm_2")
+    _set(params, "Dense_2/kernel", _np(sd, "fc.weight").T)
+    _set(params, "Dense_2/bias", _np(sd, "fc.bias"))
+    return params, stats
 
 
 def resnetse_from_torch_state_dict(sd: Mapping, layers=(3, 4, 6, 3),
@@ -885,6 +929,15 @@ _PORTERS = {
     "ECAPA_Conformer": lambda sd, a: ecapa_conformer_from_torch_state_dict(
         sd, n_blocks=a.n_blocks, res2net_scale=a.res2net_scale),
     "RawNet2_custom": lambda sd, a: rawnet2_custom_from_torch_state_dict(sd),
+    "Raw_ECAPA": lambda sd, a: raw_ecapa2_from_torch_state_dict(
+        sd, "sinc", "asp"),
+    "Raw_ECAPA_sinc_asp": lambda sd, a: raw_ecapa2_from_torch_state_dict(
+        sd, "sinc", "asp"),
+    "Raw_ECAPA_conv_asp": lambda sd, a: raw_ecapa2_from_torch_state_dict(
+        sd, "conv", "asp"),
+    "Raw_ECAPA_sinc_gru": lambda sd, a: raw_ecapa2_from_torch_state_dict(
+        sd, "sinc", "gru"),
+    "Raw_ECAPA_hype": lambda sd, a: raw_ecapa_hype_from_torch_state_dict(sd),
 }
 
 

@@ -83,37 +83,42 @@ def build_raw3_ecapa(nOut: int = 512, **kwargs) -> RawECAPAHybrid:
                           frontend=cfg)
 
 
-def _rawnet2_hybrid(nOut, front, agg, kwargs) -> RawECAPAHybrid:
+def _rawnet2_hybrid(nOut, front, agg, kwargs, input_norm) -> RawECAPAHybrid:
     cfg = _frontend_cfg(kwargs)
     raw = RawNet2Custom(nOut=nOut - 192, front_proc=front, aggregate=agg,
                         att_dim=128, sample_rate=cfg.sample_rate)
     return RawECAPAHybrid(raw_branch=raw,
-                          ecapa=_hybrid_ecapa(cfg.n_mels, input_norm=False),
+                          ecapa=_hybrid_ecapa(cfg.n_mels,
+                                              input_norm=input_norm),
                           frontend=cfg)
 
 
 @MODELS.register("Raw_ECAPA")
 def build_raw_ecapa(nOut: int = 512, **kwargs) -> RawECAPAHybrid:
-    """Parity: src/models/Raw_ECAPA.py (sinc front, ASP aggregation)."""
-    return _rawnet2_hybrid(nOut, "sinc", "asp", kwargs)
+    """Parity: src/models/Raw_ECAPA.py:20-28 (sinc front, ASP
+    aggregation, ECAPA branch WITH instance norm)."""
+    return _rawnet2_hybrid(nOut, "sinc", "asp", kwargs, input_norm=True)
 
 
 @MODELS.register("Raw_ECAPA_sinc_asp")
 def build_raw_ecapa_sinc_asp(nOut: int = 512, **kwargs) -> RawECAPAHybrid:
-    """Parity: src/models/Raw_ECAPA_sinc_asp.py:19-57."""
-    return _rawnet2_hybrid(nOut, "sinc", "asp", kwargs)
+    """Parity: src/models/Raw_ECAPA_sinc_asp.py:19-57 (instance norm
+    OFF — the one knob this variant flips vs Raw_ECAPA)."""
+    return _rawnet2_hybrid(nOut, "sinc", "asp", kwargs, input_norm=False)
 
 
 @MODELS.register("Raw_ECAPA_conv_asp")
 def build_raw_ecapa_conv_asp(nOut: int = 512, **kwargs) -> RawECAPAHybrid:
-    """Parity: src/models/Raw_ECAPA_conv_asp.py."""
-    return _rawnet2_hybrid(nOut, "conv", "asp", kwargs)
+    """Parity: src/models/Raw_ECAPA_conv_asp.py:22-28 (instance norm
+    ON, strided-conv front)."""
+    return _rawnet2_hybrid(nOut, "conv", "asp", kwargs, input_norm=True)
 
 
 @MODELS.register("Raw_ECAPA_sinc_gru")
 def build_raw_ecapa_sinc_gru(nOut: int = 512, **kwargs) -> RawECAPAHybrid:
-    """Parity: src/models/Raw_ECAPA_sinc_gru.py."""
-    return _rawnet2_hybrid(nOut, "sinc", "gru", kwargs)
+    """Parity: src/models/Raw_ECAPA_sinc_gru.py:22-28 (instance norm
+    OFF, GRU aggregation)."""
+    return _rawnet2_hybrid(nOut, "sinc", "gru", kwargs, input_norm=False)
 
 
 class RawECAPAHype(nn.Module):
@@ -138,7 +143,7 @@ class RawECAPAHype(nn.Module):
         h = nn.BatchNorm(use_running_average=not train, momentum=0.9)(h)
         w = jax.nn.softmax(nn.Dense(out.shape[-1])(h), axis=-1)
         m = out * w
-        s = jnp.sqrt(jnp.clip((out ** 2) * w - m ** 2, 1e-5))
+        s = jnp.sqrt(jnp.clip((out ** 2) * w - m ** 2, 1e-9))
         pooled = jnp.concatenate([m, s], axis=-1)
         pooled = nn.BatchNorm(use_running_average=not train,
                               momentum=0.9)(pooled)

@@ -1034,3 +1034,78 @@ def test_rawnet2_custom_forward_parity(front, agg):
     assert got.shape == ref.shape
     rel = np.max(np.abs(got - ref)) / (np.max(np.abs(ref)) + 1e-9)
     assert rel < 2e-3, rel
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", ["Raw_ECAPA", "Raw_ECAPA_hype"])
+def test_raw_ecapa2_hybrid_forward_parity(name):
+    """RawNet2_custom ∥ ECAPA hybrids (src/models/Raw_ECAPA.py:20-52,
+    Raw_ECAPA_hype.py:18-88) with ported weights. Raw_ECAPA pins the
+    instance-norm-ON ECAPA branch (our builders wrongly disabled it for
+    this variant and conv_asp); hype pins the channel-attention head
+    over the concatenated embedding and the fixed-512 sinc/gru raw
+    branch. sinc_asp/conv_asp/sinc_gru differ from these only by flags
+    whose both settings are covered here + in
+    test_rawnet2_custom_forward_parity. The mel input is precomputed by
+    OUR frontend and fed to both graphs."""
+    import torch
+
+    _install_asteroid_stub()
+    if "torchsummary" not in sys.modules:
+        tsm = types.ModuleType("torchsummary")
+        tsm.summary = lambda *a, **k: None
+        sys.modules["torchsummary"] = tsm
+    if "/root/reference/src" not in sys.path:
+        sys.path.insert(0, "/root/reference/src")
+    import importlib
+    RefMod = importlib.import_module(f"models.{name}")
+
+    torch.manual_seed(41)
+    kwargs = dict(n_mels=80, augment=False,
+                  augment_options={"augment_chain": []}, features="raw",
+                  sample_rate=16000,
+                  audio_spec={"sample_rate": 16000, "hop_len": 10,
+                              "win_len": 25, "sentence_len": 1.0})
+    net = RefMod.MainModel(nOut=256, **kwargs)
+    net.eval()
+
+    rng = np.random.default_rng(42)
+    wave = rng.normal(0, 0.1, (2, 16000)).astype(np.float32)
+
+    from speakerverification_tpu.ops.frontend import (
+        FrontendConfig,
+        make_frontend,
+    )
+    cfg = FrontendConfig(sample_rate=16000, win_length=400, hop_length=160,
+                         n_mels=80, fmin=10.0, fmax=8000.0)
+    mel = np.asarray(make_frontend(cfg, "melspectrogram")(jnp.asarray(wave)))
+
+    class FeedMel(torch.nn.Module):
+        def forward(self, x):
+            return torch.from_numpy(mel.transpose(0, 2, 1).copy())
+    net.compute_features = FeedMel()
+
+    from speakerverification_tpu.compat.torch_port import (
+        raw_ecapa2_from_torch_state_dict,
+        raw_ecapa_hype_from_torch_state_dict,
+    )
+    if name == "Raw_ECAPA_hype":
+        params, stats = raw_ecapa_hype_from_torch_state_dict(net.state_dict())
+    else:
+        params, stats = raw_ecapa2_from_torch_state_dict(
+            net.state_dict(), "sinc", "asp")
+
+    from speakerverification_tpu.models import build_model
+    ours = build_model(name, nOut=256, sample_rate=16000, n_mels=80,
+                       fmin=10.0, fmax=8000.0, win_length=400,
+                       hop_length=160)
+    template = ours.init(jax.random.PRNGKey(0), jnp.asarray(wave))
+    _assert_trees_match(template, params, stats)
+
+    with torch.no_grad():
+        ref = net(torch.from_numpy(wave)).numpy()
+    got = np.asarray(jax.jit(lambda v, x: ours.apply(v, x, train=False))(
+        {"params": params, "batch_stats": stats}, jnp.asarray(wave)))
+    assert got.shape == ref.shape
+    rel = np.max(np.abs(got - ref)) / (np.max(np.abs(ref)) + 1e-9)
+    assert rel < 2e-3, rel
