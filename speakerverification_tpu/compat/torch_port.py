@@ -32,6 +32,9 @@ __all__ = ["ecapa_from_torch_state_dict", "rawnet3_from_torch_state_dict",
            "rawnet2_custom_from_torch_state_dict",
            "raw_ecapa2_from_torch_state_dict",
            "raw_ecapa_hype_from_torch_state_dict",
+           "tita_ecapa_from_torch_state_dict",
+           "raw_tita_from_torch_state_dict",
+           "res_ecapa_from_torch_state_dict",
            "load_reference_checkpoint"]
 
 
@@ -289,6 +292,91 @@ def raw_ecapa_hype_from_torch_state_dict(sd: Mapping) -> Tuple[dict, dict]:
     return params, stats
 
 
+def tita_ecapa_from_torch_state_dict(sd: Mapping) -> Tuple[dict, dict]:
+    """Reference Tita_ECAPA (src/models/Tita_ECAPA.py:20-52: ECAPA-192 ∥
+    TitaNet-M, both on mel) → our TitaECAPA trees (scopes ``ecapa`` /
+    ``titanet``)."""
+    ecapa_sd = {k.removeprefix("ECAPA_TDNN."): v for k, v in sd.items()
+                if k.startswith("ECAPA_TDNN.")}
+    tita_sd = {k.removeprefix("titaNet."): v for k, v in sd.items()
+               if k.startswith("titaNet.")}
+    e_params, e_stats = ecapa_from_torch_state_dict(
+        ecapa_sd, n_blocks=4, res2net_scale=8)
+    t_params, t_stats = titanet_from_torch_state_dict(tita_sd)
+    return ({"ecapa": e_params, "titanet": t_params},
+            {"ecapa": e_stats, "titanet": t_stats})
+
+
+def raw_tita_from_torch_state_dict(sd: Mapping) -> Tuple[dict, dict]:
+    """Reference Raw_tita (src/models/Raw_tita.py:20-49: TitaNet-M-192
+    on mel ∥ RawNet2_custom sinc/ASP on raw) → our RawTita trees (scopes
+    ``titanet`` / ``raw_branch``)."""
+    tita_sd = {k.removeprefix("titaNet."): v for k, v in sd.items()
+               if k.startswith("titaNet.")}
+    raw_sd = {k.removeprefix("RawNet."): v for k, v in sd.items()
+              if k.startswith("RawNet.")}
+    t_params, t_stats = titanet_from_torch_state_dict(tita_sd)
+    r_params, r_stats = rawnet2_custom_from_torch_state_dict(
+        raw_sd, front_proc="sinc", aggregate="asp")
+    return ({"titanet": t_params, "raw_branch": r_params},
+            {"titanet": t_stats, "raw_branch": r_stats})
+
+
+def res_ecapa_from_torch_state_dict(sd: Mapping, layers=(2, 2),
+                                    ) -> Tuple[dict, dict]:
+    """Reference Res_ECAPA (src/models/Res_ECAPA.py:11-260:
+    nn.Sequential of a headless SE-ResNet trunk ['0.'] and an ECAPA core
+    ['1.']) → our ResECAPA trees. The trunk uses the ROOT
+    ResNetBlocks.py SEBasicBlock (conv→relu→bn first stage, biased
+    fixed-16 SE) and stride-(2,1) p1 convs at both ends."""
+    params: dict = {}
+    stats: dict = {}
+
+    def conv2d(tk, fk):
+        _set(params, f"{fk}/kernel",
+             _np(sd, f"{tk}.weight").transpose(2, 3, 1, 0))
+        if f"{tk}.bias" in sd:
+            _set(params, f"{fk}/bias", _np(sd, f"{tk}.bias"))
+
+    _set(params, "inorm_scale", _np(sd, "0.instance_norm.weight"))
+    _set(params, "inorm_bias", _np(sd, "0.instance_norm.bias"))
+    conv2d("0.conv1", "Conv_0")
+    _bn_at(params, stats, sd, "0.bn1", "BatchNorm_0")
+
+    bi = 0
+    for g, n in enumerate(layers):
+        for i in range(n):
+            tp, fp = f"0.resnet_se_module.{g}.{i}", f"RootSEBasicBlock_{bi}"
+            conv2d(f"{tp}.conv1", f"{fp}/Conv_0")
+            _bn_at(params, stats, sd, f"{tp}.bn1", f"{fp}/BatchNorm_0")
+            conv2d(f"{tp}.conv2", f"{fp}/Conv_1")
+            _bn_at(params, stats, sd, f"{tp}.bn2", f"{fp}/BatchNorm_1")
+            _set(params, f"{fp}/SELayer_0/Dense_0/kernel",
+                 _np(sd, f"{tp}.se.fc.0.weight").T)
+            _set(params, f"{fp}/SELayer_0/Dense_0/bias",
+                 _np(sd, f"{tp}.se.fc.0.bias"))
+            _set(params, f"{fp}/SELayer_0/Dense_1/kernel",
+                 _np(sd, f"{tp}.se.fc.2.weight").T)
+            _set(params, f"{fp}/SELayer_0/Dense_1/bias",
+                 _np(sd, f"{tp}.se.fc.2.bias"))
+            if f"{tp}.downsample.0.weight" in sd:
+                conv2d(f"{tp}.downsample.0", f"{fp}/Conv_2")
+                _bn_at(params, stats, sd, f"{tp}.downsample.1",
+                       f"{fp}/BatchNorm_2")
+            bi += 1
+
+    conv2d("0.conv2", "Conv_1")
+    _bn_at(params, stats, sd, "0.bn2", "BatchNorm_1")
+
+    core_sd = {k.removeprefix("1."): v for k, v in sd.items()
+               if k.startswith("1.")}
+    c_params, c_stats = ecapa_from_torch_state_dict(
+        core_sd, n_blocks=4, res2net_scale=8)
+    params["ECAPA_TDNN_0"] = c_params
+    stats["ECAPA_TDNN_0"] = c_stats
+    return params, stats
+
+
 def resnetse_from_torch_state_dict(sd: Mapping, layers=(3, 4, 6, 3),
                                   block: str = "basic"):
     """Port a reference ResNetSE (SEBasicBlock trunk) state dict.
@@ -392,7 +480,7 @@ def repvgg_from_torch_state_dict(sd: Mapping, num_blocks=(8, 14, 24, 1)):
     return params, stats
 
 
-def titanet_from_torch_state_dict(sd: Mapping, n_mega_blocks: int,
+def titanet_from_torch_state_dict(sd: Mapping, n_mega_blocks: int = None,
                                   n_sub_blocks: int = 3):
     """Port a reference TitaNet state dict (src/models/TitaNet.py:10-443,
     blocks/titanet_blocks.py). Torch layout: ``encoder.prolog/epilog``
@@ -401,7 +489,13 @@ def titanet_from_torch_state_dict(sd: Mapping, n_mega_blocks: int,
     skip_connection 1×1+BN), ``decoder.pool.0`` ASP linears, ``.1`` BN,
     ``decoder.linear`` Linear+BN. Flax children (models/titanet.py):
     ConvBlock1d_0, MegaBlock_*, ConvBlock1d_1, Dense_0/1 (ASP),
-    BatchNorm_0, Dense_2, BatchNorm_1."""
+    BatchNorm_0, Dense_2, BatchNorm_1. ``n_mega_blocks=None`` infers the
+    depth from the state dict (the reference resolves it by a
+    parameter-count search that depends on the embedding size)."""
+    if n_mega_blocks is None:
+        n_mega_blocks = 1 + max(
+            int(k.split(".")[2]) for k in sd
+            if k.startswith("encoder.mega_blocks."))
     params: dict = {}
     stats: dict = {}
 
@@ -919,7 +1013,7 @@ _PORTERS = {
         sd, block="basicv2"),
     "RepVGG": lambda sd, a: repvgg_from_torch_state_dict(sd),
     "TitaNet": lambda sd, a: titanet_from_torch_state_dict(
-        sd, n_mega_blocks=getattr(a, "n_mega_blocks", 14)),
+        sd, n_mega_blocks=getattr(a, "n_mega_blocks", None)),
     "RawNet2": lambda sd, a: rawnet2_from_torch_state_dict(sd),
     "SCnet": lambda sd, a: scnet_from_torch_state_dict(sd),
     "EfficientNet": lambda sd, a: efficientnet_from_torch_state_dict(sd),
@@ -938,6 +1032,9 @@ _PORTERS = {
     "Raw_ECAPA_sinc_gru": lambda sd, a: raw_ecapa2_from_torch_state_dict(
         sd, "sinc", "gru"),
     "Raw_ECAPA_hype": lambda sd, a: raw_ecapa_hype_from_torch_state_dict(sd),
+    "Tita_ECAPA": lambda sd, a: tita_ecapa_from_torch_state_dict(sd),
+    "Raw_tita": lambda sd, a: raw_tita_from_torch_state_dict(sd),
+    "Res_ECAPA": lambda sd, a: res_ecapa_from_torch_state_dict(sd),
 }
 
 

@@ -14,7 +14,7 @@ Parity targets:
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -23,8 +23,9 @@ import jax.numpy as jnp
 from speakerverification_tpu.models.ecapa_tdnn import ECAPA_TDNN
 from speakerverification_tpu.models.hybrids import RawECAPAHybrid, _frontend_cfg
 from speakerverification_tpu.models.rawnet2_custom import RawNet2Custom
-from speakerverification_tpu.models.resnetse import SEBasicBlock
-from speakerverification_tpu.models.titanet import TitaNet, _DEPTHS, _SIZES
+from speakerverification_tpu.models.resnetse import SELayer, _bn
+from speakerverification_tpu.models.titanet import (TitaNet, _SIZES,
+    find_n_mega_blocks)
 from speakerverification_tpu.ops.frontend import FrontendConfig, make_frontend
 from speakerverification_tpu.registry import MODELS
 
@@ -52,9 +53,12 @@ def build_tita_ecapa(nOut: int = 512, **kwargs) -> TitaECAPA:
     return TitaECAPA(
         ecapa=ECAPA_TDNN(lin_neurons=192, channels=(512, 512, 512, 512, 1536),
                          log_input=False, input_norm=True),
+        # the reference resolves n_mega_blocks=None by a param-count
+        # search that depends on the branch embedding size (nOut-192)
         titanet=TitaNet(nOut=nOut - 192, hidden_size=hidden,
                         mega_block_kernel=kernel,
-                        n_mega_blocks=_DEPTHS["m"]),
+                        n_mega_blocks=find_n_mega_blocks(
+                            nOut - 192, cfg.n_mels, "m")),
         frontend=cfg)
 
 
@@ -79,11 +83,39 @@ def build_raw_tita(nOut: int = 512, **kwargs) -> RawTita:
     return RawTita(
         titanet=TitaNet(nOut=192, hidden_size=hidden,
                         mega_block_kernel=kernel,
-                        n_mega_blocks=_DEPTHS["m"]),
+                        n_mega_blocks=find_n_mega_blocks(
+                            192, cfg.n_mels, "m")),
         raw_branch=RawNet2Custom(nOut=nOut - 192, front_proc="sinc",
                                  aggregate="asp", att_dim=128,
                                  sample_rate=cfg.sample_rate),
         frontend=cfg)
+
+
+class RootSEBasicBlock(nn.Module):
+    """Res_ECAPA's trunk block is the ROOT ResNetBlocks.py SEBasicBlock
+    (:173-208), which differs from the blocks-file variant the ResNetSE
+    models use: the FIRST conv runs conv→relu→bn (relu before the norm),
+    and the SE is that file's SELayer — biased Linears with a FIXED
+    16-neuron squeeze (:292-307)."""
+    planes: int
+    stride: Tuple[int, int] = (1, 1)
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        residual = x
+        out = nn.Conv(self.planes, (3, 3), self.stride,
+                      padding=((1, 1), (1, 1)), use_bias=False)(x)
+        out = jax.nn.relu(out)
+        out = _bn(train)(out)
+        out = nn.Conv(self.planes, (3, 3), padding=((1, 1), (1, 1)),
+                      use_bias=False)(out)
+        out = _bn(train)(out)
+        out = SELayer(internal=16, use_bias=True)(out)
+        if self.stride != (1, 1) or x.shape[-1] != self.planes:
+            residual = nn.Conv(self.planes, (1, 1), self.stride,
+                               use_bias=False)(x)
+            residual = _bn(train)(residual)
+        return jax.nn.relu(out + residual)
 
 
 class ResECAPA(nn.Module):
@@ -106,17 +138,21 @@ class ResECAPA(nn.Module):
         x = (x - x.mean(axis=1, keepdims=True)) / jnp.sqrt(
             x.var(axis=1, keepdims=True) + 1e-5) * w + b
 
+        # stride-(2,1) convs use torch-p1 explicit padding — 'SAME' pads
+        # (0,1) at stride 2 and shifts the downsampled frequency axis
         img = jnp.transpose(x, (0, 2, 1))[..., None]        # [B, mels, T, 1]
-        h = nn.Conv(self.num_filters[0], (3, 3), (2, 1), padding="SAME")(img)
+        h = nn.Conv(self.num_filters[0], (3, 3), (2, 1),
+                    padding=((1, 1), (1, 1)))(img)
         h = jax.nn.relu(h)
         h = nn.BatchNorm(use_running_average=not train, momentum=0.9)(h)
 
         for i, (planes, n_blocks) in enumerate(zip(self.num_filters,
                                                    self.num_layers)):
             for _ in range(n_blocks):
-                h = SEBasicBlock(planes, (1, 1))(h, train=train)
+                h = RootSEBasicBlock(planes, (1, 1))(h, train=train)
 
-        h = nn.Conv(self.num_filters[-1], (3, 3), (2, 1), padding="SAME")(h)
+        h = nn.Conv(self.num_filters[-1], (3, 3), (2, 1),
+                    padding=((1, 1), (1, 1)))(h)
         h = jax.nn.relu(h)
         h = nn.BatchNorm(use_running_average=not train, momentum=0.9)(h)
 

@@ -116,9 +116,44 @@ class TitaNet(nn.Module):
 
 
 _SIZES = {"s": (256, 3), "m": (512, 7), "l": (1024, 11)}
-# published depths (the reference auto-searches block counts against the
-# paper's target parameter budgets, TitaNet.py:79-107)
-_DEPTHS = {"s": 6, "m": 10, "l": 14}
+_TARGET_PARAMS = {"s": 6.4, "m": 13.4, "l": 25.3}
+
+
+def titanet_param_count(emb: int, n_mels: int, n_mega: int,
+                        size: str = "m", n_sub: int = 3,
+                        attention_hidden: int = 128,
+                        output_size: int = 1536) -> int:
+    """Closed-form torch parameter count of the reference TitaNet
+    (src/models/TitaNet.py:213-330, blocks/titanet_blocks.py):
+    prolog conv+BN, n_mega mega blocks (n_sub depthwise-separable
+    conv+BN sub-blocks, bias-free SE/16, 1×1+BN skip), epilog, ASP
+    decoder. Validated against live-torch counts in
+    tests/test_torch_parity.py."""
+    h, k = _SIZES[size]
+    o, a = output_size, attention_hidden
+    prolog = 3 * n_mels * h + 3 * h
+    mega = (n_sub * (h * h + k * h + 4 * h)
+            + 2 * h * (h // 16)            # SE, bias-free
+            + h * h + 3 * h)               # 1x1 skip + BN
+    epilog = h * o + 3 * o
+    dec = 2 * a * o + a + 5 * o + 2 * o * emb + 3 * emb
+    return prolog + n_mega * mega + epilog + dec
+
+
+def find_n_mega_blocks(emb: int, n_mels: int, size: str) -> int:
+    """Replicates the reference's depth search
+    (src/models/TitaNet.py:79-107): pick n in 1..19 whose parameter
+    count is closest to the paper's target budget (first best wins —
+    the torch loop uses a strict '<'). The result DEPENDS on the
+    embedding size: e.g. 'm' resolves to 10 blocks at emb=192 but 11
+    at emb=64 (the Tita_ECAPA branch width)."""
+    target = _TARGET_PARAMS[size] * 1e6
+    best, best_d = 1, float("inf")
+    for n in range(1, 20):
+        d = abs(titanet_param_count(emb, n_mels, n, size) - target)
+        if d < best_d:
+            best, best_d = n, d
+    return best
 
 
 @MODELS.register("TitaNet")
@@ -127,5 +162,7 @@ def build_titanet(nOut: int = 512, model_size: str = "l",
     """MainModel parity (src/models/TitaNet.py:434-443)."""
     size = model_size.lower()
     hidden, kernel = _SIZES[size]
+    n_mels = int(kwargs.get("n_mels", 80))
     return TitaNet(nOut=nOut, hidden_size=hidden, mega_block_kernel=kernel,
-                   n_mega_blocks=n_mega_blocks or _DEPTHS[size])
+                   n_mega_blocks=(n_mega_blocks
+                                  or find_n_mega_blocks(nOut, n_mels, size)))
