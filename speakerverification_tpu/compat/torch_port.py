@@ -1009,6 +1009,17 @@ _PORTERS = {
     "ResNetSE34": lambda sd, a: resnetse_from_torch_state_dict(sd),
     "ResNetSE50": lambda sd, a: resnetse_from_torch_state_dict(
         sd, block="bottleneck"),
+    # ResNetSE50V2's reference MainModel is broken (references
+    # un-imported SEBottleneck, src/models/ResNetSE50V2.py:8) — were it
+    # fixed as written it would be plain SEBottleneck, mapped here
+    "ResNetSE50V2": lambda sd, a: resnetse_from_torch_state_dict(
+        sd, block="bottleneck"),
+    "ResNetSE100m2": lambda sd, a: resnetse_from_torch_state_dict(
+        sd, layers=(6, 16, 24, 3), block="bottleneck"),
+    "ResNetSE101": lambda sd, a: resnetse_from_torch_state_dict(
+        sd, layers=(3, 4, 23, 3), block="bottleneck"),
+    "ResNetSE152": lambda sd, a: resnetse_from_torch_state_dict(
+        sd, layers=(3, 8, 36, 3), block="bottleneck"),
     "ResNetSE34V2": lambda sd, a: resnetse_from_torch_state_dict(
         sd, block="basicv2"),
     "RepVGG": lambda sd, a: repvgg_from_torch_state_dict(sd),

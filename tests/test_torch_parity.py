@@ -1247,3 +1247,45 @@ def test_titanet_depth_search_matches_reference():
                      ("l", 192): 5, ("l", 320): 5, ("l", 512): 5}
     for (size, emb), want in golden_depths.items():
         assert find_n_mega_blocks(emb, 80, size) == want, (size, emb)
+
+
+@pytest.mark.slow
+def test_resnetse100m2_forward_parity():
+    """ResNetSE100m2 port (src/models/ResNetSE100m2.py:5-10): the
+    deepest bottleneck variant with a DISTINCT filter plan
+    ([128,128,256,256] — the equal-width group transitions exercise
+    the expansion-driven downsample logic the 50/101/152 plans never
+    hit) and layers [6,16,24,3]."""
+    import torch
+
+    from speakerverification_tpu.compat.torch_port import (
+        resnetse_from_torch_state_dict,
+    )
+
+    for name in ("torchaudio", "nnAudio", "nnAudio.features"):
+        sys.modules.setdefault(name, types.ModuleType(name))
+    if "/root/reference/src" not in sys.path:
+        sys.path.insert(0, "/root/reference/src")
+    from models import ResNetSE100m2 as RefR
+
+    torch.manual_seed(47)
+    kwargs = dict(n_mels=40, augment=False,
+                  augment_options={"augment_chain": []}, features="raw")
+    net = RefR.MainModel(nOut=32, **kwargs)
+    net.eval()
+
+    params, stats = resnetse_from_torch_state_dict(
+        net.state_dict(), layers=(6, 16, 24, 3), block="bottleneck")
+    ours = build_model("ResNetSE100m2", nOut=32, n_mels=40,
+                       feature_type="raw")
+    template = ours.init(jax.random.PRNGKey(0), jnp.zeros((1, 48, 40)))
+    _assert_trees_match(template, params, stats)
+
+    rng = np.random.default_rng(48)
+    feats = (rng.normal(0.5, 0.2, (2, 48, 40)) ** 2).astype(np.float32)
+    with torch.no_grad():
+        ref = net(torch.from_numpy(feats.transpose(0, 2, 1).copy())).numpy()
+    got = np.asarray(jax.jit(lambda v, x: ours.apply(v, x, train=False))(
+        {"params": params, "batch_stats": stats}, jnp.asarray(feats)))
+    rel = np.max(np.abs(ref - got)) / (np.max(np.abs(ref)) + 1e-9)
+    assert rel < 2e-3, rel
