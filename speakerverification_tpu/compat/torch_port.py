@@ -154,6 +154,14 @@ def _conv1d_at(params, stats, sd, tkey, fkey, bias=True):
         _set(params, f"{fkey}/bias", _np(sd, f"{tkey}.bias"))
 
 
+def _conv2d_at(params, sd, tkey, fkey):
+    """torch Conv2d [out, in, kh, kw] → flax Conv kernel [kh, kw, in, out]."""
+    _set(params, f"{fkey}/kernel",
+         _np(sd, f"{tkey}.weight").transpose(2, 3, 1, 0))
+    if f"{tkey}.bias" in sd:
+        _set(params, f"{fkey}/bias", _np(sd, f"{tkey}.bias"))
+
+
 def _bn_at(params, stats, sd, tkey, fkey):
     _set(params, f"{fkey}/scale", _np(sd, f"{tkey}.weight"))
     _set(params, f"{fkey}/bias", _np(sd, f"{tkey}.bias"))
@@ -333,10 +341,7 @@ def res_ecapa_from_torch_state_dict(sd: Mapping, layers=(2, 2),
     stats: dict = {}
 
     def conv2d(tk, fk):
-        _set(params, f"{fk}/kernel",
-             _np(sd, f"{tk}.weight").transpose(2, 3, 1, 0))
-        if f"{tk}.bias" in sd:
-            _set(params, f"{fk}/bias", _np(sd, f"{tk}.bias"))
+        _conv2d_at(params, sd, tk, fk)
 
     _set(params, "inorm_scale", _np(sd, "0.instance_norm.weight"))
     _set(params, "inorm_bias", _np(sd, "0.instance_norm.bias"))
@@ -394,10 +399,7 @@ def resnetse_from_torch_state_dict(sd: Mapping, layers=(3, 4, 6, 3),
     stats: dict = {}
 
     def conv2d(tk, fk):
-        _set(params, f"{fk}/kernel",
-             _np(sd, f"{tk}.weight").transpose(2, 3, 1, 0))
-        if f"{tk}.bias" in sd:
-            _set(params, f"{fk}/bias", _np(sd, f"{tk}.bias"))
+        _conv2d_at(params, sd, tk, fk)
 
     def conv1d(tk, fk):
         _conv1d_at(params, stats, sd, tk, fk)
@@ -581,33 +583,56 @@ def _gru_at(params, sd, tkey, fkey):
     """torch GRU gates stack (r|z|n) rows; flax GRUCell keeps them as
     separate Dense's with input-side bias only for r/z (so the two
     torch biases fold into one) and the hidden-side n bias kept
-    separate (it sits inside the reset gate product)."""
-    w_ih, w_hh = _np(sd, f"{tkey}.weight_ih_l0"), _np(sd, f"{tkey}.weight_hh_l0")
-    b_ih, b_hh = _np(sd, f"{tkey}.bias_ih_l0"), _np(sd, f"{tkey}.bias_hh_l0")
-    H = w_hh.shape[1]
-    for j, g in enumerate(("r", "z", "n")):
-        wi = w_ih[j * H:(j + 1) * H].T
-        wh = w_hh[j * H:(j + 1) * H].T
-        bi = b_ih[j * H:(j + 1) * H]
-        bh = b_hh[j * H:(j + 1) * H]
-        _set(params, f"{fkey}/i{g}/kernel", wi)
-        _set(params, f"{fkey}/h{g}/kernel", wh)
-        if g == "n":
-            _set(params, f"{fkey}/in/bias", bi)
-            _set(params, f"{fkey}/hn/bias", bh)
-        else:
-            _set(params, f"{fkey}/i{g}/bias", bi + bh)
+    separate (it sits inside the reset gate product). Torch stacks
+    layers as ``weight_*_l{n}`` in one module; our models stack
+    single-layer ``nn.RNN(nn.GRUCell)``s, so layer n maps to the
+    auto-numbered sibling of ``fkey`` (GRUCell_0 → GRUCell_n)."""
+    base = fkey.rsplit("_", 1)[0]
+    layer = 0
+    while f"{tkey}.weight_ih_l{layer}" in sd:
+        fk = fkey if layer == 0 else f"{base}_{layer}"
+        w_ih = _np(sd, f"{tkey}.weight_ih_l{layer}")
+        w_hh = _np(sd, f"{tkey}.weight_hh_l{layer}")
+        b_ih = _np(sd, f"{tkey}.bias_ih_l{layer}")
+        b_hh = _np(sd, f"{tkey}.bias_hh_l{layer}")
+        H = w_hh.shape[1]
+        for j, g in enumerate(("r", "z", "n")):
+            wi = w_ih[j * H:(j + 1) * H].T
+            wh = w_hh[j * H:(j + 1) * H].T
+            bi = b_ih[j * H:(j + 1) * H]
+            bh = b_hh[j * H:(j + 1) * H]
+            _set(params, f"{fk}/i{g}/kernel", wi)
+            _set(params, f"{fk}/h{g}/kernel", wh)
+            if g == "n":
+                _set(params, f"{fk}/in/bias", bi)
+                _set(params, f"{fk}/hn/bias", bh)
+            else:
+                _set(params, f"{fk}/i{g}/bias", bi + bh)
+        layer += 1
 
 
-def rawnet2_custom_from_torch_state_dict(sd: Mapping,
-                                         layers=(1, 1, 1, 2, 1, 2),
-                                         front_proc: str = "sinc",
-                                         aggregate: str = "asp"):
+def rawnet2_custom_from_torch_state_dict(sd: Mapping, layers=None,
+                                         front_proc: str = None,
+                                         aggregate: str = None):
     """Port a reference RawNet2_custom state dict
     (src/models/RawNet2_custom.py:18-253): 'sinc' (sample LayerNorm +
     SincConv_fast + first_bn) or 'conv' front, six pre-activation
     RawNetBasicBlock groups (bn1/conv1/bn2/conv2, optional shortcut.0,
-    AFMS), and a 'gru' / 'asp' / 'sap' aggregation head."""
+    AFMS), and a 'gru' / 'asp' / 'sap' aggregation head. ``None``
+    config values are inferred from the state-dict keys, so checkpoints
+    from any front/aggregate combination convert without flags."""
+    if front_proc is None:
+        front_proc = "sinc" if "first_conv.low_hz_" in sd else "conv"
+    if aggregate is None:
+        aggregate = ("gru" if "gru.weight_ih_l0" in sd
+                     else "sap" if "attention_sap.v" in sd else "asp")
+    if layers is None:
+        counts = {}
+        for k in sd:
+            if k.startswith("layer"):
+                g, i = k.split(".")[0], int(k.split(".")[1])
+                counts[g] = max(counts.get(g, 0), i + 1)
+        layers = tuple(counts[f"layer{g + 1}"] for g in range(len(counts)))
     params: dict = {}
     stats: dict = {}
 
@@ -682,8 +707,7 @@ def scnet_from_torch_state_dict(sd: Mapping, layers=(3, 4, 6, 3)):
     stats: dict = {}
 
     def conv2d(tk, fk):
-        _set(params, f"{fk}/kernel",
-             _np(sd, f"{tk}.weight").transpose(2, 3, 1, 0))
+        _conv2d_at(params, sd, tk, fk)
 
     def bn(tk, fk):
         _bn_at(params, stats, sd, tk, fk)
@@ -736,10 +760,7 @@ def efficientnet_from_torch_state_dict(sd: Mapping, width_coeff=1.4,
         return new + 8 if new < 0.9 * x else new
 
     def conv2d(tk, fk):
-        _set(params, f"{fk}/kernel",
-             _np(sd, f"{tk}.weight").transpose(2, 3, 1, 0))
-        if f"{tk}.bias" in sd:
-            _set(params, f"{fk}/bias", _np(sd, f"{tk}.bias"))
+        _conv2d_at(params, sd, tk, fk)
 
     def bn(tk, fk):
         _bn_at(params, stats, sd, tk, fk)

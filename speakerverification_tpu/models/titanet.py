@@ -4,8 +4,11 @@ Parity target: src/models/TitaNet.py:10-443 (arXiv:2110.04410) —
 prolog ConvBlock (k=3) → N mega blocks (3 depthwise-separable
 conv sub-blocks + squeeze-excitation + 1×1 skip, relu + dropout 0.5) →
 epilog ConvBlock to 1536 → attentive stats pooling → BN → linear → BN.
-Sizes: S (hidden 256, k=3), M (512, k=7), L (1024, k=11); default
-n_mega_blocks uses the reference's published depths.
+Sizes: S (hidden 256, k=3), M (512, k=7), L (1024, k=11). The default
+n_mega_blocks replicates the reference's parameter-count search
+(``find_n_mega_blocks`` below) — it depends on the embedding size and
+n_mels and does NOT equal the paper's published depths (e.g. 'l'
+resolves to 5 blocks, not 14, at the reference's target budgets).
 """
 
 from __future__ import annotations

@@ -97,7 +97,18 @@ def _run_pair(tmp_path: Path, hparams: dict, timeout: int = 900):
         cfg_path = tmp_path / f"hparams_{attempt}.json"
         cfg_path.write_text(json.dumps(hparams))
         procs = [_launch(r, 2, port, cfg_path) for r in (0, 1)]
-        outs = [p.communicate(timeout=timeout)[0] for p in procs]
+        try:
+            outs = [p.communicate(timeout=timeout)[0] for p in procs]
+        except subprocess.TimeoutExpired:
+            # a hung rank (e.g. blocked in a collective whose peer died)
+            # must not leak workers into the rest of the suite
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
+            outs = [p.communicate()[0] or "" for p in procs]
+            raise AssertionError(
+                f"worker pair timed out after {timeout}s:\n"
+                + "\n".join(o[-2000:] for o in outs))
         codes = [p.returncode for p in procs]
         if all(c == 0 for c in codes):
             return outs

@@ -102,6 +102,10 @@ def _install_asteroid_stub():
         hpy.load_hyperpyyaml = lambda *a, **k: {}
         sys.modules["hyperpyyaml"] = hpy
     sys.modules.setdefault("librosa", types.ModuleType("librosa"))
+    if "torchsummary" not in sys.modules:    # RepVGG.py:14 etc. import it
+        tsm = types.ModuleType("torchsummary")
+        tsm.summary = lambda *a, **k: None
+        sys.modules["torchsummary"] = tsm
     # the reference's feature factory constructs an nnAudio MelSpectrogram
     # at init (models/FeatureExtraction/feature.py); the test replaces
     # compute_features afterwards, so an Identity stands in
@@ -471,16 +475,7 @@ def _reference_repvgg_small():
     SE, identity-BN branch, stride-2 first blocks."""
     import torch
 
-    for name in ("torchaudio", "nnAudio", "nnAudio.features"):
-        sys.modules.setdefault(name, types.ModuleType(name))
-    if "hyperpyyaml" not in sys.modules:     # reference utils.py:9
-        hpy = types.ModuleType("hyperpyyaml")
-        hpy.load_hyperpyyaml = lambda *a, **k: {}
-        sys.modules["hyperpyyaml"] = hpy
-    if "torchsummary" not in sys.modules:    # reference RepVGG.py:14
-        tsm = types.ModuleType("torchsummary")
-        tsm.summary = lambda *a, **k: None
-        sys.modules["torchsummary"] = tsm
+    _install_asteroid_stub()    # stubs torchaudio/hyperpyyaml/torchsummary
     if "/root/reference/src" not in sys.path:
         sys.path.insert(0, "/root/reference/src")
     from models.RepVGG import RepVGG as RefVGG
@@ -997,10 +992,6 @@ def test_rawnet2_custom_forward_parity(front, agg):
     from speakerverification_tpu.models.rawnet2_custom import RawNet2Custom
 
     _install_asteroid_stub()                 # stubs all absent ref deps
-    if "torchsummary" not in sys.modules:    # RawNet2_custom.py:14
-        tsm = types.ModuleType("torchsummary")
-        tsm.summary = lambda *a, **k: None
-        sys.modules["torchsummary"] = tsm
     if "/root/reference/src" not in sys.path:
         sys.path.insert(0, "/root/reference/src")
     from models import RawNet2_custom as RefRC
@@ -1009,19 +1000,21 @@ def test_rawnet2_custom_forward_parity(front, agg):
     torch.manual_seed(37)
     layers = [1, 1, 1, 1, 1, 1]
     filters = [32, 32, 48, 48, 64, 64]
+    n_gru = 2 if agg == "gru" else 1       # multi-layer GRU port coverage
     spec = {"sample_rate": 16000, "hop_len": 10, "win_len": 25,
             "sentence_len": 1.0}
     net = RefRC.RawNet2(RefBlock, layers, filters, audio_spec=spec,
                         front_proc=front, aggregate=agg, att_dim=16,
-                        code_dim=24, gru_node=32)
+                        code_dim=24, gru_node=32, nb_gru_layers=n_gru)
     net.eval()
 
-    params, stats = rawnet2_custom_from_torch_state_dict(
-        net.state_dict(), layers=layers, front_proc=front, aggregate=agg)
+    # no config args: the porter must infer layers/front/aggregate from
+    # the state-dict keys (the CLI converter relies on this)
+    params, stats = rawnet2_custom_from_torch_state_dict(net.state_dict())
     ours = RawNet2Custom(nOut=24, layers=tuple(layers),
                          filters=tuple(filters), front_proc=front,
                          aggregate=agg, att_dim=16, gru_node=32,
-                         sample_rate=16000)
+                         nb_gru_layers=n_gru, sample_rate=16000)
     rng = np.random.default_rng(38)
     wave = rng.normal(0, 0.1, (2, 16000)).astype(np.float32)
     template = ours.init(jax.random.PRNGKey(0), jnp.asarray(wave))
@@ -1051,10 +1044,6 @@ def test_raw_ecapa2_hybrid_forward_parity(name):
     import torch
 
     _install_asteroid_stub()
-    if "torchsummary" not in sys.modules:
-        tsm = types.ModuleType("torchsummary")
-        tsm.summary = lambda *a, **k: None
-        sys.modules["torchsummary"] = tsm
     if "/root/reference/src" not in sys.path:
         sys.path.insert(0, "/root/reference/src")
     import importlib
@@ -1122,10 +1111,6 @@ def test_titanet_hybrid_forward_parity(name):
     import torch
 
     _install_asteroid_stub()
-    if "torchsummary" not in sys.modules:
-        tsm = types.ModuleType("torchsummary")
-        tsm.summary = lambda *a, **k: None
-        sys.modules["torchsummary"] = tsm
     if "/root/reference/src" not in sys.path:
         sys.path.insert(0, "/root/reference/src")
     import importlib
