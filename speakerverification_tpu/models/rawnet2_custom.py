@@ -78,7 +78,11 @@ class RawNet2Custom(nn.Module):
         x = leaky_relu_03(x)
 
         if self.aggregate == "sap":
-            # Classic attention: softmax(tanh(x @ W) @ v) over time
+            # Classic_Attention (RawNet_baseline.py:423-436): weights =
+            # softmax(tanh((x @ W) · v)) over time; the pooled stats are
+            # the reference's quirky mean/sum asymmetry — mean uses
+            # torch.mean (divide by T) while variance uses torch.sum
+            # (RawNet2_custom.py:147-159) — kept verbatim for parity
             h = nn.Dense(x.shape[-1])(x)
             v = self.param("sap_v", nn.initializers.normal(1.0),
                            (x.shape[-1],))

@@ -976,7 +976,8 @@ def test_ecapa_conformer_forward_parity():
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("front,agg", [("sinc", "asp"), ("conv", "gru")])
+@pytest.mark.parametrize("front,agg", [("sinc", "asp"), ("conv", "gru"),
+                                       ("sinc", "sap")])
 def test_rawnet2_custom_forward_parity(front, agg):
     """RawNet2_custom port (src/models/RawNet2_custom.py:18-253) — the
     block the four Raw_ECAPA hybrid MainModels embed. Covers both
