@@ -48,6 +48,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="shard the classifier head's classes over this "
                         "many devices (2-D data x model mesh; needs "
                         "--distributed; no reference equivalent)")
+    p.add_argument("--quant", type=str, default=None, choices=["int8"],
+                   help="quantized inference: int8 MXU path for embedding "
+                        "extraction (eval/test/prepare/predict)")
     p.add_argument("--mixedprec", action="store_true", default=None,
                    help="bf16 compute (replaces CUDA AMP; no loss scaling)")
     p.add_argument("--distributed_backend", type=str, default=None,

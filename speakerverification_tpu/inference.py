@@ -84,9 +84,21 @@ class InferenceEngine:
 
         normalize = bool(getattr(self.model.loss, "test_normalize", True))
         from speakerverification_tpu.builder import compute_dtype_from_hparams
-        self._embed = make_eval_embed_fn(
-            self.model, normalize=normalize,
-            compute_dtype=compute_dtype_from_hparams(hparams))
+        quant = hparams.get("quant")
+        if quant == "int8":
+            # int8 MXU extraction (quant.py): large GEMMs run int8 with
+            # dynamic symmetric scales; embedding cosine fidelity vs the
+            # float path is pinned by tests/test_quant.py
+            from speakerverification_tpu.quant import make_int8_embed_fn
+            self._embed = make_int8_embed_fn(
+                self.model, normalize=normalize,
+                compute_dtype=compute_dtype_from_hparams(hparams))
+        elif quant:
+            raise ValueError(f"unknown quant mode {quant!r} (expected 'int8')")
+        else:
+            self._embed = make_eval_embed_fn(
+                self.model, normalize=normalize,
+                compute_dtype=compute_dtype_from_hparams(hparams))
         # the embed fn above already applied the head's test_normalize
         # policy; scoring must not re-normalize or heads with
         # test_normalize=False diverge from the reference

@@ -161,6 +161,26 @@ def test_cli_infer_prepare_and_norm_eval(workspace):
     assert rc == 0
 
 
+def test_cli_infer_eval_int8_quant(workspace):
+    """--quant int8 routes extraction through quant.py; trial scores must
+    track the float path (embeddings are cosine-aligned, test_quant.py)."""
+    root, cfg = workspace
+    result_dir = root / "run" / "save" / "ECAPA_TDNN" / "AAmSoftmax" / "result"
+    csv_path = result_dir / "evaluation_results.csv"
+
+    def scores():
+        rows = csv_path.read_text().strip().splitlines()[1:]
+        return np.array([float(r.split(",")[1]) for r in rows])
+
+    assert cli_main(["--do_infer", "--eval", "--config", str(cfg)]) == 0
+    float_scores = scores()
+    assert cli_main(["--do_infer", "--eval", "--config", str(cfg),
+                     "--quant", "int8"]) == 0
+    int8_scores = scores()
+    assert int8_scores.shape == float_scores.shape
+    assert np.max(np.abs(int8_scores - float_scores)) < 2e-2
+
+
 def test_cli_infer_test_mode(workspace):
     root, cfg = workspace
     rc = cli_main(["--do_infer", "--test", "--config", str(cfg),
