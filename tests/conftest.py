@@ -36,7 +36,7 @@ jax.config.update("jax_platforms", "cpu")
 # suite's runtime; repeat runs hit the cache instead of recompiling
 jax.config.update("jax_compilation_cache_dir",
                   os.environ.get("SVTPU_JAX_CACHE", "/tmp/svtpu_jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 assert jax.devices()[0].platform == "cpu"
 assert len(jax.devices()) == 8

@@ -183,6 +183,7 @@ def test_dp_metric_loss_gathers_global_batch():
                                    rtol=2e-3, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_trainer_distributed_flag(tmp_path):
     """Trainer with distributed: true runs shard_map DP over the virtual
     mesh through the standard CLI config path."""
@@ -301,6 +302,7 @@ def test_builder_gates_gather_axis_on_single_device():
     assert np.isfinite(float(metrics["loss"]))
 
 
+@pytest.mark.slow
 def test_dp_step_bf16_mixed_precision(model_and_tx):
     """compute_dtype forwards through make_dp_train_step (ADVICE r1)."""
     model, tx = model_and_tx
@@ -323,6 +325,7 @@ def test_dp_step_bf16_mixed_precision(model_and_tx):
                if jnp.issubdtype(p.dtype, jnp.floating))
 
 
+@pytest.mark.slow
 def test_dp_batchnorm_drift_bounded(model_and_tx):
     """Quantify the per-shard-BN divergence (VERDICT r1 weak #7): after 3
     training steps of DP vs single-device full-batch, the produced

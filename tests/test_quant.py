@@ -143,8 +143,8 @@ def _small_ecapa():
 def test_int8_ecapa_embeddings_cosine_aligned():
     model = _small_ecapa()
     rng = np.random.default_rng(3)
-    wave = jnp.asarray(rng.normal(0, 0.1, (4, 16000)).astype(np.float32))
-    variables = model.init(jax.random.PRNGKey(0), wave[:2])
+    wave = jnp.asarray(rng.normal(0, 0.1, (4, 8000)).astype(np.float32))
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), wave[:2])
     params, stats = variables["params"], variables.get("batch_stats", {})
 
     from speakerverification_tpu.training.train_step import make_eval_embed_fn

@@ -14,7 +14,9 @@ T = 16000  # 1 s keeps CPU compile time reasonable
 
 
 def _run(model, x, train=False):
-    variables = model.init(jax.random.PRNGKey(0), x)
+    # jitted init: one persisted program instead of hundreds of eager
+    # op programs below the cache's write threshold (see test_models.py)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x)
     if train:
         out, _ = jax.jit(lambda v, x: model.apply(
             v, x, train=True, mutable=["batch_stats"]))(variables, x)

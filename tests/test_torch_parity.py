@@ -327,6 +327,7 @@ def test_conformer_relative_mhsa_parity():
     np.testing.assert_allclose(out, ref_out, rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_resnetse34_forward_parity():
     """ResNetSE34 weight-port parity: the reference trunk (SEBasicBlock,
     stride-2 torch p1 convs, freq-flattened ASP) with a randomly-init
@@ -497,6 +498,7 @@ def _ours_repvgg_small(deploy=False):
                   deploy=deploy, log_input=False)
 
 
+@pytest.mark.slow
 def test_repvgg_forward_parity():
     import torch
 
@@ -570,6 +572,7 @@ def test_repvgg_reparameterize_fold():
     np.testing.assert_allclose(deploy_out, ref_folded, rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_titanet_forward_parity():
     """TitaNet weight-port parity (src/models/TitaNet.py:10-443): small
     config covering prolog, depthwise-separable mega blocks with

@@ -55,6 +55,7 @@ def test_train_step_reduces_loss(setup):
     assert int(state.step) == 8
 
 
+@pytest.mark.slow
 def test_train_step_with_specaugment_compiles():
     """SpecAugment traces into the train step (random masks per step)."""
     model = SpeakerEncoder(
