@@ -85,20 +85,23 @@ class InferenceEngine:
         normalize = bool(getattr(self.model.loss, "test_normalize", True))
         from speakerverification_tpu.builder import compute_dtype_from_hparams
         quant = hparams.get("quant")
-        if quant == "int8":
-            # int8 MXU extraction (quant.py): large GEMMs run int8 with
-            # dynamic symmetric scales; embedding cosine fidelity vs the
-            # float path is pinned by tests/test_quant.py
-            from speakerverification_tpu.quant import make_int8_embed_fn
-            self._embed = make_int8_embed_fn(
-                self.model, normalize=normalize,
-                compute_dtype=compute_dtype_from_hparams(hparams))
+        self._quant_int8 = quant == "int8"
+        self._act_scales = None
+        if self._quant_int8:
+            # int8 MXU extraction (quant.py). Activation scales are
+            # calibrated lazily on the first batch (embed_fn below) so
+            # the serving path runs STATIC-scale int8 — dynamic in-trace
+            # max-reduces cost more than the int8 GEMM saves (see
+            # quant._int8_gemm). Embedding cosine fidelity vs the float
+            # path is pinned by tests/test_quant.py.
+            self._embed = None
         elif quant:
             raise ValueError(f"unknown quant mode {quant!r} (expected 'int8')")
         else:
             self._embed = make_eval_embed_fn(
                 self.model, normalize=normalize,
                 compute_dtype=compute_dtype_from_hparams(hparams))
+        self._normalize = normalize
         # the embed fn above already applied the head's test_normalize
         # policy; scoring must not re-normalize or heads with
         # test_normalize=False diverge from the reference
@@ -108,6 +111,24 @@ class InferenceEngine:
     def embed_fn(self, waves: np.ndarray):
         # returns a DEVICE array: scoring consumes it without a host
         # round-trip (see extract_embeddings)
+        if self._embed is None:        # --quant int8: calibrate once
+            from speakerverification_tpu.builder import (
+                compute_dtype_from_hparams,
+            )
+            from speakerverification_tpu.quant import (
+                calibrate_act_scales,
+                make_int8_embed_fn,
+            )
+            calib = jnp.asarray(waves).reshape(-1, np.shape(waves)[-1])[:8]
+            self._act_scales = calibrate_act_scales(
+                self.model, {"params": self.state.params,
+                             "batch_stats": self.state.batch_stats}, calib)
+            self._embed = make_int8_embed_fn(
+                self.model, normalize=self._normalize,
+                compute_dtype=compute_dtype_from_hparams(self.hparams),
+                act_scales=self._act_scales)
+            print(f"[INFO] int8: calibrated {len(self._act_scales)} "
+                  "activation scales on the first batch")
         return self._embed(self.state.params, self.state.batch_stats,
                            jnp.asarray(waves))
 

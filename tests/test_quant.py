@@ -19,6 +19,7 @@ import pytest
 
 from speakerverification_tpu.quant import (
     QuantConfig,
+    calibrate_act_scales,
     int8_apply,
     make_int8_embed_fn,
 )
@@ -130,6 +131,33 @@ def test_strided_and_grouped_convs_fall_back():
         np.asarray(m.apply(var, x)))
 
 
+def test_static_scales_match_dynamic_within_a_quantum():
+    """Calibrated on the very batch it serves, static-scale quantization
+    must agree with dynamic mode to within one quantization step per
+    layer (the scales are identical up to f64-vs-f32 scale arithmetic)."""
+    class Two(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            x = nn.Conv(64, (3,), padding="SAME")(x)
+            return nn.Dense(32)(x)
+
+    m = Two()
+    x = jnp.asarray(np.random.default_rng(5).normal(size=(2, 20, 16)),
+                    jnp.float32)
+    var = m.init(jax.random.PRNGKey(0), x)
+    scales = calibrate_act_scales(m, var, x, config=ALL)
+    assert set(scales) == {"Conv_0", "Dense_0"} and min(scales.values()) > 0
+
+    dyn = np.asarray(int8_apply(m, var, x, config=ALL))
+    sta = np.asarray(int8_apply(m, var, x, config=ALL, act_scales=scales))
+    # one output quantum ~= s_x*s_w summed over the couple of flipped
+    # rounding decisions; the layers here keep it well under 0.1
+    assert np.max(np.abs(dyn - sta)) < 0.1
+    # and both track the float model
+    ref = np.asarray(m.apply(var, x))
+    assert np.max(np.abs(sta - ref)) < 0.35, np.max(np.abs(sta - ref))
+
+
 def _small_ecapa():
     from speakerverification_tpu.encoder import SpeakerEncoder
     from speakerverification_tpu.models.ecapa_tdnn import ECAPA_TDNN
@@ -151,8 +179,18 @@ def test_int8_ecapa_embeddings_cosine_aligned():
     ref = np.asarray(make_eval_embed_fn(model)(params, stats, wave))
     # aggressive floors: every k=1 conv, the Res2 cascade, MFA and fc all
     # go int8 — stronger fidelity claim than the serving defaults
+    aggressive = QuantConfig(min_k=64, min_n=32)
     got = np.asarray(make_int8_embed_fn(
-        model, config=QuantConfig(min_k=64, min_n=32))(params, stats, wave))
+        model, config=aggressive)(params, stats, wave))
+
+    # static-scale serving mode: calibrate on half the batch, embed all
+    scales = calibrate_act_scales(
+        model, {"params": params, "batch_stats": stats}, wave[:2],
+        config=aggressive)
+    sta = np.asarray(make_int8_embed_fn(
+        model, config=aggressive, act_scales=scales)(params, stats, wave))
+    cos_sta = np.sum(sta * ref, axis=-1)
+    assert cos_sta.min() > 0.995, cos_sta
 
     assert got.shape == ref.shape
     np.testing.assert_allclose(np.linalg.norm(got, axis=-1), 1.0, atol=1e-5)
