@@ -131,6 +131,30 @@ def test_strided_and_grouped_convs_fall_back():
         np.asarray(m.apply(var, x)))
 
 
+def test_pallas_quant_matmul_matches_xla_int8_path():
+    """ops/pallas_quant.py (interpret mode) must reproduce the XLA
+    static-scale int8 GEMM bit-for-bit at fp32 tolerance — same
+    quantization decisions, fused epilogue."""
+    from speakerverification_tpu.ops.pallas_quant import quant_matmul
+
+    rng = np.random.default_rng(7)
+    M, K, N = 70, 96, 50
+    x = jnp.asarray(rng.normal(size=(M, K)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(K, N)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(N,)).astype(np.float32))
+    act = float(np.max(np.abs(np.asarray(x))))
+    got = np.asarray(quant_matmul(x, w, b, act, block_m=64, interpret=True))
+
+    s_x = act / 127.0
+    s_w = np.max(np.abs(np.asarray(w)), axis=0) / 127.0
+    xq = np.clip(np.round(np.asarray(x) / s_x), -127, 127).astype(np.int32)
+    wq = np.clip(np.round(np.asarray(w) / s_w[None, :]),
+                 -127, 127).astype(np.int32)
+    ref = (xq @ wq).astype(np.float32) * (s_x * s_w)[None, :] \
+        + np.asarray(b)[None, :]
+    np.testing.assert_allclose(got, ref, rtol=0, atol=1e-4)
+
+
 def test_static_scales_match_dynamic_within_a_quantum():
     """Calibrated on the very batch it serves, static-scale quantization
     must agree with dynamic mode to within one quantization step per
