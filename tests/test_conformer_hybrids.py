@@ -25,6 +25,7 @@ def _init_apply(model, x, train=False):
     return jax.jit(model.apply)(variables, x)
 
 
+@pytest.mark.slow
 def test_conformer_speaker():
     model = build_model("Conformer", nOut=32, n_mels=40, encoder_dim=32,
                         num_layers=2)

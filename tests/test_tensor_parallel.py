@@ -7,6 +7,7 @@ weight. Runs on the virtual 8-device CPU mesh (tests/conftest.py)."""
 
 import flax.linen as nn
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import PartitionSpec as P
@@ -134,6 +135,7 @@ def test_dp_tp_second_step_stays_finite():
     assert losses[-1] < losses[0]
 
 
+@pytest.mark.slow
 def test_trainer_model_parallel_flag(tmp_path):
     """Trainer with distributed + model_parallel: 2 trains over the 4×2
     mesh through the standard config path (AAmSoftmax auto-mapped to its
