@@ -27,6 +27,20 @@ Use ``make_int8_embed_fn`` as a drop-in for
 for scoring; verification is cosine-based on L2-normalized embeddings,
 which is robust to the ~1e-3 relative error int8 introduces
 (tests/test_quant.py pins cosine similarity against the fp32 path).
+
+**Measured honesty (bench chip, tunneled v5-lite, ECAPA batch 512)**:
+on THIS part int8 extraction does not beat bf16 end-to-end — 9,321
+utt/s bf16 vs 5,243 dynamic / 5,518 static / 5,018 pallas-fused int8 —
+because (a) the part's practical int8 ceiling is only ~1.2x its bf16
+ceiling (104 vs 88 T/s measured; nominal v5e spec is 2x), (b) the VPU
+quantize pass costs ~1ms per hot layer, and (c) ECAPA's quantized convs
+are never back-to-back (each is sandwiched between float Res2/SE/ASP
+ops), so activations cannot stay int8 and every layer pays the
+quantize/dequantize boundary. The isolated fused kernel DOES beat the
+isolated bf16 GEMM (60.6 vs 56.5 T/s per-layer; the raw int8 dot is
+1.62x faster at the hot shape, 83.8 vs 51.7 T/s) — on a part with the
+full 2x int8 MXU rate the same code paths win end-to-end. Full table
+in PARITY.md's roofline section.
 """
 
 from __future__ import annotations
@@ -44,17 +58,24 @@ __all__ = ["QuantConfig", "int8_apply", "make_int8_embed_fn",
 
 @dataclasses.dataclass(frozen=True)
 class QuantConfig:
-    """Which GEMMs go int8.
+    """Which GEMMs go int8, and through which lowering.
 
     A layer is quantized only when its contraction dim ``K`` (= kernel
     taps x in-channels for convs) and output dim ``N`` both clear the
     floors — below them the GEMM is dispatch-bound, not MXU-bound, and
     quantization costs accuracy for no time (see module docstring).
+
+    ``backend``: 'xla' | 'pallas' | 'auto'. 'pallas' routes static-scale
+    layers through the fused ops/pallas_quant.py kernel (quantize + int8
+    dot + dequant in VMEM — the fastest int8 lowering measured on the
+    bench chip); it needs TPU + calibrated ``act_scales``, and falls
+    back to XLA otherwise. 'auto' picks pallas when those hold.
     """
     min_k: int = 512
     min_n: int = 128
     quant_conv: bool = True
     quant_dense: bool = True
+    backend: str = "auto"
 
 
 def _int8_gemm(x2d: jax.Array, w2d: jax.Array,
@@ -92,10 +113,28 @@ def _normalize(v) -> tuple:
     return tuple(v)
 
 
+def _quantized_gemm(x2d: jax.Array, w2d: jax.Array, bias,
+                    act_scale: Optional[float],
+                    config: "QuantConfig") -> jax.Array:
+    """Route one ``[M,K]@[K,N]`` through the configured int8 lowering."""
+    backend = config.backend
+    use_pallas = (act_scale is not None
+                  and jax.default_backend() == "tpu"
+                  and backend in ("pallas", "auto"))
+    if use_pallas:
+        from speakerverification_tpu.ops.pallas_quant import quant_matmul
+        return quant_matmul(x2d, w2d, bias, act_scale).astype(jnp.float32)
+    y = _int8_gemm(x2d, w2d, act_scale=act_scale)
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)[None, :]
+    return y
+
+
 def _conv1d_as_int8_gemm(mod: nn.Conv, x: jax.Array,
                          kernel: jax.Array,
                          bias: Optional[jax.Array],
-                         act_scale: Optional[float] = None) -> jax.Array:
+                         act_scale: Optional[float] = None,
+                         config: Optional["QuantConfig"] = None) -> jax.Array:
     """Replicate a stride-1 1-D ``nn.Conv`` as im2col + int8 GEMM.
 
     ``kernel`` is flax layout ``[k, Cin, Cout]``; the k dilated
@@ -115,11 +154,9 @@ def _conv1d_as_int8_gemm(mod: nn.Conv, x: jax.Array,
     else:
         cols = jnp.concatenate([x[:, i * d:i * d + t_out, :]
                                 for i in range(k)], axis=-1)
-    y = _int8_gemm(cols.reshape(b * t_out, k * cin),
-                   kernel.reshape(k * cin, kernel.shape[-1]),
-                   act_scale=act_scale)
-    if bias is not None:
-        y = y + bias.astype(jnp.float32)[None, :]
+    y = _quantized_gemm(cols.reshape(b * t_out, k * cin),
+                        kernel.reshape(k * cin, kernel.shape[-1]),
+                        bias, act_scale, config or QuantConfig())
     return y.reshape(b, t_out, -1).astype(x.dtype)
 
 
@@ -174,11 +211,9 @@ def _make_interceptor(config: QuantConfig,
             p = mod.variables.get("params", {})
             x = args[0]
             lead = x.shape[:-1]
-            y = _int8_gemm(x.reshape(-1, x.shape[-1]).astype(jnp.float32),
-                           kernel, act_scale=scale_for(mod))
-            bias = p.get("bias")
-            if bias is not None and mod.use_bias:
-                y = y + bias.astype(jnp.float32)[None, :]
+            bias = p.get("bias") if mod.use_bias else None
+            y = _quantized_gemm(x.reshape(-1, x.shape[-1]), kernel, bias,
+                                scale_for(mod), config)
             return y.reshape(*lead, -1).astype(x.dtype)
 
         kernel = _conv_kernel_if_quantizable(mod, args, config)
@@ -186,7 +221,8 @@ def _make_interceptor(config: QuantConfig,
             p = mod.variables.get("params", {})
             bias = p.get("bias") if mod.use_bias else None
             return _conv1d_as_int8_gemm(mod, args[0], kernel, bias,
-                                        act_scale=scale_for(mod))
+                                        act_scale=scale_for(mod),
+                                        config=config)
 
         return next_fun(*args, **kwargs)
 
