@@ -44,6 +44,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -228,6 +229,39 @@ def main() -> None:
     train_tflops = train_flops * TRAIN_ITERS / tdt / 1e12
     train_mfu = 100.0 * train_tflops / PEAK_BF16_TFLOPS
 
+    # ---- optional: int8 MXU extraction (quant.py serving path) ----
+    # opt-in via SVTPU_BENCH_INT8=1: two extra remote compiles (~4-5 min
+    # over the tunnel) would push the default driver run against its
+    # timeout; the measured numbers live in PARITY.md's roofline section.
+    int8_fields = {}
+    if os.environ.get("SVTPU_BENCH_INT8"):
+        from speakerverification_tpu.quant import make_int8_embed_fn
+        embed_i8 = make_int8_embed_fn(model_bf16, normalize=True,
+                                      compute_dtype=jnp.bfloat16)
+
+        @jax.jit
+        def embed_i8_chained(params, batch_stats, wave):
+            def body(w, _):
+                e = embed_i8(params, batch_stats, w)
+                return w + e.astype(jnp.float32).sum() * 1e-12, None
+            w, _ = jax.lax.scan(body, wave, None, length=ITERS)
+            return w[0, :4]
+
+        _log("compiling chained int8 embed")
+        i8_c = embed_i8_chained.lower(params, batch_stats, wave).compile()
+        np.asarray(i8_c(params, batch_stats, wave))          # warm
+        i8dt = _time_best(lambda: i8_c(params, batch_stats, wave),
+                          lambda out: np.asarray(out), windows=4, iters=1)
+        # fidelity vs the bf16 float path on the same batch
+        e_f = np.asarray(compiled(params, batch_stats, wave))
+        e_q = np.asarray(embed_i8(params, batch_stats, wave))
+        cos = np.sum(e_f * e_q, axis=-1)
+        int8_fields = {
+            "embed_int8_utts_per_sec": round(BATCH * ITERS / i8dt, 2),
+            "embed_int8_cos_min_vs_bf16": round(float(cos.min()), 5),
+        }
+        _log(f"int8 extraction: {int8_fields}")
+
     _log("measuring practical peak")
     practical = _practical_peak_tflops()
     _log("done")
@@ -249,6 +283,7 @@ def main() -> None:
         "peak_tflops_assumed": PEAK_BF16_TFLOPS,
         "practical_peak_tflops_measured": round(practical, 1),
         "pct_of_practical_peak": round(100.0 * embed_tflops / practical, 1),
+        **int8_fields,
     }))
 
 
