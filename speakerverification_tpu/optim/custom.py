@@ -324,30 +324,38 @@ def _adamp_projection(p, grad, perturb, delta, wd_ratio, eps):
     ``delta / sqrt(view_cols)`` triggers the projection and the reduced
     weight-decay ratio. Data-dependent branches become ``jnp.where``.
     Returns ``(perturb', wd_ratio')``.
-    """
-    def view_stats(view):
-        gv = grad.reshape(view)
-        pv = p.reshape(view)
-        dot = jnp.sum(gv * pv, axis=1)
-        cos = (jnp.abs(dot)
-               / (jnp.linalg.norm(gv, axis=1) + eps)
-               / (jnp.linalg.norm(pv, axis=1) + eps))
-        return jnp.max(cos) < delta / (pv.shape[1] ** 0.5)
 
-    def project(view):
-        pv_norm = jnp.linalg.norm(p.reshape(view), axis=1) + eps
-        expand = (-1,) + (1,) * (p.ndim - 1) if view[0] != 1 else \
-            (1,) * p.ndim
-        p_n = p / pv_norm.reshape(expand)
-        inner = jnp.sum((p_n * perturb).reshape(view), axis=1).reshape(expand)
+    The reference's channel view is ``x.view(x.size(0), -1)`` over torch
+    ``[out, in, k...]`` tensors (AdamP.py:90-91) — one row per OUTPUT
+    channel. Flax kernels are ``[k..., in, out]`` with output channels
+    LAST, so the channel view here reduces over every axis but the last;
+    that yields the same per-output-channel fan-in groups the
+    scale-invariance argument (a following BatchNorm) is about. Parity
+    with the live torch ``_projection`` on transposed tensors is pinned
+    in tests/test_optim_trajectory_parity.py.
+    """
+    ch_axes = tuple(range(p.ndim - 1))     # fan-in axes (channel view)
+    ly_axes = tuple(range(p.ndim))         # whole tensor (layer view)
+    fan_in = 1
+    for d in p.shape[:-1]:
+        fan_in *= d
+
+    def view_stats(axes, ncols):
+        dot = jnp.sum(grad * p, axis=axes)
+        gn = jnp.sqrt(jnp.sum(grad * grad, axis=axes)) + eps
+        pn = jnp.sqrt(jnp.sum(p * p, axis=axes)) + eps
+        return jnp.max(jnp.abs(dot) / gn / pn) < delta / (ncols ** 0.5)
+
+    def project(axes):
+        pv_norm = jnp.sqrt(jnp.sum(p * p, axis=axes, keepdims=True)) + eps
+        p_n = p / pv_norm
+        inner = jnp.sum(p_n * perturb, axis=axes, keepdims=True)
         return perturb - p_n * inner
 
-    ch = (p.shape[0], -1)
-    ly = (1, -1)
-    cond_ch = view_stats(ch)
-    cond_ly = view_stats(ly)
-    out = jnp.where(cond_ch, project(ch),
-                    jnp.where(cond_ly, project(ly), perturb))
+    cond_ch = view_stats(ch_axes, fan_in)
+    cond_ly = view_stats(ly_axes, p.size)
+    out = jnp.where(cond_ch, project(ch_axes),
+                    jnp.where(cond_ly, project(ly_axes), perturb))
     wd = jnp.where(cond_ch | cond_ly, wd_ratio, 1.0)
     return out, wd
 

@@ -145,6 +145,56 @@ def test_trajectory_parity(ref_path, name):
     _assert_traj_close(ours, ref, **TOL.get(name, {}))
 
 
+def test_adamp_projection_parity_channel_groups(ref_path):
+    """The AdamP/SGDP tangent-space projection itself, compared against
+    the live torch ``AdamP._projection`` on the SAME layer expressed in
+    each framework's native layout: flax ``[in, out]`` / ``[k, in, out]``
+    (output channels LAST) vs torch ``[out, in(, k)]`` (channels FIRST).
+    Inputs are constructed to TRIGGER the channel view (per-output-
+    channel grad ⟂ weight), which the random-regression trajectory test
+    never does."""
+    import torch
+    from optimizer.AdamP import AdamP
+    from speakerverification_tpu.optim.custom import _adamp_projection
+
+    rng = np.random.default_rng(3)
+    delta, wd_ratio, eps = 0.1, 0.1, 1e-8
+    opt = AdamP([torch.nn.Parameter(torch.zeros(1))], lr=1e-3)
+
+    for shape in [(6, 4), (5, 3, 4)]:   # flax Dense / Conv1d kernels
+        p = rng.normal(0, 1, shape).astype(np.float32)
+        v = rng.normal(0, 1, shape).astype(np.float32)
+        # orthogonalize v against p within each output channel's fan-in
+        # group (trailing axis = channels) -> per-channel cos == 0
+        axes = tuple(range(p.ndim - 1))
+        phat = p / np.sqrt((p * p).sum(axis=axes, keepdims=True))
+        g = (v - phat * (phat * v).sum(axis=axes, keepdims=True))
+        perturb = rng.normal(0, 1, shape).astype(np.float32)
+
+        ours, wd_ours = _adamp_projection(
+            jnp.asarray(p), jnp.asarray(g), jnp.asarray(perturb),
+            delta, wd_ratio, eps)
+
+        tr = tuple(reversed(range(p.ndim)))      # -> channels first
+        t = lambda a: torch.from_numpy(np.ascontiguousarray(
+            a.transpose(tr)))
+        ref, wd_ref = opt._projection(t(p), t(g), t(perturb),
+                                      delta, wd_ratio, eps)
+        assert wd_ref == wd_ratio                # the trigger fired
+        assert float(wd_ours) == pytest.approx(wd_ref)
+        np.testing.assert_allclose(
+            np.asarray(ours), ref.numpy().transpose(tr),
+            atol=1e-6, rtol=1e-5)
+
+    # no-trigger case: grad == p -> cos 1 in every view, pass-through
+    p = rng.normal(0, 1, (6, 4)).astype(np.float32)
+    pert = rng.normal(0, 1, (6, 4)).astype(np.float32)
+    out, wd = _adamp_projection(jnp.asarray(p), jnp.asarray(p),
+                                jnp.asarray(pert), delta, wd_ratio, eps)
+    np.testing.assert_allclose(np.asarray(out), pert, atol=0)
+    assert float(wd) == 1.0
+
+
 def test_reference_optimizer_config_path_is_broken(ref_path):
     """23 of 27 vendored classes lack **kwargs, so the reference's own
     `Optimizer(..., lr_decay=...)` call site (model.py:180-184) raises
