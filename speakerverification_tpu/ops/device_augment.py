@@ -25,8 +25,9 @@ device-side equivalent with static shapes, fused into the train step:
 Documented deltas vs the host path (distribution-level, not semantics):
 one noise clip per mix (the reference draws 1..k files per category),
 and sampling is over the preloaded bank rather than the full corpus —
-refresh the bank between epochs (`build_banks(..., rng)`) to cycle
-files.
+the Trainer passes banks as step ARGUMENTS and resamples them from the
+corpus every epoch (`build_banks(..., rng)`, fixed shapes, so the
+jitted step never recompiles), bounding the bank-vs-corpus delta.
 """
 
 from __future__ import annotations
@@ -84,18 +85,18 @@ def build_banks(augmentor, n_noise: int = 256, n_rir: int = 64,
 
     if not augmentor.reverberation_files:
         raise ValueError("augmentor has no RIR files")
-    lr_max = 0
-    rirs = []
-    for _ in range(n_rir):
+    # Fixed bank width L keeps the shape identical across per-epoch
+    # refreshes (no step recompile). Truncating an RIR to L taps is
+    # EXACT for the convolution output's first L samples (out[t] only
+    # reads rir[k<=t], t < L) — and the device path truncates to the
+    # crop length anyway (audio_loader.py:237-244 semantics).
+    rir = np.zeros((n_rir, L), np.float32)
+    for i in range(n_rir):
         f = augmentor.reverberation_files[
             int(rng.integers(len(augmentor.reverberation_files)))]
         r = load_wav(f, spec, load_all=True)[0]
         r = r / np.sqrt(np.sum(r ** 2) + 1e-12)
-        rirs.append(r.astype(np.float32))
-        lr_max = max(lr_max, len(r))
-    rir = np.zeros((n_rir, lr_max), np.float32)
-    for i, r in enumerate(rirs):
-        rir[i, :len(r)] = r
+        rir[i, :min(len(r), L)] = r[:L]
 
     return AugmentBanks(jnp.asarray(noise), jnp.asarray(noise_db),
                         jnp.asarray(lo), jnp.asarray(hi), jnp.asarray(rir))

@@ -32,25 +32,27 @@ __all__ = ["make_dp_train_step", "replicate_state", "shard_batch"]
 
 def make_dp_train_step(model, tx, mesh: Mesh, axis: str = "data",
                        donate: bool = True, compute_dtype=None,
-                       augment_fn=None) -> Callable:
+                       augment_fn=None, n_aug_args: int = 0) -> Callable:
     """Build ``step(state, wave, label, rng, lr) -> (state, metrics)``
     where wave/label are globally-shaped arrays sharded on ``axis``.
 
     ``compute_dtype`` forwards the bf16 mixed-precision policy to the
     inner step (same semantics as the single-device path);
     ``augment_fn`` the on-device augmentation hook (runs per shard with
-    the per-replica folded rng, so shards draw independent corruption)."""
+    the per-replica folded rng, so shards draw independent corruption).
+    ``n_aug_args`` extra trailing step arguments (replicated pytrees,
+    e.g. refreshable noise/RIR banks) are forwarded to ``augment_fn``."""
     inner = make_train_step(model, tx, axis_name=axis,
                             compute_dtype=compute_dtype,
                             augment_fn=augment_fn)
 
-    def per_replica(state, wave, label, rng, lr):
+    def per_replica(state, wave, label, rng, lr, *aug):
         rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
-        return inner(state, wave, label, rng, lr)
+        return inner(state, wave, label, rng, lr, *aug)
 
     smapped = jax.shard_map(
         per_replica, mesh=mesh,
-        in_specs=(P(), P(axis), P(axis), P(), P()),
+        in_specs=(P(), P(axis), P(axis), P(), P()) + (P(),) * n_aug_args,
         out_specs=(P(), P()),
         check_vma=False)
     return jax.jit(smapped, donate_argnums=(0,) if donate else ())

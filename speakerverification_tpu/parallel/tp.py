@@ -107,14 +107,16 @@ def shard_state_tp_global(state_host, mesh: Mesh,
 def make_dp_tp_train_step(model, tx, mesh: Mesh, state_template,
                           data_axis: str = "data", model_axis: str = "model",
                           donate: bool = True, compute_dtype=None,
-                          augment_fn=None) -> Callable:
+                          augment_fn=None, n_aug_args: int = 0) -> Callable:
     """Build the 2-D-sharded ``step(state, wave, label, rng, lr)``.
 
     ``state_template`` provides the pytree structure for the per-leaf
     partition specs (pass the actual initial state). The model's loss
     head must be model-axis-aware (ShardedAAmSoftmax); batches are
     globally-shaped and sharded on ``data_axis`` (replicated across the
-    model axis).
+    model axis). ``n_aug_args`` extra trailing step arguments
+    (replicated pytrees, e.g. refreshable noise/RIR banks) are
+    forwarded to ``augment_fn``.
     """
     n_model = mesh.shape[model_axis]
     # the library API must not silently shard a non-shard-aware head:
@@ -144,14 +146,15 @@ def make_dp_tp_train_step(model, tx, mesh: Mesh, state_template,
                             grad_scale=1.0 / n_model,
                             augment_fn=augment_fn)
 
-    def per_shard(state, wave, label, rng, lr):
+    def per_shard(state, wave, label, rng, lr, *aug):
         # fold the DATA index only: model shards must draw identical
         # augmentation randomness or the replicated backbone diverges
         rng = jax.random.fold_in(rng, jax.lax.axis_index(data_axis))
-        return inner(state, wave, label, rng, lr)
+        return inner(state, wave, label, rng, lr, *aug)
     smapped = jax.shard_map(
         per_shard, mesh=mesh,
-        in_specs=(state_specs, P(data_axis), P(data_axis), P(), P()),
+        in_specs=(state_specs, P(data_axis), P(data_axis), P(), P())
+        + (P(),) * n_aug_args,
         out_specs=(state_specs, P()),
         check_vma=False)
     return jax.jit(smapped, donate_argnums=(0,) if donate else ())

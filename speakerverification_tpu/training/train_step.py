@@ -41,10 +41,14 @@ def make_train_step(model, tx: optax.GradientTransformation,
     With ``axis_name`` set, the step is meant to run inside ``shard_map``
     over that mesh axis: gradients and metrics are ``psum``-averaged.
 
-    ``augment_fn(wave, rng) -> wave`` runs INSIDE the jitted step before
-    the forward pass — the hook for on-device batched augmentation
-    (ops/device_augment.py::device_env_corrupt with bound banks); it
-    draws from a dedicated rng fold so model rngs are unchanged.
+    ``augment_fn(wave, rng, *aug_args) -> wave`` runs INSIDE the jitted
+    step before the forward pass — the hook for on-device batched
+    augmentation (ops/device_augment.py::device_env_corrupt); it draws
+    from a dedicated rng fold so model rngs are unchanged. Any extra
+    positional arguments given to the built step (e.g. noise/RIR banks)
+    are forwarded to ``augment_fn`` — passing banks as step ARGUMENTS
+    rather than closure constants lets the trainer refresh them every
+    epoch (same shapes) without recompiling the step.
 
     ``compute_dtype=jnp.bfloat16`` enables mixed precision: fp32 master
     params are cast to bf16 for the forward/backward pass (bf16's fp32
@@ -56,9 +60,9 @@ def make_train_step(model, tx: optax.GradientTransformation,
     model with the same dtype, e.g. via ``encoder_from_hparams``).
     """
 
-    def step(state: TrainState, wave, label, rng, lr):
+    def step(state: TrainState, wave, label, rng, lr, *aug_args):
         if augment_fn is not None:
-            wave = augment_fn(wave, jax.random.fold_in(rng, 2))
+            wave = augment_fn(wave, jax.random.fold_in(rng, 2), *aug_args)
 
         def loss_fn(params):
             apply_params = params

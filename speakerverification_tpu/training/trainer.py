@@ -125,23 +125,34 @@ class Trainer:
         # step (ops/device_augment.py) — the host loader then serves
         # clean crops (its env_corrupt engine is detached) while noise/
         # RIR banks mix on the accelerator. ~6.7× host-CPU relief per
-        # utterance (bench_host_pipeline.py); banks resample each run.
+        # utterance (bench_host_pipeline.py). Banks are step ARGUMENTS
+        # (not closure constants) and are resampled from the corpus at
+        # every epoch (train_epoch) — same shapes, so no recompile —
+        # keeping augmentation diversity close to the host path's
+        # sample-from-all-files behavior.
         self._augment_fn = None
+        self._aug_banks = None
+        self._aug_source = None
         if hparams.get("device_augment") and self.loader.augmentor is not None:
             from speakerverification_tpu.ops.device_augment import (
                 build_banks,
                 device_env_corrupt,
             )
-            banks = build_banks(
-                self.loader.augmentor,
-                n_noise=int(hparams.get("device_augment_noise_bank", 256)),
-                n_rir=int(hparams.get("device_augment_rir_bank", 64)))
+            self._aug_source = self.loader.augmentor
+            self._aug_bank_sizes = (
+                int(hparams.get("device_augment_noise_bank", 256)),
+                int(hparams.get("device_augment_rir_bank", 64)))
+            self._aug_banks = build_banks(
+                self._aug_source,
+                n_noise=self._aug_bank_sizes[0],
+                n_rir=self._aug_bank_sizes[1])
             self.loader.augmentor = None
             self._augment_fn = (
-                lambda w, r: device_env_corrupt(w, banks, r))
+                lambda w, r, banks: device_env_corrupt(w, banks, r))
             print("[INFO] env_corrupt moved on-device "
-                  f"(banks: {banks.noise.shape[0]} noise crops, "
-                  f"{banks.rir.shape[0]} RIRs)")
+                  f"(banks: {self._aug_banks.noise.shape[0]} noise crops, "
+                  f"{self._aug_banks.rir.shape[0]} RIRs, "
+                  "refreshed per epoch)")
         # --distributed: shard_map data parallelism over all local devices
         # (parity: the reference's --distributed DDP flag, src/main.py:68;
         # here one process drives the whole mesh — no mp.spawn/rendezvous)
@@ -180,7 +191,8 @@ class Trainer:
                 self.step_fn = make_dp_train_step(
                     self.model, self.tx, self.mesh, donate=True,
                     compute_dtype=compute_dtype,
-                    augment_fn=self._augment_fn)
+                    augment_fn=self._augment_fn,
+                    n_aug_args=1 if self._augment_fn else 0)
             print(f"[INFO] data-parallel over {n_dev} devices"
                   + (f" × {mp_} model shards" if mp_ > 1 else "")
                   + (f" across {jax.process_count()} processes"
@@ -279,6 +291,17 @@ class Trainer:
         if self._profile_dir and epoch == self.init_epoch and self.rank == 0:
             jax.profiler.start_trace(str(self._profile_dir))
         self.loader.set_epoch(epoch)
+        if self._aug_source is not None and epoch != self.init_epoch:
+            # resample the on-device noise/RIR banks from the full corpus
+            # (ops/device_augment.py): same shapes -> no step recompile
+            from speakerverification_tpu.ops.device_augment import build_banks
+            import numpy as _np
+            self._aug_banks = build_banks(
+                self._aug_source,
+                n_noise=self._aug_bank_sizes[0],
+                n_rir=self._aug_bank_sizes[1],
+                rng=_np.random.default_rng(
+                    int(self.hparams.get("seed", 0)) * 7919 + epoch))
         losses, accs = [], []
         t0 = time.time()
         n_utts = 0
@@ -298,8 +321,9 @@ class Trainer:
             else:
                 wave = jnp.asarray(batch["wave"])
                 label = jnp.asarray(batch["label"])
+            aug = (self._aug_banks,) if self._aug_banks is not None else ()
             self.state, metrics = self.step_fn(
-                self.state, wave, label, rng, jnp.float32(lr))
+                self.state, wave, label, rng, jnp.float32(lr), *aug)
             losses.append(metrics["loss"])
             accs.append(metrics["prec1"])
             n_utts += batch["wave"].shape[0] * batch["wave"].shape[1]
@@ -426,7 +450,8 @@ class Trainer:
                 self.step_fn = make_dp_tp_train_step(
                     self.model, self.tx, self.mesh, self.state,
                     donate=True, compute_dtype=self._compute_dtype,
-                    augment_fn=self._augment_fn)
+                    augment_fn=self._augment_fn,
+                    n_aug_args=1 if self._augment_fn else 0)
             elif self.multiprocess:
                 # every process seeded model init identically, so local
                 # copies agree; assemble them into one replicated global

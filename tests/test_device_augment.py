@@ -136,15 +136,20 @@ def test_train_step_augment_hook():
                        batch_stats=v.get("batch_stats", {}),
                        opt_state=tx.init(v["params"]))
 
+    # banks as a step ARGUMENT (the trainer's refresh path)
     step = jax.jit(make_train_step(
         enc, tx,
-        augment_fn=lambda w, r: device_env_corrupt(w, banks, r)))
-    s2, m = step(state, wave, label, jax.random.PRNGKey(1), 1e-3)
+        augment_fn=lambda w, r, b: device_env_corrupt(w, b, r)))
+    s2, m = step(state, wave, label, jax.random.PRNGKey(1), 1e-3, banks)
     assert np.isfinite(float(m["loss"]))
     d = sum(float(jnp.abs(a - b).sum()) for a, b in zip(
         jax.tree_util.tree_leaves(s2.params),
         jax.tree_util.tree_leaves(state.params)))
     assert d > 0
+    # refreshed banks (same shapes, new values) must NOT recompile
+    banks2 = _banks(L=8000, seed=9)
+    step(state, wave, label, jax.random.PRNGKey(2), 1e-3, banks2)
+    assert step._cache_size() == 1
 
 
 @pytest.mark.slow
@@ -177,7 +182,7 @@ def test_trainer_device_augment_end_to_end(tmp_path):
     hparams = {
         "seed": 3, "save_folder": str(tmp_path / "save"),
         "train_annotation": str(tmp_path / "meta" / "train.csv"),
-        "number_of_epochs": 1, "batch_size": 4, "lr": 0.005,
+        "number_of_epochs": 2, "batch_size": 4, "lr": 0.005,
         "nClasses": 4, "device_augment": True, "augment": True,
         "augment_options": {
             "augment_paths": {"musan": str(tmp_path / "musan_split"),
@@ -207,6 +212,8 @@ def test_trainer_device_augment_end_to_end(tmp_path):
     tr = Trainer(hparams)
     assert tr._augment_fn is not None
     assert tr.loader.augmentor is None          # host engine detached
-    tr.fit()
+    banks0 = np.asarray(tr._aug_banks.noise)
+    tr.fit()                                    # 2 epochs: banks refresh
+    assert not np.array_equal(np.asarray(tr._aug_banks.noise), banks0)
     assert (tmp_path / "save" / "ECAPA_TDNN" / "AAmSoftmax" / "model"
             / "last_state.msgpack").exists()
