@@ -119,16 +119,24 @@ class InferenceEngine:
                 calibrate_act_scales,
                 make_int8_embed_fn,
             )
-            calib = jnp.asarray(waves).reshape(-1, np.shape(waves)[-1])[:8]
+            # evenly-spaced subsample of the first batch (eval lists are
+            # often speaker-ordered — the first rows alone can calibrate
+            # quiet); calibrate_act_scales adds 10 % saturation headroom
+            flat = jnp.asarray(waves).reshape(-1, np.shape(waves)[-1])
+            n_calib = min(int(self.hparams.get("quant_calib_utts", 32)),
+                          flat.shape[0])
+            idx = np.linspace(0, flat.shape[0] - 1, n_calib).astype(int)
             self._act_scales = calibrate_act_scales(
                 self.model, {"params": self.state.params,
-                             "batch_stats": self.state.batch_stats}, calib)
+                             "batch_stats": self.state.batch_stats},
+                flat[jnp.asarray(idx)])
             self._embed = make_int8_embed_fn(
                 self.model, normalize=self._normalize,
                 compute_dtype=compute_dtype_from_hparams(self.hparams),
                 act_scales=self._act_scales)
             print(f"[INFO] int8: calibrated {len(self._act_scales)} "
-                  "activation scales on the first batch")
+                  f"activation scales on {n_calib} utterances "
+                  "(+10% headroom)")
         return self._embed(self.state.params, self.state.batch_stats,
                            jnp.asarray(waves))
 

@@ -89,6 +89,16 @@ def build_optimizer(name: str, learning_rate: float, weight_decay: float = 0.0,
     accepted = set(inspect.signature(factory).parameters)
     clean = {k: v for k, v in kwargs.items()
              if k in accepted and k not in ("learning_rate", "weight_decay")}
+    dropped = set(kwargs) - set(clean) - {"learning_rate", "weight_decay"}
+    if dropped:
+        # a typo'd hyperparameter silently running at its default is a
+        # training-behavior landmine — surface it (the reference's own
+        # classes mostly crash on unknown kwargs, src/model.py:180-183)
+        import warnings
+        warnings.warn(f"optimizer {name!r} ignores config key(s) "
+                      f"{sorted(dropped)}; accepted: "
+                      f"{sorted(accepted - {'kw', 'kwargs'})}",
+                      stacklevel=2)
     # Only the learning rate is a dynamic hyperparameter (driven by
     # host-side schedules); everything else — including defaulted numeric
     # args, which inject_hyperparams would otherwise trace — stays static

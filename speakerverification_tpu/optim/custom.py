@@ -79,10 +79,15 @@ def scale_by_qhm(nu: float = 0.7, beta: float = 0.999):
 
 
 @OPTIMIZERS.register("QHM")
-def qhm(learning_rate, weight_decay=0.0, nu=0.7, momentum=0.0, **kw):
+def qhm(learning_rate, weight_decay=0.0, nu=0.7, momentum=0.0, beta=None,
+        **kw):
     """Parity: src/optimizer/QHM.py:51-52 defaults momentum=0, nu=0.7;
     coupled ('grad') weight decay; trajectory-tested vs the vendored
-    class in test_optim_trajectory_parity.py."""
+    class in test_optim_trajectory_parity.py. ``beta`` is the pre-r3
+    name of the momentum factor (the paper's β) — kept as an alias so
+    existing configs don't silently fall back to momentum=0."""
+    if beta is not None:
+        momentum = beta
     return optax.chain(
         optax.add_decayed_weights(weight_decay) if weight_decay else optax.identity(),
         scale_by_qhm(nu, momentum), optax.scale(-learning_rate))

@@ -231,14 +231,22 @@ def _make_interceptor(config: QuantConfig,
 
 def calibrate_act_scales(model: nn.Module, variables, *args,
                          config: Optional[QuantConfig] = None,
+                         margin: float = 1.1,
                          **kwargs) -> dict:
     """Record per-layer activation max-abs on a calibration batch.
 
     Runs the FLOAT model once (eagerly — do not jit) with a recording
-    interceptor; returns ``{module_path: max_abs}`` for every layer the
-    config would quantize. Feed the dict to ``int8_apply`` /
+    interceptor; returns ``{module_path: max_abs * margin}`` for every
+    layer the config would quantize. Feed the dict to ``int8_apply`` /
     ``make_int8_embed_fn`` as ``act_scales`` to get static-scale int8 —
     the serving configuration (see ``_int8_gemm`` for why static wins).
+
+    ``margin`` head-rooms the recorded maxima: static symmetric
+    quantization SATURATES silently at ±127·scale, and later batches
+    can run hotter than the calibration batch (eval lists are often
+    speaker-ordered). 10 % costs a fraction of a quantization bin in
+    resolution and absorbs typical batch-to-batch drift; recalibrate on
+    a representative sample rather than raising it much further.
     """
     cfg = config or QuantConfig()
     scales: dict = {}
@@ -256,7 +264,7 @@ def calibrate_act_scales(model: nn.Module, variables, *args,
 
     with nn.intercept_methods(recorder):
         model.apply(variables, *args, **kwargs)
-    return scales
+    return {k: v * margin for k, v in scales.items()}
 
 
 def int8_apply(model: nn.Module, variables, *args,

@@ -24,8 +24,11 @@ ALL_NAMES = ["adam", "sgd", "AdaBelief", "RAdam", "Lamb", "LARS", "NovoGrad",
 
 
 @pytest.mark.parametrize("name", ALL_NAMES)
+@pytest.mark.filterwarnings("ignore:optimizer .* ignores config key")
 def test_optimizer_reduces_quadratic(name):
-    """Each optimizer must make progress on a convex quadratic."""
+    """Each optimizer must make progress on a convex quadratic (the
+    blanket momentum=0.9 below intentionally exercises the ignored-key
+    filter, hence the warning suppression)."""
     params = {"w": jnp.array([1.0, -2.0, 3.0])}
 
     def loss(p):
@@ -149,3 +152,22 @@ def test_registry_covers_reference_names():
               "MADGRAD", "NovoGrad", "PID", "QHAdam", "QHM", "AccSGD",
               "AggMo", "SGDP", "SGDW", "SWATS", "Yogi"]:
         assert n in OPTIMIZERS, n
+
+
+def test_qhm_beta_alias_matches_momentum():
+    """'beta' (pre-r3 name of QHM's momentum factor) must not be
+    silently dropped by the signature filter."""
+    params = {"w": jnp.array([1.0, -2.0])}
+    g = {"w": jnp.array([0.5, 0.5])}
+    tx_a = build_optimizer("QHM", learning_rate=0.1, beta=0.9)
+    tx_b = build_optimizer("QHM", learning_rate=0.1, momentum=0.9)
+    sa, sb = tx_a.init(params), tx_b.init(params)
+    for _ in range(3):
+        ua, sa = tx_a.update(g, sa, params)
+        ub, sb = tx_b.update(g, sb, params)
+    np.testing.assert_allclose(np.asarray(ua["w"]), np.asarray(ub["w"]))
+
+
+def test_ignored_optimizer_key_warns():
+    with pytest.warns(UserWarning, match="ignores config key"):
+        build_optimizer("adam", learning_rate=0.1, momentum=0.9)
