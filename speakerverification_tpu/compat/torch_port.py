@@ -746,18 +746,13 @@ def efficientnet_from_torch_state_dict(sd: Mapping, width_coeff=1.4,
     project_conv.{0,1}; stem/head conv_bn_act pairs; fc / fc_attn heads.
     The ``attention.*`` weights are skipped — with the head's global
     pool the ASP softmax runs over one step and they cannot affect the
-    output (EfficientNet.py:132-139,184-192)."""
+    output (EfficientNet.py:132-139,184-192). ``width_coeff`` is
+    accepted for symmetry with the model ctor but unused: keys map by
+    name, and every channel count comes from the state dict itself."""
     import math
 
     params: dict = {}
     stats: dict = {}
-
-    def renew_ch(x):
-        if not width_coeff:
-            return x
-        x *= width_coeff
-        new = max(8, int(x + 4) // 8 * 8)
-        return new + 8 if new < 0.9 * x else new
 
     def conv2d(tk, fk):
         _conv2d_at(params, sd, tk, fk)

@@ -281,6 +281,11 @@ def repvgg_reparameterize(variables: dict) -> dict:
     """
     params = variables["params"]
     stats = variables.get("batch_stats", {})
+    if not stats:
+        raise ValueError(
+            "repvgg_reparameterize needs 'batch_stats' to fold BN "
+            "(got params only — a deploy-mode or params-only checkpoint "
+            "has nothing to fold)")
     eps = 1e-5
 
     def fuse(kernel, bn_p, bn_s):

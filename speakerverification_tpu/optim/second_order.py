@@ -182,9 +182,17 @@ def shampoo(learning_rate, weight_decay=0.0, momentum=0.0, epsilon=1e-4,
                 dim = g.shape[0]
                 gm = g.reshape(dim, -1)
                 pre_d = pre[dim_id] + gm @ gm.T
-                inv_d = jnp.where(state.count % update_freq == 0,
-                                  _inv_pth_root(pre_d, float(order)),
-                                  inv[dim_id])
+                if update_freq == 1:
+                    inv_d = _inv_pth_root(pre_d, float(order))
+                else:
+                    # lax.cond, not jnp.where: where would evaluate the
+                    # O(d^3) root EVERY step, making update_freq's whole
+                    # purpose (amortizing the SVD) a no-op under jit
+                    inv_d = jax.lax.cond(
+                        state.count % update_freq == 0,
+                        lambda op: _inv_pth_root(op[0], float(order)),
+                        lambda op: op[1],
+                        (pre_d, inv[dim_id]))
                 if dim_id == order - 1:
                     gm = gm.T @ inv_d
                     g = gm.reshape(original_shape)

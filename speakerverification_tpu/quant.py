@@ -179,9 +179,13 @@ def _conv_kernel_if_quantizable(mod, args, config: QuantConfig):
     strides = _normalize(mod.strides) if mod.strides else (1,)
     dilation = (_normalize(mod.kernel_dilation)
                 if mod.kernel_dilation else (1,))
+    in_dilation = (_normalize(mod.input_dilation)
+                   if mod.input_dilation else (1,))
     if (kernel is not None and kernel.ndim == 3
             and strides == (1,)
             and len(dilation) == 1
+            and in_dilation == (1,)          # im2col ignores lhs dilation
+            and getattr(mod, "mask", None) is None
             and mod.feature_group_count == 1
             and mod.padding in ("SAME", "VALID")
             and kernel.shape[0] * kernel.shape[1] >= config.min_k

@@ -152,3 +152,28 @@ def test_loss_zoo_complete_vs_reference():
              "SoftmaxAngularProto", "AmSoftmaxProto", "AAmSoftmaxProto"]
     missing = [n for n in names if n not in LOSSES]
     assert not missing, missing
+
+
+def test_shampoo_update_freq_holds_preconditioner():
+    """With update_freq=N the inverse preconditioner refreshes only on
+    count % N == 0 steps (lax.cond actually skips the O(d^3) root on
+    hold steps — jnp.where would compute it every step)."""
+    from speakerverification_tpu.optim.second_order import shampoo
+
+    tx = shampoo(learning_rate=0.1, update_freq=2)
+    params = {"w": jnp.eye(3) + 0.1}
+    g = {"w": jnp.full((3, 3), 0.3)}
+    s0 = tx.init(params)
+    step = jax.jit(lambda g, s: tx.update(g, s, params))
+    _, s1 = step(g, s0)                       # count 0: refresh
+    _, s2 = step(g, s1)                       # count 1: hold
+    _, s3 = step(g, s2)                       # count 2: refresh
+    i1 = np.asarray(s1.inv_preconds["w"][0])
+    i2 = np.asarray(s2.inv_preconds["w"][0])
+    i3 = np.asarray(s3.inv_preconds["w"][0])
+    np.testing.assert_array_equal(i2, i1)     # held verbatim
+    assert not np.array_equal(i3, i2)         # refreshed from new stats
+    # preconditioner statistics still accumulate on hold steps
+    p1 = np.asarray(s1.preconds["w"][0])
+    p2 = np.asarray(s2.preconds["w"][0])
+    assert not np.array_equal(p2, p1)
