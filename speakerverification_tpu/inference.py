@@ -45,15 +45,21 @@ __all__ = ["InferenceEngine", "inference"]
 
 
 def _select_weights(hparams: Mapping, model_dir: Path) -> Optional[Path]:
-    """initial_model_infer > best_state > last_state > newest epoch."""
+    """initial_model_infer > best_state > last_state > newest epoch.
+
+    Checks both checkpoint backends: flax msgpack files and orbax
+    sharded directories (training/checkpoint_sharded.py)."""
     cand = hparams.get("initial_model_infer")
     if cand and Path(str(cand)).exists():
         return Path(str(cand))
-    for name in ("best_state.msgpack", "last_state.msgpack"):
+    for name in ("best_state.msgpack", "best_state",
+                 "last_state.msgpack", "last_state"):
         p = model_dir / name
         if p.exists():
             return p
-    epochs = sorted(model_dir.glob("model_state_*.msgpack"))
+    epochs = sorted(model_dir.glob("model_state_*.msgpack")) or [
+        p for p in sorted(model_dir.glob("model_state_*"))
+        if p.is_dir()]
     return epochs[-1] if epochs else None
 
 

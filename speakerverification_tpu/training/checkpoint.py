@@ -68,7 +68,17 @@ def save_checkpoint(path: str | Path, state, meta: Optional[dict] = None) -> Pat
 
 
 def load_checkpoint(path: str | Path, target) -> Any:
-    """Deserialize into the structure of ``target`` (a template pytree)."""
+    """Deserialize into the structure of ``target`` (a template pytree).
+
+    Dispatches on the checkpoint format: flax msgpack files or orbax
+    sharded directories (checkpoint_sharded.py) restore through the
+    same call, so resume/inference code is backend-agnostic."""
+    from speakerverification_tpu.training.checkpoint_sharded import (
+        is_sharded_checkpoint,
+        restore_sharded,
+    )
+    if is_sharded_checkpoint(path):
+        return restore_sharded(path, target)
     return fser.from_bytes(target, Path(path).read_bytes())
 
 
@@ -79,7 +89,32 @@ def load_params_only(path: str | Path, state) -> Any:
     checkpoint; the reference's loadParameters similarly restores just
     the model weights (src/model.py:718-746).
     """
-    raw = fser.msgpack_restore(Path(path).read_bytes())
+    from speakerverification_tpu.training.checkpoint_sharded import (
+        is_sharded_checkpoint,
+    )
+    if is_sharded_checkpoint(path):
+        # the checkpoint's own metadata supplies the stored structure —
+        # the caller's optimizer state never has to match (the point of
+        # a params-only load)
+        import orbax.checkpoint as ocp
+        from jax.sharding import SingleDeviceSharding
+
+        dev = jax.devices()[0]
+        ckpt = ocp.StandardCheckpointer()
+        try:
+            md = ckpt.metadata(Path(path).resolve())
+            md = getattr(md, "item_metadata", md)   # orbax >= 0.11
+            md = getattr(md, "tree", md)
+            abstract = jax.tree_util.tree_map(
+                lambda m: jax.ShapeDtypeStruct(
+                    m.shape, m.dtype, sharding=SingleDeviceSharding(dev))
+                if hasattr(m, "shape") else m, md)
+            raw = jax.device_get(ckpt.restore(Path(path).resolve(),
+                                              abstract))
+        finally:
+            ckpt.close()
+    else:
+        raw = fser.msgpack_restore(Path(path).read_bytes())
     new = state.replace(
         params=fser.from_state_dict(state.params, raw["params"]))
     if "batch_stats" in raw and raw["batch_stats"]:
@@ -135,7 +170,15 @@ class CheckpointManager:
     SUFFIX = ".msgpack"
 
     def __init__(self, run_dir: str | Path, top_k: int = 3,
-                 save_per_epoch: bool = False, time_interval_min: float = -1):
+                 save_per_epoch: bool = False, time_interval_min: float = -1,
+                 backend: str = "msgpack"):
+        if backend not in ("msgpack", "sharded"):
+            raise ValueError(f"unknown checkpoint backend {backend!r}")
+        self.backend = backend
+        # sharded checkpoints are orbax DIRECTORIES named like the
+        # msgpack files minus the suffix; retention/rotation below is
+        # path-based and identical for both
+        self.SUFFIX = ".msgpack" if backend == "msgpack" else ""
         self.run_dir = Path(run_dir)
         self.run_dir.mkdir(parents=True, exist_ok=True)
         self.top_k = top_k
@@ -159,6 +202,38 @@ class CheckpointManager:
     def _p(self, name: str) -> Path:
         return self.run_dir / (name + self.SUFFIX)
 
+    def _save(self, path: Path, state, meta: dict) -> None:
+        if self.backend == "sharded":
+            from speakerverification_tpu.training.checkpoint_sharded import (
+                save_sharded,
+            )
+            save_sharded(path, state, meta)
+        else:
+            save_checkpoint(path, state, meta)
+
+    @staticmethod
+    def _move(src: Path, dst: Path) -> None:
+        """``src.replace`` that also works for orbax directories
+        (os.replace refuses to clobber a non-empty directory)."""
+        import shutil
+        if dst.is_dir():
+            shutil.rmtree(dst)
+        src.replace(dst)
+
+    @staticmethod
+    def _drop(path: Path) -> None:
+        import shutil
+        if path.is_dir():
+            shutil.rmtree(path)
+        else:
+            path.unlink(missing_ok=True)
+
+    def _glob(self, pattern: str) -> list[Path]:
+        hits = sorted(self.run_dir.glob(pattern + self.SUFFIX))
+        if self.backend == "sharded":
+            hits = [h for h in hits if h.is_dir()]   # skip .json sidecars
+        return hits
+
     def save_epoch(self, state, epoch: int, loss: float, lr: float,
                    extra_meta: Optional[dict] = None) -> dict:
         """Apply the full retention policy for one finished epoch."""
@@ -172,27 +247,26 @@ class CheckpointManager:
             for i in range(self.top_k, 1, -1):
                 src = self._p(f"best_state_top{i - 1}")
                 if src.exists():
-                    src.replace(self._p(f"best_state_top{i}"))
+                    self._move(src, self._p(f"best_state_top{i}"))
                     js = Path(str(src) + ".json")
                     if js.exists():
                         js.replace(Path(str(self._p(f'best_state_top{i}')) + ".json"))
-            save_checkpoint(self._p("best_state_top1"), state, meta)
-            save_checkpoint(self._p("best_state"), state, meta)
+            self._save(self._p("best_state_top1"), state, meta)
+            self._save(self._p("best_state"), state, meta)
             saved["best"] = True
 
         if self.save_per_epoch:
-            save_checkpoint(self._p(f"model_state_{epoch:06d}"), state, meta)
+            self._save(self._p(f"model_state_{epoch:06d}"), state, meta)
         else:
-            save_checkpoint(self._p("last_state"), state, meta)
+            self._save(self._p("last_state"), state, meta)
 
         if (self.time_interval_min > 0 and
                 time.time() - self._last_time_save > self.time_interval_min * 60):
             stamp = time.strftime("ckpt_%Y%m%d_%H_%M")
-            save_checkpoint(self._p(stamp), state, meta)
+            self._save(self._p(stamp), state, meta)
             self._last_time_save = time.time()
-            stamps = sorted(self.run_dir.glob("ckpt_*" + self.SUFFIX))
-            for old in stamps[:-3]:
-                old.unlink(missing_ok=True)
+            for old in self._glob("ckpt_*")[:-3]:
+                self._drop(old)
                 Path(str(old) + ".json").unlink(missing_ok=True)
 
         self._log_path.write_text(json.dumps(meta))
@@ -203,7 +277,7 @@ class CheckpointManager:
         (parity: src/trainer.py:349-365)."""
         if self._p("last_state").exists():
             return self._p("last_state")
-        epochs = sorted(self.run_dir.glob("model_state_*" + self.SUFFIX))
+        epochs = self._glob("model_state_*")
         if epochs:
             return epochs[-1]
         if self._p("best_state").exists():

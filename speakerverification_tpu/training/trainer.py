@@ -207,11 +207,25 @@ class Trainer:
             "profile") else None
         self.embed_fn = None    # built lazily for validation
 
+        ckpt_backend = "msgpack"
+        if hparams.get("sharded_checkpoints"):
+            # orbax per-shard writes: no host gather of the (possibly
+            # multi-GB) TP head + optimizer moments. Single-process
+            # meshes only: save_epoch is rank-0-gated, and a sharded
+            # save is a collective — every process would have to call it
+            if self.multiprocess:
+                raise ValueError(
+                    "sharded_checkpoints is single-process only (the "
+                    "rank-0-gated save would deadlock a multi-host "
+                    "collective write); multi-host runs use the msgpack "
+                    "path, which reassembles from process-local shards")
+            ckpt_backend = "sharded"
         self.ckpt = CheckpointManager(
             self.dirs["model"],
             top_k=3,
             save_per_epoch=not hparams.get("save_model_last", True),
-            time_interval_min=float(hparams.get("ckpt_interval_minutes", -1)))
+            time_interval_min=float(hparams.get("ckpt_interval_minutes", -1)),
+            backend=ckpt_backend)
 
         self.early_stopping: Optional[EarlyStopping] = None
         if hparams.get("early_stopping"):
