@@ -18,6 +18,7 @@ shards feeding a shard_map'd step (see parallel/).
 
 from __future__ import annotations
 
+import json
 import time
 from pathlib import Path
 from typing import Mapping, Optional
@@ -322,6 +323,13 @@ class Trainer:
         base_rng = jax.random.PRNGKey(
             int(self.hparams.get("seed", 0)) * 1000 + epoch)
         for it, batch in enumerate(self.loader):
+            if getattr(self, "_preempt", False) and not self.multiprocess:
+                # single-process: stop mid-epoch (multi-host processes
+                # receive the signal at different batch indices — an
+                # uneven break would desynchronize the collectives, so
+                # they run the epoch out and stop at the barrier-aligned
+                # epoch boundary in fit())
+                break
             lr = self._lr(epoch, it, (epoch - 1) * self.steps_per_epoch + it)
             rng = jax.random.fold_in(base_rng, it)
             if self.mesh is not None:
@@ -444,6 +452,33 @@ class Trainer:
         score_path = self.dirs["result"] / "scores.txt"
         test_interval = int(self.hparams.get("test_interval", -1) or -1)
 
+        # Preemption safety: TPU-VM/pod schedulers deliver SIGTERM with a
+        # short grace period before eviction. Catch it, finish (or break
+        # out of) the current epoch, write last_state, and return cleanly
+        # so the next incarnation resumes — the reference's handlers just
+        # kill the process tree (src/main.py:26-29, trainer.py:281-287).
+        import signal as _signal
+        self._preempt = False
+        _old_handlers = {}
+
+        def _on_term(signum, frame):
+            self._preempt = True
+            print(f"[WARN] caught signal {signum} — will checkpoint and "
+                  "stop after the current step", flush=True)
+
+        try:
+            for s in (_signal.SIGTERM, _signal.SIGINT):
+                _old_handlers[s] = _signal.signal(s, _on_term)
+        except ValueError:
+            pass        # not the main thread (e.g. driven from a test)
+
+        try:
+            return self._fit(n_epochs, score_path, test_interval)
+        finally:
+            for s, h in _old_handlers.items():
+                _signal.signal(s, h)
+
+    def _fit(self, n_epochs: int, score_path, test_interval: int) -> dict:
         first_batch = next(iter(self.loader))
         self._init_state(first_batch)
         if self.mesh is not None:
@@ -478,6 +513,23 @@ class Trainer:
 
         for epoch in range(self.init_epoch, n_epochs + 1):
             loss, acc = self.train_epoch(epoch)
+            if self._preempt:
+                # the epoch may be partial: record it as unfinished
+                # (resume re-runs it from the mid-epoch weights) and keep
+                # best/top-k/scores untouched
+                if self.rank == 0:
+                    meta = {"epoch": epoch - 1,
+                            "step": int(jax.device_get(self.state.step)),
+                            "loss": float(self.min_loss),
+                            "lr": float(self._lr(
+                                epoch, 0, (epoch - 1) * self.steps_per_epoch)),
+                            "preempted": True}
+                    self.ckpt._save(self.ckpt._p("last_state"),
+                                    self.state, meta)
+                    self.ckpt._log_path.write_text(json.dumps(meta))
+                    print(f"[INFO] preemption checkpoint written "
+                          f"(epoch {epoch} unfinished) — exiting")
+                break
             lr_now = self._lr(epoch, 0, epoch * self.steps_per_epoch)
 
             if self.lr_unit == "plateau":

@@ -155,3 +155,68 @@ def test_checkpoint_manager_best_survives_restart(tmp_path, setup):
     meta = json.loads((tmp_path / "best_state.msgpack.json").read_text())
     assert meta["loss"] == 0.3
     assert mgr2.save_epoch(state, epoch=2, loss=0.1, lr=1e-3)["best"]
+
+
+def test_preemption_checkpoint_and_resume(tmp_path):
+    """A SIGTERM-style preemption mid-run writes last_state with the
+    epoch marked unfinished and fit() returns cleanly; the next run
+    resumes and re-trains the interrupted epoch."""
+    import json
+
+    from speakerverification_tpu.data.manifest import generate_metadata
+    from speakerverification_tpu.data.wav_conversion import write_wav
+    from speakerverification_tpu.training.trainer import Trainer
+
+    SR = 8000
+    rng = np.random.default_rng(13)
+    data = tmp_path / "data"
+    for spk in range(4):
+        for utt in range(3):
+            t = np.arange(int(1.2 * SR)) / SR
+            sig = 0.3 * np.sin(2 * np.pi * (150 + 70 * spk) * t) \
+                + rng.normal(0, 0.02, len(t))
+            write_wav(data / f"spk{spk}" / f"u{utt}.wav",
+                      sig.astype(np.float32), SR)
+    generate_metadata(data, tmp_path / "meta", num_val_utts=0)
+
+    hparams = {
+        "seed": 5, "save_folder": str(tmp_path / "save"),
+        "train_annotation": str(tmp_path / "meta" / "train.csv"),
+        "number_of_epochs": 4, "batch_size": 4, "lr": 0.005,
+        "nClasses": 4,
+        "dataloader_options": {"batch_size": 4, "num_workers": 1,
+                               "nPerSpeaker": 1, "max_seg_per_spk": 100},
+        "audio_spec": {"sample_rate": SR, "sentence_len": 1.0,
+                       "win_len": 0.025, "hop_len": 0.01},
+        "n_mels": 24, "features": "melspectrogram",
+        "model": {"name": "ECAPA_TDNN", "feature_type": "melspectrogram",
+                  "nOut": 16, "channels": [16, 16, 16, 16, 48],
+                  "kernel_sizes": [5, 3, 3, 3, 1],
+                  "dilations": [1, 2, 3, 4, 1], "attention_channels": 4,
+                  "res2net_scale": 4, "se_channels": 4},
+        "criterion": {"name": "AAmSoftmax", "margin": 0.2, "scale": 30},
+        "optimizer": {"name": "adam", "weight_decay": 0.0},
+        "callbacks": {"name": "steplr"},
+        "test_interval": -1, "save_model_last": True,
+        "ckpt_interval_minutes": -1,
+    }
+
+    class Preempted(Trainer):
+        def train_epoch(self, epoch):
+            if epoch == 2:
+                self._preempt = True     # what the SIGTERM handler sets
+            return super().train_epoch(epoch)
+
+    tr = Preempted(hparams)
+    tr.fit()
+    run = tmp_path / "save" / "ECAPA_TDNN" / "AAmSoftmax" / "model"
+    meta = json.loads((run / "model_state_log.json").read_text())
+    assert meta["preempted"] is True
+    assert meta["epoch"] == 1            # epoch 2 marked unfinished
+    assert (run / "last_state.msgpack").exists()
+
+    tr2 = Trainer(hparams)               # fresh run resumes
+    tr2.fit()
+    assert tr2.init_epoch == 2           # re-ran the interrupted epoch
+    meta2 = json.loads((run / "model_state_log.json").read_text())
+    assert meta2["epoch"] == 4 and "preempted" not in meta2
