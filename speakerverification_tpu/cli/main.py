@@ -51,6 +51,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--quant", type=str, default=None, choices=["int8"],
                    help="quantized inference: int8 MXU path for embedding "
                         "extraction (eval/test/prepare/predict)")
+    p.add_argument("--average_ckpts", action="store_true", default=None,
+                   dest="average_checkpoints",
+                   help="uniform weight averaging over the retained "
+                        "best_state_top{1..k} checkpoints before "
+                        "inference (model soup)")
     p.add_argument("--mixedprec", action="store_true", default=None,
                    help="bf16 compute (replaces CUDA AMP; no loss scaling)")
     p.add_argument("--distributed_backend", type=str, default=None,

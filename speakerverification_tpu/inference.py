@@ -82,7 +82,24 @@ class InferenceEngine:
         path = Path(weights) if weights else _select_weights(
             hparams, self.dirs["model"])
         self.weights_path = path
-        if path is not None and path.exists():
+        soup = None
+        if hparams.get("average_checkpoints"):
+            # uniform top-k weight averaging ("model soup") over the
+            # retained best_state_top{1..k} — the retention the
+            # reference keeps but never combines (trainer.py:144-158)
+            mdir = self.dirs["model"]
+            soup = sorted(mdir.glob("best_state_top*.msgpack")) or [
+                p for p in sorted(mdir.glob("best_state_top*"))
+                if p.is_dir()]
+        if soup:
+            from speakerverification_tpu.training.checkpoint import (
+                average_checkpoints,
+            )
+            self.state = average_checkpoints(soup, self.state)
+            self.weights_path = soup[0]
+            print(f"[INFO] averaged {len(soup)} checkpoints: "
+                  f"{[p.name for p in soup]}")
+        elif path is not None and path.exists():
             self.state = load_params_only(path, self.state)
             print(f"[INFO] loaded weights: {path}")
         else:

@@ -19,9 +19,10 @@ from typing import Any, Optional
 
 import flax.serialization as fser
 import jax
+import jax.numpy as jnp
 
 __all__ = ["save_checkpoint", "load_checkpoint", "restore_into",
-           "tree_to_host", "CheckpointManager"]
+           "tree_to_host", "average_checkpoints", "CheckpointManager"]
 
 
 def _leaf_to_host(x):
@@ -120,6 +121,42 @@ def load_params_only(path: str | Path, state) -> Any:
     if "batch_stats" in raw and raw["batch_stats"]:
         new = new.replace(batch_stats=fser.from_state_dict(
             state.batch_stats, raw["batch_stats"]))
+    return new
+
+
+def average_checkpoints(paths, state) -> Any:
+    """Uniform weight averaging over checkpoints ("model soup").
+
+    Loads params/batch_stats from each checkpoint into ``state``'s
+    structure (either backend) and returns ``state`` with the
+    arithmetic mean — the classic top-k/last-k averaging trick that
+    reliably buys a little EER on speaker verifiers. The reference
+    already RETAINS ``best_state_top{1..3}`` (src/trainer.py:144-158)
+    but never combines them; pair this with the same retention
+    (``scoring: average_checkpoints: true`` on the infer CLI averages
+    the retained top-k automatically).
+
+    Optimizer state is NOT averaged (meaningless across checkpoints);
+    the result is for evaluation/serving, not for resuming.
+    """
+    paths = [Path(p) for p in paths]
+    if not paths:
+        raise ValueError("average_checkpoints: no checkpoint paths given")
+    loaded = [load_params_only(p, state) for p in paths]
+    n = float(len(loaded))
+
+    def mean(*xs):
+        x0 = jnp.asarray(xs[0])
+        if not jnp.issubdtype(x0.dtype, jnp.floating):
+            return xs[0]                   # counts etc.: keep the first
+        acc = sum(jnp.asarray(x).astype(jnp.float32) for x in xs) / n
+        return acc.astype(x0.dtype)
+
+    new = state.replace(params=jax.tree_util.tree_map(
+        mean, *[s.params for s in loaded]))
+    if loaded[0].batch_stats:
+        new = new.replace(batch_stats=jax.tree_util.tree_map(
+            mean, *[s.batch_stats for s in loaded]))
     return new
 
 

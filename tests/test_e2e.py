@@ -149,6 +149,21 @@ def test_cli_infer_eval(workspace):
     assert "EER" in log
 
 
+def test_cli_infer_eval_averaged_checkpoints(workspace, capsys):
+    """--average_ckpts soups the retained best_state_top{1..k} weights."""
+    root, cfg = workspace
+    top1 = (root / "run" / "save" / "ECAPA_TDNN" / "AAmSoftmax" / "model"
+            / "best_state_top1.msgpack")
+    if not top1.exists():               # self-sufficient under -k filters
+        assert cli_main(["--do_train", "--config", str(cfg)]) == 0
+        capsys.readouterr()
+    rc = cli_main(["--do_infer", "--eval", "--average_ckpts",
+                   "--config", str(cfg)])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "averaged" in out and "best_state_top1" in out
+
+
 def test_cli_infer_prepare_and_norm_eval(workspace):
     root, cfg = workspace
     rc = cli_main(["--do_infer", "--prepare", "--config", str(cfg)])

@@ -220,3 +220,32 @@ def test_preemption_checkpoint_and_resume(tmp_path):
     assert tr2.init_epoch == 2           # re-ran the interrupted epoch
     meta2 = json.loads((run / "model_state_log.json").read_text())
     assert meta2["epoch"] == 4 and "preempted" not in meta2
+
+
+def test_average_checkpoints(tmp_path):
+    """Uniform model-soup averaging across saved checkpoints."""
+    import optax
+
+    from speakerverification_tpu.training.checkpoint import (
+        average_checkpoints,
+        save_checkpoint,
+    )
+    from speakerverification_tpu.training.state import TrainState
+
+    def mk(w, v):
+        params = {"w": jnp.full((3,), w)}
+        tx = optax.adam(1e-3)
+        return TrainState(step=jnp.zeros([], jnp.int32), params=params,
+                          batch_stats={"bn": {"mean": jnp.full((2,), v),
+                                              "n": jnp.array(7, jnp.int32)}},
+                          opt_state=tx.init(params))
+
+    save_checkpoint(tmp_path / "a.msgpack", mk(1.0, 10.0))
+    save_checkpoint(tmp_path / "b.msgpack", mk(3.0, 30.0))
+    out = average_checkpoints([tmp_path / "a.msgpack",
+                               tmp_path / "b.msgpack"], mk(0.0, 0.0))
+    np.testing.assert_allclose(np.asarray(out.params["w"]), 2.0)
+    np.testing.assert_allclose(np.asarray(out.batch_stats["bn"]["mean"]), 20.0)
+    assert int(out.batch_stats["bn"]["n"]) == 7     # non-float: kept
+    with pytest.raises(ValueError):
+        average_checkpoints([], mk(0.0, 0.0))
