@@ -47,19 +47,22 @@ __all__ = ["InferenceEngine", "inference"]
 def _select_weights(hparams: Mapping, model_dir: Path) -> Optional[Path]:
     """initial_model_infer > best_state > last_state > newest epoch.
 
-    Checks both checkpoint backends: flax msgpack files and orbax
-    sharded directories (training/checkpoint_sharded.py)."""
+    Checks both checkpoint backends — flax msgpack files and orbax
+    sharded directories (training/checkpoint_sharded.py) — and, where a
+    name exists in both formats (a run that toggled
+    ``sharded_checkpoints``), serves the newest one."""
     cand = hparams.get("initial_model_infer")
     if cand and Path(str(cand)).exists():
         return Path(str(cand))
-    for name in ("best_state.msgpack", "best_state",
-                 "last_state.msgpack", "last_state"):
-        p = model_dir / name
-        if p.exists():
-            return p
-    epochs = sorted(model_dir.glob("model_state_*.msgpack")) or [
-        p for p in sorted(model_dir.glob("model_state_*"))
-        if p.is_dir()]
+    for name in ("best_state", "last_state"):
+        cands = [p for p in (model_dir / (name + ".msgpack"),
+                             model_dir / name) if p.exists()]
+        if cands:
+            return max(cands, key=lambda p: p.stat().st_mtime)
+    epochs = sorted(
+        set(model_dir.glob("model_state_*.msgpack"))
+        | {p for p in model_dir.glob("model_state_*") if p.is_dir()},
+        key=lambda p: p.name.removesuffix(".msgpack"))
     return epochs[-1] if epochs else None
 
 
@@ -83,7 +86,11 @@ class InferenceEngine:
             hparams, self.dirs["model"])
         self.weights_path = path
         soup = None
-        if hparams.get("average_checkpoints"):
+        # an explicit weights argument or initial_model_infer names ONE
+        # checkpoint — averaging must not override it
+        explicit = weights is not None or bool(
+            hparams.get("initial_model_infer"))
+        if hparams.get("average_checkpoints") and not explicit:
             # uniform top-k weight averaging ("model soup") over the
             # retained best_state_top{1..k} — the retention the
             # reference keeps but never combines (trainer.py:144-158)

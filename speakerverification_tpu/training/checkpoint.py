@@ -96,22 +96,35 @@ def load_params_only(path: str | Path, state) -> Any:
     if is_sharded_checkpoint(path):
         # the checkpoint's own metadata supplies the stored structure —
         # the caller's optimizer state never has to match (the point of
-        # a params-only load)
+        # a params-only load). Only the params/batch_stats subtrees are
+        # read: restoring optimizer moments onto one device would
+        # multiply I/O and memory ~3× for the multi-GB TP heads this
+        # backend exists for.
         import orbax.checkpoint as ocp
         from jax.sharding import SingleDeviceSharding
 
         dev = jax.devices()[0]
-        ckpt = ocp.StandardCheckpointer()
+        std = ocp.StandardCheckpointer()
         try:
-            md = ckpt.metadata(Path(path).resolve())
-            md = getattr(md, "item_metadata", md)   # orbax >= 0.11
-            md = getattr(md, "tree", md)
-            abstract = jax.tree_util.tree_map(
-                lambda m: jax.ShapeDtypeStruct(
-                    m.shape, m.dtype, sharding=SingleDeviceSharding(dev))
-                if hasattr(m, "shape") else m, md)
-            raw = jax.device_get(ckpt.restore(Path(path).resolve(),
-                                              abstract))
+            md = std.metadata(Path(path).resolve())
+        finally:
+            std.close()
+        md = getattr(md, "item_metadata", md)       # orbax >= 0.11
+        md = getattr(md, "tree", md)
+        item = {k: md[k] for k in ("params", "batch_stats")
+                if isinstance(md, dict) and md.get(k)}
+        item = jax.tree_util.tree_map(
+            lambda m: jax.ShapeDtypeStruct(
+                m.shape, m.dtype, sharding=SingleDeviceSharding(dev))
+            if hasattr(m, "shape") else m, item)
+        ckpt = ocp.PyTreeCheckpointer()
+        try:
+            raw = jax.device_get(ckpt.restore(
+                Path(path).resolve(),
+                args=ocp.args.PyTreeRestore(
+                    item=item, transforms={},
+                    restore_args=ocp.checkpoint_utils
+                    .construct_restore_args(item))))
         finally:
             ckpt.close()
     else:
@@ -228,16 +241,30 @@ class CheckpointManager:
         # best_state/top-k (ADVICE r1; reference keeps min_loss across the
         # whole process but loses it across restarts too — we do better).
         self._best_loss = float("inf")
-        best_side = Path(str(self._p("best_state")) + ".json")
-        if best_side.exists():
+        best = self._existing("best_state")
+        best_side = Path(str(best) + ".json") if best else None
+        if best_side and best_side.exists():
             try:
                 self._best_loss = float(
                     json.loads(best_side.read_text()).get("loss", float("inf")))
-            except (ValueError, json.JSONDecodeError):
+            except (ValueError, json.JSONDecodeError, TypeError):
                 pass
 
     def _p(self, name: str) -> Path:
         return self.run_dir / (name + self.SUFFIX)
+
+    def _existing(self, name: str) -> Optional[Path]:
+        """Newest on-disk form of ``name`` across BOTH backends.
+
+        Toggling ``sharded_checkpoints`` on an existing run must keep
+        resuming from the newest checkpoint, whatever format wrote it —
+        not silently restart from scratch."""
+        cands = [p for p in (self.run_dir / (name + ".msgpack"),
+                             self.run_dir / name)
+                 if p.exists()]
+        if not cands:
+            return None
+        return max(cands, key=lambda p: p.stat().st_mtime)
 
     def _save(self, path: Path, state, meta: dict) -> None:
         if self.backend == "sharded":
@@ -294,6 +321,14 @@ class CheckpointManager:
 
         if self.save_per_epoch:
             self._save(self._p(f"model_state_{epoch:06d}"), state, meta)
+            # a last_state here can only be a stale preemption snapshot
+            # (save_interrupt) — drop it or latest() would resume from
+            # it forever in preference to every newer per-epoch file
+            for stale in (self.run_dir / "last_state.msgpack",
+                          self.run_dir / "last_state"):
+                if stale.exists():
+                    self._drop(stale)
+                    Path(str(stale) + ".json").unlink(missing_ok=True)
         else:
             self._save(self._p("last_state"), state, meta)
 
@@ -309,21 +344,39 @@ class CheckpointManager:
         self._log_path.write_text(json.dumps(meta))
         return saved
 
+    def save_interrupt(self, state, epoch_unfinished: int, lr: float,
+                       best_loss: float) -> None:
+        """Preemption snapshot: write last_state with the interrupted
+        epoch marked unfinished so resume re-runs it. best/top-k and
+        scores are untouched (the partial epoch's loss means nothing).
+        In per-epoch mode save_epoch() clears this file once the next
+        full epoch lands."""
+        meta = {"epoch": epoch_unfinished - 1,
+                "step": int(jax.device_get(state.step)),
+                "lr": float(lr), "preempted": True}
+        if best_loss == best_loss and best_loss != float("inf"):
+            meta["loss"] = float(best_loss)   # keep the log strict JSON
+        self._save(self._p("last_state"), state, meta)
+        self._log_path.write_text(json.dumps(meta))
+
     def latest(self) -> Optional[Path]:
         """Resume priority: last_state > newest per-epoch > best
-        (parity: src/trainer.py:349-365)."""
-        if self._p("last_state").exists():
-            return self._p("last_state")
-        epochs = self._glob("model_state_*")
+        (parity: src/trainer.py:349-365); both backends considered."""
+        last = self._existing("last_state")
+        if last is not None:
+            return last
+        epochs = sorted(
+            {p for p in self.run_dir.glob("model_state_*.msgpack")}
+            | {p for p in self.run_dir.glob("model_state_*")
+               if p.is_dir()},
+            key=lambda p: (p.name.removesuffix(".msgpack"),
+                           p.stat().st_mtime))
         if epochs:
             return epochs[-1]
-        if self._p("best_state").exists():
-            return self._p("best_state")
-        return None
+        return self._existing("best_state")
 
     def best(self) -> Optional[Path]:
-        p = self._p("best_state")
-        return p if p.exists() else None
+        return self._existing("best_state")
 
     def resume_meta(self) -> dict:
         return json.loads(self._log_path.read_text()) if self._log_path.exists() else {}

@@ -35,9 +35,9 @@ from typing import Any, Optional
 import jax
 
 __all__ = ["save_sharded", "async_save_sharded", "restore_sharded",
-           "is_sharded_checkpoint"]
+           "wait", "is_sharded_checkpoint"]
 
-_ASYNC: dict = {}      # path -> AsyncCheckpointer awaiting finalization
+_ASYNC: dict = {}      # final path -> (AsyncCheckpointer, tmp path)
 
 
 def _checkpointer(async_: bool = False):
@@ -49,6 +49,8 @@ def _checkpointer(async_: bool = False):
 
 def is_sharded_checkpoint(path: str | Path) -> bool:
     """True when ``path`` is an orbax checkpoint directory."""
+    if str(Path(path)) in _ASYNC:      # finalize a pending async save
+        wait(path)
     p = Path(path)
     return p.is_dir() and ((p / "_CHECKPOINT_METADATA").exists()
                            or (p / "manifest.ocdbt").exists()
@@ -68,17 +70,34 @@ def save_sharded(path: str | Path, state, meta: Optional[dict] = None,
     """
     path = Path(path)
     wait(path)                        # finalize any in-flight async save
-    if path.exists():
-        shutil.rmtree(path)           # orbax refuses to overwrite
+    # Crash safety: never delete the previous checkpoint before its
+    # replacement is durable (a preemption mid-overwrite of last_state
+    # must not lose the only copy). Write to a hidden tmp sibling, then
+    # swap — the leading dot keeps every retention glob away from it.
+    tmp = path.parent / f".{path.name}.tmp-save"
+    if tmp.exists():
+        shutil.rmtree(tmp)
     ckpt = _checkpointer(async_)
-    ckpt.save(path.resolve(), state)
+    ckpt.save(tmp.resolve(), state)
     if async_:
-        _ASYNC[str(path)] = ckpt      # hold it: GC would join the thread
+        _ASYNC[str(path)] = (ckpt, tmp)   # swap happens in wait()
     else:
         ckpt.close()
+        _swap_into_place(tmp, path)
     if meta is not None and jax.process_index() == 0:
         Path(str(path) + ".json").write_text(json.dumps(meta))
     return path
+
+
+def _swap_into_place(tmp: Path, path: Path) -> None:
+    old = path.parent / f".{path.name}.tmp-old"
+    if old.exists():
+        shutil.rmtree(old)
+    if path.exists():
+        path.replace(old)
+    tmp.replace(path)
+    if old.exists():
+        shutil.rmtree(old)
 
 
 def async_save_sharded(path: str | Path, state,
@@ -88,13 +107,16 @@ def async_save_sharded(path: str | Path, state,
 
 
 def wait(path: str | Path | None = None) -> None:
-    """Block until async save(s) are durable (all if ``path`` is None)."""
-    keys = [str(path)] if path is not None else list(_ASYNC)
+    """Block until async save(s) are durable and swapped into place
+    (all pending saves if ``path`` is None)."""
+    keys = [str(Path(path))] if path is not None else list(_ASYNC)
     for k in keys:
-        ckpt = _ASYNC.pop(k, None)
-        if ckpt is not None:
+        entry = _ASYNC.pop(k, None)
+        if entry is not None:
+            ckpt, tmp = entry
             ckpt.wait_until_finished()
             ckpt.close()
+            _swap_into_place(tmp, Path(k))
 
 
 def restore_sharded(path: str | Path, target) -> Any:
@@ -105,6 +127,9 @@ def restore_sharded(path: str | Path, target) -> Any:
     reading only the byte ranges its shards cover.
     """
     import orbax.checkpoint as ocp
+
+    if str(Path(path)) in _ASYNC:      # finalize a pending async save
+        wait(path)
 
     def abstract(x):
         if isinstance(x, jax.Array):

@@ -18,7 +18,6 @@ shards feeding a shard_map'd step (see parallel/).
 
 from __future__ import annotations
 
-import json
 import time
 from pathlib import Path
 from typing import Mapping, Optional
@@ -462,9 +461,16 @@ class Trainer:
         _old_handlers = {}
 
         def _on_term(signum, frame):
+            if self._preempt:
+                # second signal: the user/scheduler is done waiting —
+                # restore default handling and abort immediately
+                for s, h in _old_handlers.items():
+                    _signal.signal(s, h)
+                raise KeyboardInterrupt
             self._preempt = True
             print(f"[WARN] caught signal {signum} — will checkpoint and "
-                  "stop after the current step", flush=True)
+                  "stop after the current step (send again to abort "
+                  "immediately)", flush=True)
 
         try:
             for s in (_signal.SIGTERM, _signal.SIGINT):
@@ -518,15 +524,11 @@ class Trainer:
                 # (resume re-runs it from the mid-epoch weights) and keep
                 # best/top-k/scores untouched
                 if self.rank == 0:
-                    meta = {"epoch": epoch - 1,
-                            "step": int(jax.device_get(self.state.step)),
-                            "loss": float(self.min_loss),
-                            "lr": float(self._lr(
-                                epoch, 0, (epoch - 1) * self.steps_per_epoch)),
-                            "preempted": True}
-                    self.ckpt._save(self.ckpt._p("last_state"),
-                                    self.state, meta)
-                    self.ckpt._log_path.write_text(json.dumps(meta))
+                    self.ckpt.save_interrupt(
+                        self.state, epoch,
+                        lr=self._lr(epoch, 0,
+                                    (epoch - 1) * self.steps_per_epoch),
+                        best_loss=self.min_loss)
                     print(f"[INFO] preemption checkpoint written "
                           f"(epoch {epoch} unfinished) — exiting")
                 break

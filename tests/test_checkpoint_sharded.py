@@ -192,3 +192,66 @@ def test_trainer_sharded_checkpoints_end_to_end(tmp_path):
     tr2.fit()
     assert tr2.init_epoch == 2
     assert tr2.ckpt.resume_meta()["epoch"] == 2
+
+
+def test_overwrite_is_atomic_and_tmp_free(tmp_path):
+    """Re-saving over an existing checkpoint must write to a tmp
+    sibling and swap — the previous copy survives until the new one is
+    durable, and nothing hidden is left behind."""
+    mesh = _mesh2d()
+    s1, _ = _tp_state(mesh, seed=6)
+    s2 = s1.replace(step=s1.step + 5)
+    p = save_sharded(tmp_path / "ck", s1)
+    p = save_sharded(tmp_path / "ck", s2)
+    back = restore_sharded(p, jax.tree_util.tree_map(jnp.zeros_like, s2))
+    assert int(back.step) == 5
+    assert not list(tmp_path.glob(".*tmp*"))
+
+
+def test_backend_toggle_resumes_newest(tmp_path):
+    """A run that toggles sharded_checkpoints must keep resuming from
+    the newest checkpoint regardless of its format."""
+    import os
+
+    mesh = _mesh2d()
+    state, _ = _tp_state(mesh, seed=7)
+    m_msg = CheckpointManager(tmp_path, backend="msgpack")
+    m_msg.save_epoch(state, epoch=1, loss=2.0, lr=0.1)
+    # toggled ON: the msgpack last_state is still the newest
+    m_sh = CheckpointManager(tmp_path, backend="sharded")
+    assert m_sh.latest() == tmp_path / "last_state.msgpack"
+    assert m_sh._best_loss == 2.0          # seeded across formats
+    # a newer sharded save wins; backdate the msgpack file to be sure
+    os.utime(tmp_path / "last_state.msgpack", (1, 1))
+    m_sh.save_epoch(state, epoch=2, loss=1.5, lr=0.1)
+    assert m_sh.latest() == tmp_path / "last_state"
+    # toggled back OFF: the sharded one is newest now
+    m_back = CheckpointManager(tmp_path, backend="msgpack")
+    assert m_back.latest() == tmp_path / "last_state"
+
+    from speakerverification_tpu.inference import _select_weights
+    assert _select_weights({}, tmp_path) == tmp_path / "best_state"
+
+
+def test_preempt_snapshot_cleared_by_per_epoch_save(tmp_path):
+    """In per-epoch mode a preemption snapshot (last_state) must be
+    superseded by the next completed epoch, or latest() would resume
+    from it forever."""
+    mesh = _mesh2d()
+    state, _ = _tp_state(mesh, seed=8)
+    mgr = CheckpointManager(tmp_path, save_per_epoch=True,
+                            backend="msgpack")
+    mgr.save_epoch(state, epoch=1, loss=2.0, lr=0.1)
+    mgr.save_interrupt(state, epoch_unfinished=2, lr=0.1,
+                       best_loss=float("inf"))
+    assert mgr.latest() == tmp_path / "last_state.msgpack"
+    meta = json.loads((tmp_path / "model_state_log.json").read_text())
+    assert meta["preempted"] and meta["epoch"] == 1
+    assert "loss" not in meta              # inf kept out: strict JSON
+    json.loads((tmp_path / "model_state_log.json").read_text(),
+               parse_constant=lambda c: (_ for _ in ()).throw(
+                   ValueError(f"non-strict JSON constant {c}")))
+    # epoch 2 completes after resume: snapshot cleared
+    mgr.save_epoch(state, epoch=2, loss=1.8, lr=0.1)
+    assert not (tmp_path / "last_state.msgpack").exists()
+    assert mgr.latest() == tmp_path / "model_state_000002.msgpack"
