@@ -118,6 +118,41 @@ def _practical_peak_tflops() -> float:
     return 2.0 * M * K * N * REPS / best / 1e12
 
 
+def _backend_or_report(timeout_s: int = 420) -> None:
+    """Probe backend health with a hard deadline before committing.
+
+    The tunneled TPU backend can be UNAVAILABLE (observed: init blocks
+    in C for 25+ minutes, then 'Unable to initialize backend axon' —
+    signal.alarm can't interrupt a C-blocked init, so the probe runs in
+    a CHILD process that can simply be killed). A healthy init takes
+    well under a minute; rather than hanging to the driver's timeout
+    and recording nothing, print one explanatory JSON line and exit so
+    the failure mode is legible.
+    """
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print('NDEV', len(jax.devices()))"],
+            timeout=timeout_s, capture_output=True, text=True)
+        if out.returncode == 0 and "NDEV" in out.stdout:
+            _log(f"backend probe ok: {out.stdout.strip().splitlines()[-1]}")
+            return
+        reason = (out.stderr or out.stdout).strip().splitlines()[-1:]
+        reason = reason[0] if reason else f"rc={out.returncode}"
+    except subprocess.TimeoutExpired:
+        reason = f"backend init still blocked after {timeout_s}s"
+    print(json.dumps({
+        "metric": "ECAPA-TDNN embedding extraction throughput",
+        "value": None, "unit": "utterances/sec/chip",
+        "vs_baseline": None,
+        "error": f"TPU backend unavailable at bench time ({reason}); "
+                 "last good on-chip record: BENCH_r02.json "
+                 "(9650.57 utt/s; this run measured nothing)"}))
+    sys.exit(0)
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -126,6 +161,8 @@ def main() -> None:
     # the cache instead of paying multi-minute remote TPU compiles
     jax.config.update("jax_compilation_cache_dir", "/tmp/svtpu_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    _backend_or_report()
 
     from __graft_entry__ import _flagship
     from speakerverification_tpu.training.train_step import (
