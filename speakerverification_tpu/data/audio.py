@@ -60,8 +60,15 @@ def load_wav(source: Union[str, np.ndarray],
              random_chunk: bool = True,
              load_all: bool = False,
              rng: Optional[np.random.Generator] = None,
-             expected_sr: bool = True) -> np.ndarray:
-    """Load + crop audio; returns ``[n_crops, T]`` float32 (or [1, full])."""
+             expected_sr: bool = True,
+             normalize: bool = True) -> np.ndarray:
+    """Load + crop audio; returns ``[n_crops, T]`` float32 (or [1, full]).
+
+    ``normalize=False`` skips amplitude normalization for ndarray
+    sources — the loader's post-augment re-crop must NOT peak-normalize
+    or the volume augmentation it just applied is exactly cancelled
+    (the reference's pipeline normalizes by the int16 RANGE, which
+    preserves relative gain — audio_loader.py:99 + wav_conversion.py:35)."""
     spec = AudioSpec(spec)
 
     if isinstance(source, str):
@@ -70,7 +77,8 @@ def load_wav(source: Union[str, np.ndarray],
             raise ValueError(
                 f"{source}: sample rate {sr} != configured {spec.sample_rate}")
     elif isinstance(source, np.ndarray):
-        audio = normalize_amplitude(source)
+        audio = normalize_amplitude(source) if normalize else \
+            np.asarray(source, np.float32)
     else:
         raise TypeError(f"invalid audio source type {type(source)}")
 

@@ -183,11 +183,19 @@ def offline_augmentation(manifest_paths: Iterable[str],
 def restore_dataset(raw_dataset: str | Path,
                     suffixes: tuple = ("_vad", "_aug"),
                     ) -> int:
-    """Remove generated (_vad/_aug) files, restoring the raw dataset
-    (parity: src/dataprep.py:426-453)."""
+    """Remove generated (``*_vad.wav`` / ``*_aug<k>.wav``) files,
+    restoring the raw dataset (parity: src/dataprep.py:426-453).
+
+    Only exact generated-name SUFFIXES match — a substring test would
+    irreversibly delete raw utterances whose names merely contain
+    '_vad'/'_aug' (e.g. ``interview_augmented.wav``)."""
+    import re
+
+    pat = re.compile(
+        "(" + "|".join(re.escape(s) for s in suffixes) + r")\d*$")
     removed = 0
     for f in Path(raw_dataset).rglob("*.wav"):
-        if any(f.stem.endswith(s) or s in f.stem for s in suffixes):
+        if pat.search(f.stem):
             f.unlink()
             removed += 1
     return removed
@@ -197,12 +205,24 @@ def vad_on_dataset(raw_dataset: str | Path, mode: int = 3,
                    workers: int = 8) -> int:
     """Run VAD over every wav, writing ``*_vad.wav`` siblings
     (parity: src/dataprep.py:456-476)."""
-    vad = VAD(mode=mode)
+    import threading
+
+    # one VAD per worker thread: webrtcvad's noise model is stateful
+    # per is_speech call, so sharing an instance across threads would
+    # interleave noise statistics across unrelated files and make the
+    # segmentation nondeterministic (the reference runs sequentially)
+    tls = threading.local()
+
+    def run(path):
+        if not hasattr(tls, "vad"):
+            tls.vad = VAD(mode=mode)
+        return tls.vad.apply_to_file(path)
+
     files = [f for f in Path(raw_dataset).rglob("*.wav")
              if not f.stem.endswith("_vad")]
     done = 0
     with ThreadPoolExecutor(max_workers=workers) as pool:
-        for result in pool.map(vad.apply_to_file, files):
+        for result in pool.map(run, files):
             if result is not None:
                 done += 1
     return done

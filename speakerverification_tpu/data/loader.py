@@ -101,9 +101,12 @@ class TrainDataLoader:
                 audio = random_time_domain_augment(
                     audio, self.augment_options.get("augment_time_domain", {}),
                     rng=rng)
-                # time-domain ops can change length; re-crop/pad to T
+                # time-domain ops can change length; re-crop/pad to T.
+                # normalize=False: peak-normalizing here would exactly
+                # cancel the volume gain just applied
                 audio = load_wav(audio[0], self.spec, evalmode=False,
-                                 random_chunk=self.random_chunk, rng=rng)
+                                 random_chunk=self.random_chunk, rng=rng,
+                                 normalize=False)
             if self.augmentor is not None:
                 self.augmentor.rng = rng
                 audio = self.augmentor.env_corrupt(audio)
@@ -125,29 +128,54 @@ class TrainDataLoader:
                 yield {"wave": waves, "label": labels}
 
     def __iter__(self) -> Iterator[dict]:
-        """Iterate with background prefetch."""
+        """Iterate with background prefetch.
+
+        A consumer that stops early (``break`` at steps_per_epoch,
+        GeneratorExit) must not leak the producer: its blocking
+        ``q.put`` checks a stop flag, so the thread and its worker pool
+        wind down instead of pinning ``prefetch`` decoded batches and
+        ``num_workers`` threads per abandoned epoch."""
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
         errbox = []
+        stop = threading.Event()
 
         def producer():
             try:
                 for item in self._batches():
-                    q.put(item)
+                    while not stop.is_set():
+                        try:
+                            q.put(item, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
             except BaseException as e:          # propagate to consumer
                 errbox.append(e)
             finally:
-                q.put(sentinel)
+                try:
+                    q.put_nowait(sentinel)
+                except queue.Full:
+                    pass                        # consumer already gone
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                if errbox:
-                    raise errbox[0]
-                return
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    if errbox:
+                        raise errbox[0]
+                    return
+                yield item
+        finally:
+            stop.set()
+            while not q.empty():                # unblock a full queue
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
 
 
 class EvalDataLoader:
@@ -171,6 +199,12 @@ class EvalDataLoader:
         self.files = list(files)
         self.spec = AudioSpec(audio_spec)
         self.num_eval = num_eval
+        if num_eval == 0:
+            # whole-file mode returns variable-length [1, T_file] arrays
+            # (audio.py num_eval==0 path) — they cannot be stacked into
+            # fixed batches, so each file is its own batch (this is
+            # exactly the reference's batch-1 eval, dataloader.py:275)
+            batch_size = 1
         self.batch_size = batch_size
         # clamp to the host's cores: oversubscribed decode threads on a
         # small host thrash the GIL (measured 3.4x slower at 8 threads on

@@ -25,6 +25,11 @@ __all__ = ["audio_stats", "dataset_statistics", "read_blacklist",
 def audio_stats(path: str | Path) -> dict:
     """Duration, dBFS (mean/max), clipping ratio for one file."""
     audio, sr = read_wav(path)
+    if audio.size == 0:
+        # degenerate (truncated/empty) file: report it as silence so the
+        # quality filter quarantines it instead of crashing mid-scan
+        return {"path": str(path), "duration": 0.0, "sample_rate": sr,
+                "rms_dbfs": -240.0, "peak_dbfs": -240.0, "clip_ratio": 0.0}
     rms = float(np.sqrt(np.mean(audio ** 2) + 1e-12))
     peak = float(np.max(np.abs(audio)) + 1e-12)
     return {

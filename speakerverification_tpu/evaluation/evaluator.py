@@ -38,6 +38,25 @@ __all__ = ["parse_trials", "extract_embeddings", "evaluate_from_list",
            "predict_identity"]
 
 
+def sniff_has_label(listfile: str | Path) -> bool:
+    """Detect a leading integer label column.
+
+    Looks at the first TWO lines: a header row must not flip the whole
+    file to unlabeled (the reference skips comma headers,
+    src/model.py:348-355), and ``int()`` — not ``isdigit`` — keeps
+    negative labels labeled."""
+    with open(listfile) as f:
+        head = [ln.strip() for ln in f if ln.strip()][:2]
+    for ln in head:
+        tok = ln.split("," if "," in ln else None)[0].strip()
+        try:
+            int(tok)
+            return True
+        except ValueError:
+            continue
+    return False
+
+
 def parse_trials(listfile: str | Path, with_label: bool = True):
     """Parse trial lines → (labels, ref_files, com_files).
 
@@ -45,23 +64,28 @@ def parse_trials(listfile: str | Path, with_label: bool = True):
     A first line that doesn't parse (header) is skipped.
     """
     labels, refs, coms = [], [], []
+    want = 3 if with_label else 2
     with open(listfile) as f:
         lines = [ln.strip() for ln in f if ln.strip()]
     for i, line in enumerate(lines):
         delim = "," if "," in line else None
         parts = [p.strip() for p in line.split(delim)]
         try:
+            # validate the WHOLE line before appending anything — a
+            # partial append would silently desynchronize labels from
+            # file pairs and every downstream metric
+            if len(parts) != want:
+                raise ValueError(f"expected {want} fields, got {len(parts)}")
             if with_label:
-                labels.append(int(parts[0]))
-                refs.append(parts[-2])
-                coms.append(parts[-1])
-            else:
-                refs.append(parts[-2])
-                coms.append(parts[-1])
-        except (ValueError, IndexError):
+                lab = int(parts[0])
+            refs.append(parts[-2])
+            coms.append(parts[-1])
+            if with_label:
+                labels.append(lab)
+        except (ValueError, IndexError) as e:
             if i == 0:
                 continue              # header line
-            raise ValueError(f"bad trial line {i}: {line!r}") from None
+            raise ValueError(f"bad trial line {i}: {line!r} ({e})") from None
     return np.asarray(labels), refs, coms
 
 
@@ -83,6 +107,13 @@ def extract_embeddings(embed_fn: Callable, files: Sequence[str],
     """
     import jax
     import jax.numpy as jnp
+
+    if not files:
+        # fail here with a message, not an IndexError in the
+        # distributed pad (which would hang the other ranks in the
+        # allgather) or an opaque np.concatenate ValueError below
+        raise ValueError("extract_embeddings: empty file list "
+                         "(empty trial list or speaker directory?)")
 
     if distributed and jax.process_count() > 1:
         from speakerverification_tpu.parallel import process_allgather
@@ -224,10 +255,7 @@ def test_from_list(embed_fn: Callable, listfile: str | Path,
                    batch_size: int = 32, num_workers: int = 8):
     """Decision run: scores + predictions at a threshold
     (parity: src/model.py:455-554). Trial file may be unlabeled."""
-    with open(listfile) as f:
-        first = f.readline()
-    has_label = first.strip() and first.split("," if "," in first else None)[0].strip().isdigit()
-
+    has_label = sniff_has_label(listfile)
     if has_label:
         labels, refs, coms = parse_trials(listfile, with_label=True)
     else:

@@ -46,7 +46,14 @@ def classification_report(y_true, y_pred,
     y_true = np.asarray(y_true)
     y_pred = np.asarray(y_pred)
     classes = sorted(set(y_true.tolist()) | set(y_pred.tolist()))
-    names = target_names or [str(c) for c in classes]
+    # map class VALUE -> name (positional zip would shift every name
+    # when a class is absent from the data, e.g. all-positive truth)
+    if target_names is not None:
+        names = [target_names[c] if isinstance(c, (int, np.integer))
+                 and 0 <= c < len(target_names) else str(c)
+                 for c in classes]
+    else:
+        names = [str(c) for c in classes]
     rows = []
     for c, name in zip(classes, names):
         tp, fp, fn = _counts(y_true, y_pred, c)
