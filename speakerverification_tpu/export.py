@@ -30,7 +30,10 @@ __all__ = ["export_model", "load_exported"]
 
 def export_model(hparams: Mapping, out_dir: str | Path | None = None) -> dict:
     """Export eval-mode embedding extraction. Returns artifact paths."""
-    engine = InferenceEngine(hparams)
+    # jax.export pins the device count the function was traced with —
+    # an artifact captured over N local chips would refuse to load on
+    # any other topology, so exports always trace the single-device fn
+    engine = InferenceEngine({**hparams, "eval_data_parallel": False})
     spec = hparams.get("audio_spec", {})
     sr = int(spec.get("sample_rate", 8000))
     T = int(spec.get("sentence_len", 2.0) * sr)

@@ -128,9 +128,23 @@ class InferenceEngine:
         elif quant:
             raise ValueError(f"unknown quant mode {quant!r} (expected 'int8')")
         else:
+            # single-process multi-chip data parallelism: one TPU-VM
+            # process typically addresses 4-8 local chips — shard the
+            # extraction batch across all of them (exactly-equal math,
+            # see make_eval_embed_fn). `eval_data_parallel: false` opts
+            # out; composes with the per-process file-list sharding of
+            # multi-host runs (extract_embeddings distributed=True).
+            import jax as _jax
+            devices = _jax.local_devices()
+            use_dp = (len(devices) > 1
+                      and bool(hparams.get("eval_data_parallel", True)))
+            if use_dp:
+                print(f"[INFO] eval data parallelism over "
+                      f"{len(devices)} local devices")
             self._embed = make_eval_embed_fn(
                 self.model, normalize=normalize,
-                compute_dtype=compute_dtype_from_hparams(hparams))
+                compute_dtype=compute_dtype_from_hparams(hparams),
+                devices=devices if use_dp else None)
         self._normalize = normalize
         # the embed fn above already applied the head's test_normalize
         # policy; scoring must not re-normalize or heads with

@@ -110,16 +110,26 @@ def make_train_step(model, tx: optax.GradientTransformation,
 
 
 def make_eval_embed_fn(model, normalize: bool = True,
-                       compute_dtype: Optional[jnp.dtype] = None) -> Callable:
+                       compute_dtype: Optional[jnp.dtype] = None,
+                       devices=None) -> Callable:
     """Build a jitted ``embed(state, wave [B, T]) -> [B, D]`` extractor.
 
     Replaces the reference's file-by-file batch-size-1 embedding loop
     (src/model.py:369-394) with batched extraction; L2 normalization per
     the loss head's ``test_normalize``.
+
+    ``devices`` (≥2 of them) turns on single-process data-parallel
+    extraction: a 1-D ``Mesh`` over the given devices, params/stats
+    replicated, the batch row-sharded — the standard TPU-VM serving
+    shape (one process addressing 4-8 local chips), which the
+    reference's per-process ``DistributedSampler`` eval
+    (src/model.py:363-366) cannot express. Embedding is per-row math
+    (eval-mode BN uses running stats), so the sharded result is
+    bit-identical to single-device; batches that don't divide are
+    padded by row-repetition and sliced back.
     """
 
-    @jax.jit
-    def embed(params, batch_stats, wave):
+    def _embed(params, batch_stats, wave):
         if compute_dtype is not None:
             # params only — the model's frontend stays fp32 and casts
             # features to its compute_dtype (encoder.py)
@@ -133,4 +143,28 @@ def make_eval_embed_fn(model, normalize: bool = True,
                 jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-12)
         return emb
 
-    return embed
+    if devices is None or len(devices) < 2:
+        return jax.jit(_embed)
+
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    mesh = Mesh(np.asarray(devices), ("dp",))
+    repl = NamedSharding(mesh, P())
+    rows = NamedSharding(mesh, P("dp"))
+    sharded = jax.jit(_embed, in_shardings=(repl, repl, rows),
+                      out_shardings=rows)
+    n = len(devices)
+
+    def embed_dp(params, batch_stats, wave):
+        B = wave.shape[0]
+        pad = (-B) % n
+        if pad:
+            # repeat rows (cheap gather) rather than zero-pad: every row
+            # the devices compute is a real utterance, so a frontend that
+            # dislikes silence can't emit NaN into the padding lanes
+            wave = jnp.asarray(wave)[jnp.arange(B + pad) % B]
+        out = sharded(params, batch_stats, wave)
+        return out[:B] if pad else out
+
+    return embed_dp

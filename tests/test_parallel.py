@@ -325,6 +325,38 @@ def test_dp_step_bf16_mixed_precision(model_and_tx):
                if jnp.issubdtype(p.dtype, jnp.floating))
 
 
+def test_eval_embed_data_parallel_exact(model_and_tx):
+    """Single-process multi-device extraction (make_eval_embed_fn
+    devices=...) must equal the single-device path exactly: embedding is
+    per-row math (eval BN uses running stats), row-sharding changes the
+    device layout, not the instructions. Covers both the divisible case
+    and the row-repetition pad (B=13 on 8 devices)."""
+    from speakerverification_tpu.training import make_eval_embed_fn
+
+    model, tx = model_and_tx
+    rng = np.random.default_rng(3)
+    wave0 = rng.normal(0, .1, (8, 2, 8000)).astype(np.float32)
+    state = create_train_state(model, tx, jax.random.PRNGKey(0),
+                               jnp.asarray(wave0),
+                               jnp.asarray(np.arange(8, dtype=np.int32)))
+
+    single = make_eval_embed_fn(model)
+    dp = make_eval_embed_fn(model, devices=jax.devices())
+    for B in (16, 13):                      # divisible + pad path
+        wave = rng.normal(0, .1, (B, 8000)).astype(np.float32)
+        e1 = np.asarray(single(state.params, state.batch_stats,
+                               jnp.asarray(wave)))
+        e2_dev = dp(state.params, state.batch_stats, jnp.asarray(wave))
+        # downstream scoring consumes the sharded array directly —
+        # make sure device-resident ops on it work before materializing
+        sums = np.asarray(jnp.sum(e2_dev * e2_dev, axis=-1))
+        e2 = np.asarray(e2_dev)
+        assert e2.shape == (B, 16)
+        np.testing.assert_allclose(e2, e1, rtol=0, atol=1e-6)
+        np.testing.assert_allclose(sums, (e1 * e1).sum(-1),
+                                   rtol=1e-5, atol=1e-6)
+
+
 @pytest.mark.slow
 def test_dp_batchnorm_drift_bounded(model_and_tx):
     """Quantify the per-shard-BN divergence (VERDICT r1 weak #7): after 3
