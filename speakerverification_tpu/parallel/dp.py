@@ -32,7 +32,8 @@ __all__ = ["make_dp_train_step", "replicate_state", "shard_batch"]
 
 def make_dp_train_step(model, tx, mesh: Mesh, axis: str = "data",
                        donate: bool = True, compute_dtype=None,
-                       augment_fn=None, n_aug_args: int = 0) -> Callable:
+                       augment_fn=None, n_aug_args: int = 0,
+                       accum_steps: int = 1) -> Callable:
     """Build ``step(state, wave, label, rng, lr) -> (state, metrics)``
     where wave/label are globally-shaped arrays sharded on ``axis``.
 
@@ -44,7 +45,8 @@ def make_dp_train_step(model, tx, mesh: Mesh, axis: str = "data",
     e.g. refreshable noise/RIR banks) are forwarded to ``augment_fn``."""
     inner = make_train_step(model, tx, axis_name=axis,
                             compute_dtype=compute_dtype,
-                            augment_fn=augment_fn)
+                            augment_fn=augment_fn,
+                            accum_steps=accum_steps)
 
     def per_replica(state, wave, label, rng, lr, *aug):
         rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))

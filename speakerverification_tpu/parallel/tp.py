@@ -107,7 +107,8 @@ def shard_state_tp_global(state_host, mesh: Mesh,
 def make_dp_tp_train_step(model, tx, mesh: Mesh, state_template,
                           data_axis: str = "data", model_axis: str = "model",
                           donate: bool = True, compute_dtype=None,
-                          augment_fn=None, n_aug_args: int = 0) -> Callable:
+                          augment_fn=None, n_aug_args: int = 0,
+                          accum_steps: int = 1) -> Callable:
     """Build the 2-D-sharded ``step(state, wave, label, rng, lr)``.
 
     ``state_template`` provides the pytree structure for the per-leaf
@@ -144,7 +145,8 @@ def make_dp_tp_train_step(model, tx, mesh: Mesh, state_template,
     inner = make_train_step(model, tx, axis_name=data_axis,
                             compute_dtype=compute_dtype,
                             grad_scale=1.0 / n_model,
-                            augment_fn=augment_fn)
+                            augment_fn=augment_fn,
+                            accum_steps=accum_steps)
 
     def per_shard(state, wave, label, rng, lr, *aug):
         # fold the DATA index only: model shards must draw identical

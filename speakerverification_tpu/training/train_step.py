@@ -35,11 +35,23 @@ def make_train_step(model, tx: optax.GradientTransformation,
                     axis_name: Optional[str] = None,
                     compute_dtype: Optional[jnp.dtype] = None,
                     grad_scale: float = 1.0,
-                    augment_fn: Optional[Callable] = None) -> Callable:
+                    augment_fn: Optional[Callable] = None,
+                    accum_steps: int = 1) -> Callable:
     """Build ``step(state, wave, label, rng, lr) -> (state, metrics)``.
 
     With ``axis_name`` set, the step is meant to run inside ``shard_map``
     over that mesh axis: gradients and metrics are ``psum``-averaged.
+
+    ``accum_steps=k`` runs gradient accumulation: the batch is split
+    into k microbatches scanned sequentially inside the SAME XLA
+    program, activations live for one microbatch at a time, and one
+    optimizer update applies the mean gradient — effective batches far
+    beyond what HBM fits in one forward/backward (the large-margin
+    heads want big batches). Semantics are exactly "sequential data
+    parallelism": every microbatch starts from the step's incoming
+    batch stats and the k new stats are averaged, mirroring the DP
+    pmean — tested equal to a k-device DP step to float tolerance.
+    Composes with DP/TP (each shard accumulates its own slice).
 
     ``augment_fn(wave, rng, *aug_args) -> wave`` runs INSIDE the jitted
     step before the forward pass — the hook for on-device batched
@@ -60,27 +72,68 @@ def make_train_step(model, tx: optax.GradientTransformation,
     model with the same dtype, e.g. via ``encoder_from_hparams``).
     """
 
+    if accum_steps < 1:
+        raise ValueError(f"accum_steps must be >= 1, got {accum_steps}")
+
     def step(state: TrainState, wave, label, rng, lr, *aug_args):
         if augment_fn is not None:
             wave = augment_fn(wave, jax.random.fold_in(rng, 2), *aug_args)
 
-        def loss_fn(params):
-            apply_params = params
-            if compute_dtype is not None:
-                apply_params = jax.tree_util.tree_map(
-                    lambda p: p.astype(compute_dtype)
-                    if jnp.issubdtype(p.dtype, jnp.floating) else p, params)
-            (loss, prec1), mutated = model.apply(
-                {"params": apply_params, "batch_stats": state.batch_stats},
-                wave, label, train=True,
-                mutable=["batch_stats"],
-                rngs={"specaug": rng,
-                      "dropout": jax.random.fold_in(rng, 1)})
-            loss = loss.astype(jnp.float32)
-            return loss, (prec1, mutated.get("batch_stats", state.batch_stats))
+        def value_and_grads(mb_wave, mb_label, mb_rng):
+            def loss_fn(params):
+                apply_params = params
+                if compute_dtype is not None:
+                    apply_params = jax.tree_util.tree_map(
+                        lambda p: p.astype(compute_dtype)
+                        if jnp.issubdtype(p.dtype, jnp.floating) else p,
+                        params)
+                (loss, prec1), mutated = model.apply(
+                    {"params": apply_params,
+                     "batch_stats": state.batch_stats},
+                    mb_wave, mb_label, train=True,
+                    mutable=["batch_stats"],
+                    rngs={"specaug": mb_rng,
+                          "dropout": jax.random.fold_in(mb_rng, 1)})
+                loss = loss.astype(jnp.float32)
+                return loss, (prec1,
+                              mutated.get("batch_stats", state.batch_stats))
+            return jax.value_and_grad(loss_fn, has_aux=True)(state.params)
 
-        (loss, (prec1, new_stats)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params)
+        if accum_steps == 1:
+            (loss, (prec1, new_stats)), grads = value_and_grads(
+                wave, label, rng)
+        else:
+            k = accum_steps
+            if wave.shape[0] % k:
+                raise ValueError(
+                    f"batch of {wave.shape[0]} speaker tuples does not "
+                    f"split into accumulate_steps={k} microbatches")
+            mb_w = wave.reshape(k, wave.shape[0] // k, *wave.shape[1:])
+            mb_l = label.reshape(k, label.shape[0] // k,
+                                 *label.shape[1:])
+            mb_rngs = jax.random.split(jax.random.fold_in(rng, 3), k)
+
+            def micro(carry, xs):
+                g_acc, s_acc, l_acc, p_acc = carry
+                (l_i, (p_i, s_i)), g_i = value_and_grads(*xs)
+                add = lambda a, b: a + b
+                return (jax.tree_util.tree_map(add, g_acc, g_i),
+                        jax.tree_util.tree_map(add, s_acc, s_i),
+                        l_acc + l_i, p_acc + p_i), None
+
+            init = (jax.tree_util.tree_map(jnp.zeros_like, state.params),
+                    jax.tree_util.tree_map(
+                        lambda s: jnp.zeros_like(s, dtype=jnp.float32),
+                        state.batch_stats),
+                    jnp.float32(0.0), jnp.float32(0.0))
+            (g, s, l_sum, p_sum), _ = jax.lax.scan(
+                micro, init, (mb_w, mb_l, mb_rngs))
+            inv = 1.0 / k
+            grads = jax.tree_util.tree_map(lambda x: x * inv, g)
+            new_stats = jax.tree_util.tree_map(
+                lambda x, ref: (x * inv).astype(ref.dtype),
+                s, state.batch_stats)
+            loss, prec1 = l_sum * inv, p_sum * inv
 
         if grad_scale != 1.0:
             # model-parallel losses compute the identical GLOBAL loss on

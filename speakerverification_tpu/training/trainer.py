@@ -158,6 +158,14 @@ class Trainer:
         # here one process drives the whole mesh — no mp.spawn/rendezvous)
         self.mesh = None
         self._compute_dtype = compute_dtype
+        # gradient accumulation: k microbatches scanned inside the step,
+        # one optimizer update on the mean gradient (sequential-DP
+        # semantics — see make_train_step). batch_size stays the
+        # EFFECTIVE batch; only peak activation memory shrinks by k.
+        self.accum_steps = int(hparams.get("accumulate_steps", 1))
+        if self.accum_steps > 1:
+            print(f"[INFO] gradient accumulation: {self.accum_steps} "
+                  "microbatches per optimizer step")
         if hparams.get("distributed") and len(jax.devices()) > 1:
             from speakerverification_tpu.parallel import make_dp_train_step, make_mesh
             mp_ = self.model_parallel
@@ -192,7 +200,8 @@ class Trainer:
                     self.model, self.tx, self.mesh, donate=True,
                     compute_dtype=compute_dtype,
                     augment_fn=self._augment_fn,
-                    n_aug_args=1 if self._augment_fn else 0)
+                    n_aug_args=1 if self._augment_fn else 0,
+                    accum_steps=self.accum_steps)
             print(f"[INFO] data-parallel over {n_dev} devices"
                   + (f" × {mp_} model shards" if mp_ > 1 else "")
                   + (f" across {jax.process_count()} processes"
@@ -201,7 +210,8 @@ class Trainer:
             self.step_fn = jax.jit(
                 make_train_step(self.model, self.tx,
                                 compute_dtype=compute_dtype,
-                                augment_fn=self._augment_fn),
+                                augment_fn=self._augment_fn,
+                                accum_steps=self.accum_steps),
                 donate_argnums=(0,))
         self._profile_dir = hparams.get("profile_dir") if hparams.get(
             "profile") else None
@@ -506,7 +516,8 @@ class Trainer:
                     self.model, self.tx, self.mesh, self.state,
                     donate=True, compute_dtype=self._compute_dtype,
                     augment_fn=self._augment_fn,
-                    n_aug_args=1 if self._augment_fn else 0)
+                    n_aug_args=1 if self._augment_fn else 0,
+                    accum_steps=self.accum_steps)
             elif self.multiprocess:
                 # every process seeded model init identically, so local
                 # copies agree; assemble them into one replicated global

@@ -325,6 +325,68 @@ def test_dp_step_bf16_mixed_precision(model_and_tx):
                if jnp.issubdtype(p.dtype, jnp.floating))
 
 
+def test_grad_accumulation_matches_dp(model_and_tx):
+    """accum_steps=k is sequential data parallelism: microbatch grads
+    and BN stats averaged from the same starting stats — so a k-way
+    accumulated single-device step must match a k-device DP step on the
+    same batch (contiguous split both ways; no stochastic layers in
+    this model, so rng streams don't enter). SGD, not Adam: Adam's normalized
+    update turns float-noise-level gradient differences on near-zero
+    coordinates into ±lr sign flips, which says nothing about the
+    accumulation math — with SGD the one-step parameter delta is
+    exactly lr × the mean gradient."""
+    model, _ = model_and_tx
+    tx = build_optimizer("sgd", learning_rate=1e-2)
+    mesh = make_mesh(("data",))
+    rng = np.random.default_rng(7)
+
+    wave0 = rng.normal(0, .1, (8, 2, 8000)).astype(np.float32)
+    lab0 = np.arange(8, dtype=np.int32)
+    s1 = create_train_state(model, tx, jax.random.PRNGKey(0),
+                            jnp.asarray(wave0), jnp.asarray(lab0))
+    s2 = replicate_state(s1, mesh)
+
+    accum = jax.jit(make_train_step(model, tx, accum_steps=8))
+    dp = make_dp_train_step(model, tx, mesh, donate=False)
+    # ONE step: with SGD the param delta IS lr × the mean gradient, so
+    # this compares the accumulated gradient itself; a second step would
+    # re-run the forward on perturbed params and BN's rsqrt(var+eps)
+    # amplifies float32 noise chaotically without testing anything new
+    wave = rng.normal(0, .1, (8, 2, 8000)).astype(np.float32)
+    lab = rng.integers(0, 8, 8).astype(np.int32)
+    s1, m1 = accum(s1, jnp.asarray(wave), jnp.asarray(lab),
+                   jax.random.PRNGKey(1), jnp.float32(1e-2))
+    b = shard_batch({"wave": wave, "label": lab}, mesh)
+    s2, m2 = dp(s2, b["wave"], b["label"], jax.random.PRNGKey(1),
+                jnp.float32(1e-2))
+    # sequential adds vs psum tree reduction: order-of-summation
+    # noise only (measured ~1e-5 rel)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-4)
+    np.testing.assert_allclose(float(m1["prec1"]), float(m2["prec1"]),
+                               rtol=1e-4)
+    for a, d in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(jax.device_get(s2.params))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(d),
+                                   rtol=5e-4, atol=5e-6)
+    for a, d in zip(
+            jax.tree_util.tree_leaves(s1.batch_stats),
+            jax.tree_util.tree_leaves(jax.device_get(s2.batch_stats))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(d),
+                                   rtol=5e-4, atol=5e-6)
+
+
+def test_grad_accumulation_rejects_indivisible_batch(model_and_tx):
+    model, tx = model_and_tx
+    rng = np.random.default_rng(0)
+    wave = jnp.asarray(rng.normal(0, .1, (6, 2, 8000)).astype(np.float32))
+    lab = jnp.asarray(np.arange(6, dtype=np.int32))
+    s = create_train_state(model, tx, jax.random.PRNGKey(0), wave, lab)
+    step = jax.jit(make_train_step(model, tx, accum_steps=4))
+    with pytest.raises(ValueError, match="accumulate_steps"):
+        step(s, wave, lab, jax.random.PRNGKey(0), jnp.float32(1e-3))
+
+
 def test_eval_embed_data_parallel_exact(model_and_tx):
     """Single-process multi-device extraction (make_eval_embed_fn
     devices=...) must equal the single-device path exactly: embedding is

@@ -249,3 +249,51 @@ def test_average_checkpoints(tmp_path):
     assert int(out.batch_stats["bn"]["n"]) == 7     # non-float: kept
     with pytest.raises(ValueError):
         average_checkpoints([], mk(0.0, 0.0))
+
+
+def test_trainer_gradient_accumulation(tmp_path):
+    """accumulate_steps through the Trainer: the batch splits into
+    microbatches inside the jitted step and training completes with a
+    finite loss (DP-equivalence of the math is pinned separately in
+    test_parallel.py::test_grad_accumulation_matches_dp)."""
+    from speakerverification_tpu.data.manifest import generate_metadata
+    from speakerverification_tpu.data.wav_conversion import write_wav
+    from speakerverification_tpu.training.trainer import Trainer
+
+    SR = 8000
+    rng = np.random.default_rng(21)
+    data = tmp_path / "data"
+    for spk in range(4):
+        for utt in range(3):
+            t = np.arange(int(1.2 * SR)) / SR
+            sig = 0.3 * np.sin(2 * np.pi * (160 + 60 * spk) * t) \
+                + rng.normal(0, 0.02, len(t))
+            write_wav(data / f"spk{spk}" / f"u{utt}.wav",
+                      sig.astype(np.float32), SR)
+    generate_metadata(data, tmp_path / "meta", num_val_utts=0)
+
+    hparams = {
+        "seed": 5, "save_folder": str(tmp_path / "save"),
+        "train_annotation": str(tmp_path / "meta" / "train.csv"),
+        "number_of_epochs": 1, "batch_size": 4, "lr": 0.005,
+        "nClasses": 4, "accumulate_steps": 2,
+        "dataloader_options": {"batch_size": 4, "num_workers": 1,
+                               "nPerSpeaker": 1, "max_seg_per_spk": 100},
+        "audio_spec": {"sample_rate": SR, "sentence_len": 1.0,
+                       "win_len": 0.025, "hop_len": 0.01},
+        "n_mels": 24, "features": "melspectrogram",
+        "model": {"name": "ECAPA_TDNN", "feature_type": "melspectrogram",
+                  "nOut": 16, "channels": [16, 16, 16, 16, 48],
+                  "kernel_sizes": [5, 3, 3, 3, 1],
+                  "dilations": [1, 2, 3, 4, 1], "attention_channels": 4,
+                  "res2net_scale": 4, "se_channels": 4},
+        "criterion": {"name": "AAmSoftmax", "margin": 0.2, "scale": 30},
+        "optimizer": {"name": "adam", "weight_decay": 0.0},
+        "callbacks": {"name": "steplr"},
+        "test_interval": -1, "save_model_last": True,
+        "ckpt_interval_minutes": -1,
+    }
+    tr = Trainer(hparams)
+    assert tr.accum_steps == 2
+    out = tr.fit()
+    assert np.isfinite(out["min_loss"])
