@@ -56,6 +56,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="uniform weight averaging over the retained "
                         "best_state_top{1..k} checkpoints before "
                         "inference (model soup)")
+    p.add_argument("--use_ema", action="store_true", default=None,
+                   help="serve the EMA weight track kept by "
+                        "optimizer.ema_decay instead of the raw weights")
     p.add_argument("--mixedprec", action="store_true", default=None,
                    help="bf16 compute (replaces CUDA AMP; no loss scaling)")
     p.add_argument("--distributed_backend", type=str, default=None,
@@ -73,6 +76,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--number_of_epochs", type=int, default=None)
     p.add_argument("--lr", type=float, default=None)
     p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--accumulate_steps", type=int, default=None,
+                   help="gradient accumulation: split each batch into "
+                        "this many microbatches scanned inside the "
+                        "jitted step (one optimizer update on the mean "
+                        "gradient; batch_size stays the effective batch)")
     p.add_argument("--initial_model_infer", type=str, default=None)
     p.add_argument("--test_threshold", type=float, default=None)
     p.add_argument("--scoring_mode", type=str, default=None)

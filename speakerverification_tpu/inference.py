@@ -107,8 +107,24 @@ class InferenceEngine:
             print(f"[INFO] averaged {len(soup)} checkpoints: "
                   f"{[p.name for p in soup]}")
         elif path is not None and path.exists():
-            self.state = load_params_only(path, self.state)
-            print(f"[INFO] loaded weights: {path}")
+            loaded = None
+            if hparams.get("use_ema"):
+                # serve the EMA weights track_ema keeps in the optimizer
+                # state (train with optimizer.ema_decay)
+                from speakerverification_tpu.training.checkpoint import (
+                    load_ema_params,
+                )
+                loaded = load_ema_params(path, self.state)
+                if loaded is None:
+                    print("[WARN] use_ema: checkpoint carries no EMA "
+                          "state (train with optimizer.ema_decay); "
+                          "serving raw weights")
+                else:
+                    print(f"[INFO] loaded EMA weights: {path}")
+            if loaded is None:
+                loaded = load_params_only(path, self.state)
+                print(f"[INFO] loaded weights: {path}")
+            self.state = loaded
         else:
             print("[WARN] no weights found — using random initialization")
 

@@ -19,6 +19,7 @@ reference decouples (AdaBelief ``weight_decouple``, SGDW, AdamW-style).
 from __future__ import annotations
 
 import inspect
+from typing import Any, NamedTuple
 
 import optax
 
@@ -32,7 +33,63 @@ from speakerverification_tpu.optim.schedulers import (  # noqa: F401
 from speakerverification_tpu.registry import OPTIMIZERS
 
 __all__ = ["build_optimizer", "OPTIMIZERS", "build_scheduler",
-           "ReduceOnPlateau", "EarlyStopping"]
+           "ReduceOnPlateau", "EarlyStopping", "track_ema",
+           "get_ema_params"]
+
+
+class EmaState(NamedTuple):
+    """EMA of the post-update parameters (``track_ema``)."""
+    ema: Any
+
+
+def track_ema(decay: float) -> optax.GradientTransformation:
+    """Track an exponential moving average of the POST-update params.
+
+    Chain this LAST: at that point ``updates`` are the final deltas
+    ``optax.apply_updates`` will add, so ``params + updates`` is the new
+    point the EMA should absorb. Riding in ``opt_state`` means the EMA
+    is checkpointed, resumed, sharded, and donated with everything else
+    for free; ``get_ema_params`` extracts it (serving: ``use_ema``).
+    No reference equivalent — standard production trick (Polyak/SWA
+    family) the retention policy can't express.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    def init(params):
+        # real copies, not aliases: a donating step (donate_argnums=(0,))
+        # would otherwise hand XLA the same buffer as both params and
+        # ema ("Attempt to donate the same buffer twice")
+        return EmaState(ema=jax.tree_util.tree_map(
+            lambda p: jnp.array(p, copy=True) if hasattr(p, "dtype") else p,
+            params))
+
+    def update(updates, state, params=None):
+        if params is None:
+            raise ValueError("track_ema requires params in tx.update")
+        new_p = optax.apply_updates(params, updates)
+        ema = jax.tree_util.tree_map(
+            lambda e, p: e * decay + p * (1.0 - decay)
+            if hasattr(p, "dtype") and p.dtype.kind == "f" else p,
+            state.ema, new_p)
+        return updates, EmaState(ema=ema)
+
+    return optax.GradientTransformation(init, update)
+
+
+def get_ema_params(opt_state):
+    """Pull the EMA param tree out of an optimizer state, or None."""
+    if isinstance(opt_state, EmaState):
+        return opt_state.ema
+    if isinstance(opt_state, tuple):
+        for el in opt_state:
+            found = get_ema_params(el)
+            if found is not None:
+                return found
+    inner = getattr(opt_state, "inner_state", None)
+    if inner is not None:
+        return get_ema_params(inner)
+    return None
 
 
 def _l2(weight_decay: float) -> optax.GradientTransformation:
@@ -79,11 +136,15 @@ def lookahead(learning_rate, weight_decay=0.0, k=5, alpha=0.5,
 
 
 def build_optimizer(name: str, learning_rate: float, weight_decay: float = 0.0,
-                    lr_decay: float | None = None, **kwargs):
+                    lr_decay: float | None = None, ema_decay: float = 0.0,
+                    **kwargs):
     """Build an optimizer with an injectable ``learning_rate`` hyperparam.
 
     ``lr_decay`` is accepted for config parity (the reference passes it to
     every optimizer, src/model.py:180-183) but is consumed by schedulers.
+    ``ema_decay > 0`` appends ``track_ema`` so an EMA of the weights rides
+    in the optimizer state (``optimizer: {ema_decay: 0.999}`` in YAML;
+    serve it with ``use_ema: true``).
     """
     factory = OPTIMIZERS.get(name)
     accepted = set(inspect.signature(factory).parameters)
@@ -105,12 +166,26 @@ def build_optimizer(name: str, learning_rate: float, weight_decay: float = 0.0,
     # so factories can branch on it in Python.
     static = tuple(p for p in accepted
                    if p not in ("learning_rate", "kw"))
-    return optax.inject_hyperparams(factory, static_args=static)(
+    tx = optax.inject_hyperparams(factory, static_args=static)(
         learning_rate=learning_rate, weight_decay=weight_decay, **clean)
+    if ema_decay:
+        if not 0.0 < float(ema_decay) < 1.0:
+            raise ValueError(f"ema_decay must be in (0, 1), got {ema_decay}")
+        tx = optax.chain(tx, track_ema(float(ema_decay)))
+    return tx
 
 
 def set_learning_rate(opt_state, lr):
-    """Functionally set the injected learning rate (works inside jit)."""
-    hp = dict(opt_state.hyperparams)
+    """Functionally set the injected learning rate (works inside jit).
+
+    Handles both a bare ``InjectHyperparamsState`` and the
+    ``optax.chain`` tuple produced when ``ema_decay`` appends the EMA
+    tracker (the inject state is then the first element)."""
+    if hasattr(opt_state, "hyperparams"):
+        hp = dict(opt_state.hyperparams)
+        hp["learning_rate"] = lr
+        return opt_state._replace(hyperparams=hp)
+    inner = opt_state[0]
+    hp = dict(inner.hyperparams)
     hp["learning_rate"] = lr
-    return opt_state._replace(hyperparams=hp)
+    return (inner._replace(hyperparams=hp),) + tuple(opt_state[1:])

@@ -22,7 +22,8 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["save_checkpoint", "load_checkpoint", "restore_into",
-           "tree_to_host", "average_checkpoints", "CheckpointManager"]
+           "tree_to_host", "average_checkpoints", "CheckpointManager",
+           "load_ema_params"]
 
 
 def _leaf_to_host(x):
@@ -131,6 +132,73 @@ def load_params_only(path: str | Path, state) -> Any:
         raw = fser.msgpack_restore(Path(path).read_bytes())
     new = state.replace(
         params=fser.from_state_dict(state.params, raw["params"]))
+    if "batch_stats" in raw and raw["batch_stats"]:
+        new = new.replace(batch_stats=fser.from_state_dict(
+            state.batch_stats, raw["batch_stats"]))
+    return new
+
+
+def _find_ema(node):
+    """Locate the ``track_ema`` subtree in a raw state dict."""
+    if isinstance(node, dict):
+        if isinstance(node.get("ema"), dict):
+            return node["ema"]
+        for v in node.values():
+            found = _find_ema(v)
+            if found is not None:
+                return found
+    return None
+
+
+def load_ema_params(path: str | Path, state) -> Optional[Any]:
+    """Restore EMA weights (``optim.track_ema``) from a checkpoint.
+
+    Returns ``state`` with ``params`` replaced by the checkpoint's EMA
+    tree (plus its ``batch_stats``), or ``None`` when the checkpoint was
+    trained without ``optimizer.ema_decay``. Like ``load_params_only``,
+    this never needs the producing optimizer's state template — the EMA
+    subtree is located by key in the raw tree. Sharded checkpoints read
+    the stored opt_state through orbax first (one extra restore; the
+    serving flag is opt-in, so the cost is accepted).
+    """
+    from speakerverification_tpu.training.checkpoint_sharded import (
+        is_sharded_checkpoint,
+    )
+    if is_sharded_checkpoint(path):
+        import orbax.checkpoint as ocp
+        from jax.sharding import SingleDeviceSharding
+
+        dev = jax.devices()[0]
+        std = ocp.StandardCheckpointer()
+        try:
+            md = std.metadata(Path(path).resolve())
+        finally:
+            std.close()
+        md = getattr(md, "item_metadata", md)
+        md = getattr(md, "tree", md)
+        item = {k: md[k] for k in ("opt_state", "batch_stats")
+                if isinstance(md, dict) and md.get(k)}
+        item = jax.tree_util.tree_map(
+            lambda m: jax.ShapeDtypeStruct(
+                m.shape, m.dtype, sharding=SingleDeviceSharding(dev))
+            if hasattr(m, "shape") else m, item)
+        ckpt = ocp.PyTreeCheckpointer()
+        try:
+            raw = jax.device_get(ckpt.restore(
+                Path(path).resolve(),
+                args=ocp.args.PyTreeRestore(
+                    item=item, transforms={},
+                    restore_args=ocp.checkpoint_utils
+                    .construct_restore_args(item))))
+        finally:
+            ckpt.close()
+    else:
+        raw = fser.msgpack_restore(Path(path).read_bytes())
+    ema = _find_ema(raw.get("opt_state", {}))
+    if ema is None:
+        return None
+    new = state.replace(
+        params=fser.from_state_dict(state.params, ema))
     if "batch_stats" in raw and raw["batch_stats"]:
         new = new.replace(batch_stats=fser.from_state_dict(
             state.batch_stats, raw["batch_stats"]))

@@ -171,3 +171,61 @@ def test_qhm_beta_alias_matches_momentum():
 def test_ignored_optimizer_key_warns():
     with pytest.warns(UserWarning, match="ignores config key"):
         build_optimizer("adam", learning_rate=0.1, momentum=0.9)
+
+
+def test_track_ema_matches_manual_ema(tmp_path):
+    """ema_decay appends track_ema: the opt_state carries an EMA of the
+    POST-update params; set_learning_rate still drives the chained
+    state; save_checkpoint -> load_ema_params round-trips it and a
+    no-EMA checkpoint returns None."""
+    from speakerverification_tpu.optim import get_ema_params
+    from speakerverification_tpu.training.checkpoint import (
+        load_ema_params,
+        save_checkpoint,
+    )
+    from speakerverification_tpu.training.state import TrainState
+
+    d = 0.9
+    tx = build_optimizer("sgd", learning_rate=0.1, ema_decay=d)
+    params = {"w": jnp.array([1.0, -2.0, 3.0])}
+    opt_state = tx.init(params)
+
+    manual_ema = np.asarray(params["w"])
+    p = params
+    for i in range(4):
+        g = {"w": 2.0 * p["w"]}                       # grad of sum(w^2)
+        opt_state = set_learning_rate(opt_state, jnp.float32(0.05))
+        updates, opt_state = tx.update(g, opt_state, p)
+        import optax
+        p = optax.apply_updates(p, updates)
+        manual_ema = manual_ema * d + np.asarray(p["w"]) * (1 - d)
+
+    ema = get_ema_params(opt_state)
+    assert ema is not None
+    np.testing.assert_allclose(np.asarray(ema["w"]), manual_ema, rtol=1e-6)
+    # the lr actually changed (0.1 -> 0.05): one update is -2*0.05*w
+    assert not np.allclose(np.asarray(p["w"]), 0.0)
+
+    state = TrainState(step=jnp.zeros([], jnp.int32), params=p,
+                       batch_stats={}, opt_state=opt_state)
+    save_checkpoint(tmp_path / "ck.msgpack", state)
+    template = TrainState(
+        step=jnp.zeros([], jnp.int32),
+        params={"w": jnp.zeros((3,))}, batch_stats={},
+        opt_state=opt_state)
+    out = load_ema_params(tmp_path / "ck.msgpack", template)
+    assert out is not None
+    np.testing.assert_allclose(np.asarray(out.params["w"]), manual_ema,
+                               rtol=1e-6)
+
+    # checkpoint trained WITHOUT ema -> None
+    tx0 = build_optimizer("sgd", learning_rate=0.1)
+    state0 = TrainState(step=jnp.zeros([], jnp.int32), params=p,
+                        batch_stats={}, opt_state=tx0.init(p))
+    save_checkpoint(tmp_path / "ck0.msgpack", state0)
+    assert load_ema_params(tmp_path / "ck0.msgpack", template) is None
+
+
+def test_ema_decay_validation():
+    with pytest.raises(ValueError, match="ema_decay"):
+        build_optimizer("adam", learning_rate=1e-3, ema_decay=1.5)

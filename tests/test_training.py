@@ -252,10 +252,11 @@ def test_average_checkpoints(tmp_path):
 
 
 def test_trainer_gradient_accumulation(tmp_path):
-    """accumulate_steps through the Trainer: the batch splits into
-    microbatches inside the jitted step and training completes with a
-    finite loss (DP-equivalence of the math is pinned separately in
-    test_parallel.py::test_grad_accumulation_matches_dp)."""
+    """accumulate_steps + optimizer.ema_decay through the Trainer: the
+    batch splits into microbatches inside the jitted step, training
+    completes with a finite loss (DP-equivalence of the math is pinned
+    separately in test_parallel.py::test_grad_accumulation_matches_dp),
+    the EMA weight track rides the checkpoint, and use_ema serves it."""
     from speakerverification_tpu.data.manifest import generate_metadata
     from speakerverification_tpu.data.wav_conversion import write_wav
     from speakerverification_tpu.training.trainer import Trainer
@@ -288,7 +289,8 @@ def test_trainer_gradient_accumulation(tmp_path):
                   "dilations": [1, 2, 3, 4, 1], "attention_channels": 4,
                   "res2net_scale": 4, "se_channels": 4},
         "criterion": {"name": "AAmSoftmax", "margin": 0.2, "scale": 30},
-        "optimizer": {"name": "adam", "weight_decay": 0.0},
+        "optimizer": {"name": "adam", "weight_decay": 0.0,
+                      "ema_decay": 0.9},
         "callbacks": {"name": "steplr"},
         "test_interval": -1, "save_model_last": True,
         "ckpt_interval_minutes": -1,
@@ -297,3 +299,15 @@ def test_trainer_gradient_accumulation(tmp_path):
     assert tr.accum_steps == 2
     out = tr.fit()
     assert np.isfinite(out["min_loss"])
+
+    # the EMA track rode the checkpoint; use_ema serves it and the
+    # served weights differ from the raw ones (EMA lags the raw params)
+    from speakerverification_tpu.inference import InferenceEngine
+    eng_ema = InferenceEngine({**hparams, "use_ema": True})
+    eng_raw = InferenceEngine(hparams)
+    leaves_e = jax.tree_util.tree_leaves(eng_ema.state.params)
+    leaves_r = jax.tree_util.tree_leaves(eng_raw.state.params)
+    assert any(not np.allclose(np.asarray(a), np.asarray(b))
+               for a, b in zip(leaves_e, leaves_r))
+    # and the no-EMA fallback path: a raw-optimizer run served with
+    # use_ema warns and falls back (covered in test_optim round-trip)
