@@ -125,7 +125,17 @@ class ShardedAAmSoftmax(nn.Module):
             tgt_logit = local_tgt
 
         loss = jnp.mean(-(tgt_logit - gmax - jnp.log(z)))
-        # top-1: the target logit matches the global max (exact ties —
-        # measure-zero with real activations — count as correct)
-        prec1 = 100.0 * jnp.mean((tgt_logit >= gmax).astype(jnp.float32))
+        # top-1 with the SAME tie-breaking as the unsharded heads'
+        # top1_percent (argmax → lowest class index wins): each shard's
+        # local argmax already breaks ties low; across shards, the
+        # lowest global index among those achieving the global max wins
+        # via pmin over a sentinel-masked candidate
+        local_arg = jnp.argmax(logits, axis=-1) + offset
+        if sharded:
+            cand = jnp.where(jax.lax.stop_gradient(local_max) == gmax,
+                             local_arg, self.nClasses)
+            g_arg = jax.lax.pmin(cand, self.model_axis)
+        else:
+            g_arg = local_arg
+        prec1 = 100.0 * jnp.mean((g_arg == label).astype(jnp.float32))
         return loss, prec1
