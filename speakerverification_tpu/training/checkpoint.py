@@ -139,14 +139,22 @@ def load_params_only(path: str | Path, state) -> Any:
 
 
 def _find_ema(node):
-    """Locate the ``track_ema`` subtree in a raw state dict."""
+    """Locate the ``track_ema`` subtree in a raw state tree.
+
+    flax msgpack renders the chain tuple as a dict of index keys;
+    orbax metadata renders it as a list — recurse both."""
     if isinstance(node, dict):
         if isinstance(node.get("ema"), dict):
             return node["ema"]
-        for v in node.values():
-            found = _find_ema(v)
-            if found is not None:
-                return found
+        children = node.values()
+    elif isinstance(node, (list, tuple)):
+        children = node
+    else:
+        return None
+    for v in children:
+        found = _find_ema(v)
+        if found is not None:
+            return found
     return None
 
 

@@ -255,3 +255,37 @@ def test_preempt_snapshot_cleared_by_per_epoch_save(tmp_path):
     mgr.save_epoch(state, epoch=2, loss=1.8, lr=0.1)
     assert not (tmp_path / "last_state.msgpack").exists()
     assert mgr.latest() == tmp_path / "model_state_000002.msgpack"
+
+
+def test_load_ema_params_from_sharded(tmp_path):
+    """EMA extraction (use_ema serving) from an orbax sharded checkpoint:
+    the EMA tree is located by key in the stored opt_state, no matter
+    which optimizer wrote it; a no-EMA sharded checkpoint returns None."""
+    from speakerverification_tpu.optim import build_optimizer, get_ema_params
+    from speakerverification_tpu.training.checkpoint import load_ema_params
+
+    mesh = _mesh2d()
+    tx = build_optimizer("sgd", learning_rate=0.1, ema_decay=0.5)
+    state, _ = _tp_state(mesh, tx=tx, seed=4)
+    # one update so the EMA differs from the raw params
+    g = jax.tree_util.tree_map(jnp.ones_like, state.params)
+    from speakerverification_tpu.optim import set_learning_rate
+    opt_state = set_learning_rate(state.opt_state, jnp.float32(0.1))
+    updates, opt_state = tx.update(g, opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    state = state.replace(params=new_params, opt_state=opt_state)
+
+    p = save_sharded(tmp_path / "ck_ema", state)
+    template, _ = _tp_state(mesh, tx=tx, seed=5)
+    out = load_ema_params(p, template)
+    assert out is not None
+    expect = get_ema_params(state.opt_state)
+    np.testing.assert_allclose(
+        np.asarray(out.params["loss"]["weight"]),
+        np.asarray(expect["loss"]["weight"]), rtol=1e-6)
+    assert not np.allclose(np.asarray(out.params["loss"]["weight"]),
+                           np.asarray(new_params["loss"]["weight"]))
+
+    state0, _ = _tp_state(mesh, seed=6)          # plain adam, no EMA
+    p0 = save_sharded(tmp_path / "ck_noema", state0)
+    assert load_ema_params(p0, template) is None
