@@ -99,6 +99,10 @@ class InferenceEngine:
                 p for p in sorted(mdir.glob("best_state_top*"))
                 if p.is_dir()]
         if soup:
+            if hparams.get("use_ema"):
+                print("[WARN] use_ema is ignored when average_checkpoints "
+                      "averaging applies — serving the top-k soup of RAW "
+                      "weights (disable one of the two)")
             from speakerverification_tpu.training.checkpoint import (
                 average_checkpoints,
             )

@@ -68,9 +68,12 @@ def track_ema(decay: float) -> optax.GradientTransformation:
         if params is None:
             raise ValueError("track_ema requires params in tx.update")
         new_p = optax.apply_updates(params, updates)
+        # issubdtype, NOT dtype.kind == "f": ml_dtypes' bfloat16 has
+        # kind 'V' and would silently skip averaging on bf16 masters
         ema = jax.tree_util.tree_map(
             lambda e, p: e * decay + p * (1.0 - decay)
-            if hasattr(p, "dtype") and p.dtype.kind == "f" else p,
+            if hasattr(p, "dtype")
+            and jnp.issubdtype(p.dtype, jnp.floating) else p,
             state.ema, new_p)
         return updates, EmaState(ema=ema)
 

@@ -165,9 +165,10 @@ def load_ema_params(path: str | Path, state) -> Optional[Any]:
     tree (plus its ``batch_stats``), or ``None`` when the checkpoint was
     trained without ``optimizer.ema_decay``. Like ``load_params_only``,
     this never needs the producing optimizer's state template — the EMA
-    subtree is located by key in the raw tree. Sharded checkpoints read
-    the stored opt_state through orbax first (one extra restore; the
-    serving flag is opt-in, so the cost is accepted).
+    subtree is located by key in the raw tree. Sharded checkpoints
+    restore ONLY the EMA subtree (+batch_stats): everything else in the
+    stored opt_state is pruned to None before the orbax read, so the
+    multi-GB optimizer moments of a TP head never land on one device.
     """
     from speakerverification_tpu.training.checkpoint_sharded import (
         is_sharded_checkpoint,
@@ -175,6 +176,22 @@ def load_ema_params(path: str | Path, state) -> Optional[Any]:
     if is_sharded_checkpoint(path):
         import orbax.checkpoint as ocp
         from jax.sharding import SingleDeviceSharding
+
+        def prune_to_ema(node, in_ema=False):
+            # keep ONLY branches under an "ema" key, dropping everything
+            # else outright (orbax refuses None placeholder leaves);
+            # list nodes become index-keyed dicts — orbax's flat
+            # '.'-joined names are identical either way
+            if isinstance(node, dict):
+                out = {k: prune_to_ema(v, in_ema or k == "ema")
+                       for k, v in node.items()}
+            elif isinstance(node, (list, tuple)):
+                out = {str(i): prune_to_ema(v, in_ema)
+                       for i, v in enumerate(node)}
+            else:
+                return node if in_ema else None
+            out = {k: v for k, v in out.items() if v is not None}
+            return out or None
 
         dev = jax.devices()[0]
         std = ocp.StandardCheckpointer()
@@ -184,8 +201,15 @@ def load_ema_params(path: str | Path, state) -> Optional[Any]:
             std.close()
         md = getattr(md, "item_metadata", md)
         md = getattr(md, "tree", md)
-        item = {k: md[k] for k in ("opt_state", "batch_stats")
-                if isinstance(md, dict) and md.get(k)}
+        item = {}
+        if isinstance(md, dict):
+            if md.get("opt_state"):
+                opt = prune_to_ema(md["opt_state"])
+                if opt is None or _find_ema(opt) is None:
+                    return None            # no EMA: skip the restore
+                item["opt_state"] = opt
+            if md.get("batch_stats"):
+                item["batch_stats"] = md["batch_stats"]
         item = jax.tree_util.tree_map(
             lambda m: jax.ShapeDtypeStruct(
                 m.shape, m.dtype, sharding=SingleDeviceSharding(dev))

@@ -164,6 +164,10 @@ class Trainer:
         # EFFECTIVE batch; only peak activation memory shrinks by k.
         self.accum_steps = int(hparams.get("accumulate_steps", 1))
         if self.accum_steps > 1:
+            if int(hparams.get("batch_size", 0)) % self.accum_steps != 0:
+                raise ValueError(
+                    f"accumulate_steps={self.accum_steps} must divide "
+                    f"batch_size {hparams.get('batch_size')}")
             print(f"[INFO] gradient accumulation: {self.accum_steps} "
                   "microbatches per optimizer step")
         if hparams.get("distributed") and len(jax.devices()) > 1:
@@ -193,6 +197,15 @@ class Trainer:
                 raise ValueError(
                     f"batch_size {hparams.get('batch_size')} must divide by "
                     f"{local_dev} local data-shards for --distributed")
+            # pre-check in USER units: the step's own trace-time check
+            # sees per-shard rows the user never configured
+            shard_rows = int(hparams.get("batch_size", 0)) // max(local_dev, 1)
+            if self.accum_steps > 1 and shard_rows % self.accum_steps != 0:
+                raise ValueError(
+                    f"accumulate_steps={self.accum_steps} must divide each "
+                    f"data shard's rows: batch_size "
+                    f"{hparams.get('batch_size')} over {local_dev} shards "
+                    f"gives {shard_rows} rows/shard")
             if mp_ > 1:
                 self.step_fn = None   # built in fit(): needs the state tree
             else:

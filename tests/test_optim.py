@@ -229,3 +229,22 @@ def test_track_ema_matches_manual_ema(tmp_path):
 def test_ema_decay_validation():
     with pytest.raises(ValueError, match="ema_decay"):
         build_optimizer("adam", learning_rate=1e-3, ema_decay=1.5)
+
+
+def test_track_ema_averages_bfloat16_leaves():
+    """bf16 master params must be EMA-averaged too (ml_dtypes' bfloat16
+    has dtype.kind 'V' — a kind=='f' test silently skips it)."""
+    import optax
+
+    from speakerverification_tpu.optim import get_ema_params
+
+    tx = build_optimizer("sgd", learning_rate=0.5, ema_decay=0.5)
+    params = {"w": jnp.ones((4,), jnp.bfloat16)}
+    opt_state = tx.init(params)
+    g = {"w": jnp.ones((4,), jnp.bfloat16)}
+    updates, opt_state = tx.update(g, opt_state, params)
+    new_p = optax.apply_updates(params, updates)      # 1 - 0.5 = 0.5
+    ema = get_ema_params(opt_state)["w"]
+    # ema = 1*0.5 + 0.5*0.5 = 0.75 — NOT the raw post-update 0.5
+    np.testing.assert_allclose(np.asarray(ema, np.float32), 0.75)
+    np.testing.assert_allclose(np.asarray(new_p["w"], np.float32), 0.5)
