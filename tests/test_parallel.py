@@ -462,3 +462,38 @@ def test_dp_batchnorm_drift_bounded(model_and_tx):
                test_wave)
     cos = np.asarray(jnp.sum(e1 * e2, axis=-1))
     assert cos.min() > 0.95, f"BN-under-DP drift too large: cos={cos}"
+
+
+@pytest.mark.slow
+def test_grad_accumulation_composes_with_dp(model_and_tx):
+    """DP(8 shards) x accum_steps=2 == single-device accum_steps=16 on
+    the same 16-tuple batch: each shard scans its 2 microbatches, the
+    pmean then matches the 16-microbatch mean (one SGD step, same
+    rationale as test_grad_accumulation_matches_dp)."""
+    model, _ = model_and_tx
+    tx = build_optimizer("sgd", learning_rate=1e-2)
+    mesh = make_mesh(("data",))
+    rng = np.random.default_rng(11)
+
+    wave0 = rng.normal(0, .1, (16, 2, 8000)).astype(np.float32)
+    lab0 = np.tile(np.arange(8, dtype=np.int32), 2)
+    s1 = create_train_state(model, tx, jax.random.PRNGKey(0),
+                            jnp.asarray(wave0[:8]), jnp.asarray(lab0[:8]))
+    s2 = replicate_state(s1, mesh)
+
+    accum16 = jax.jit(make_train_step(model, tx, accum_steps=16))
+    dp_accum = make_dp_train_step(model, tx, mesh, donate=False,
+                                  accum_steps=2)
+    wave = rng.normal(0, .1, (16, 2, 8000)).astype(np.float32)
+    lab = rng.integers(0, 8, 16).astype(np.int32)
+    s1, m1 = accum16(s1, jnp.asarray(wave), jnp.asarray(lab),
+                     jax.random.PRNGKey(1), jnp.float32(1e-2))
+    b = shard_batch({"wave": wave, "label": lab}, mesh)
+    s2, m2 = dp_accum(s2, b["wave"], b["label"], jax.random.PRNGKey(1),
+                      jnp.float32(1e-2))
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-4)
+    for a, d in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(jax.device_get(s2.params))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(d),
+                                   rtol=5e-4, atol=5e-6)
