@@ -289,3 +289,27 @@ def test_load_ema_params_from_sharded(tmp_path):
     state0, _ = _tp_state(mesh, seed=6)          # plain adam, no EMA
     p0 = save_sharded(tmp_path / "ck_noema", state0)
     assert load_ema_params(p0, template) is None
+
+
+def test_sharded_restore_reshards_to_new_mesh(tmp_path):
+    """Elastic resume: a checkpoint written under a 4x2 data x model mesh
+    restores into a 2x2 template (different device count and shard
+    widths) — orbax reshards to the template's shardings, so a job can
+    resume on a different slice size."""
+    mesh_big = _mesh2d()                               # 4 x 2 over 8 devs
+    state, tx = _tp_state(mesh_big, seed=9)
+    p = save_sharded(tmp_path / "ck_elastic", state)
+
+    devs = np.array(jax.devices()[:4]).reshape(2, 2)
+    mesh_small = Mesh(devs, ("data", "model"))
+    template, _ = _tp_state(mesh_small, tx=tx, seed=10)
+    zero = jax.tree_util.tree_map(jnp.zeros_like, template)
+    back = restore_sharded(p, zero)
+
+    np.testing.assert_array_equal(
+        np.asarray(back.params["loss"]["weight"]),
+        np.asarray(state.params["loss"]["weight"]))
+    # the restored leaf lives on the NEW mesh with the template's spec
+    assert back.params["loss"]["weight"].sharding.mesh.shape == {
+        "data": 2, "model": 2}
+    assert back.params["loss"]["weight"].sharding.spec == P("model", None)

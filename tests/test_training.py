@@ -251,6 +251,7 @@ def test_average_checkpoints(tmp_path):
         average_checkpoints([], mk(0.0, 0.0))
 
 
+@pytest.mark.slow
 def test_trainer_gradient_accumulation(tmp_path):
     """accumulate_steps + optimizer.ema_decay through the Trainer: the
     batch splits into microbatches inside the jitted step, training
