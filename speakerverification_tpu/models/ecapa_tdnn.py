@@ -56,6 +56,12 @@ class ECAPA_TDNN(nn.Module):
     # per-matmul-instruction overhead, not HBM traffic — see the kernel
     # docstring), so the simpler XLA path stays the default.
     conv_backend: str = "xla"
+    # remat: rematerialize each SE-Res2Net block in the backward pass
+    # (jax.checkpoint via nn.remat) — activations of the three widest
+    # blocks are recomputed instead of stored, trading ~1 extra forward
+    # of block FLOPs for the dominant share of activation HBM; combine
+    # with accumulate_steps for very large effective batches.
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, lengths: Optional[jax.Array] = None,
@@ -83,9 +89,13 @@ class ECAPA_TDNN(nn.Module):
         x = TDNNBlock(self.channels[0], self.kernel_sizes[0], self.dilations[0],
                       activation=self.activation)(x, train=train)
 
+        # train is a Python bool — static under jax.checkpoint (flax
+        # counts the module itself as argnum 0, so train is argnum 3)
+        block_cls = (nn.remat(SERes2NetBlock, static_argnums=(3,))
+                     if self.remat else SERes2NetBlock)
         block_outputs = []
         for i in range(1, len(self.channels) - 1):
-            x = SERes2NetBlock(
+            x = block_cls(
                 self.channels[i],
                 res2net_scale=self.res2net_scale,
                 se_channels=self.se_channels,
@@ -93,7 +103,11 @@ class ECAPA_TDNN(nn.Module):
                 dilation=self.dilations[i],
                 activation=self.activation,
                 conv_backend=self.conv_backend,
-            )(x, lengths, train=train)
+                # pin the unwrapped auto-name: nn.remat's subclass would
+                # otherwise rename the scope (Checkpoint...), making
+                # remat checkpoints incompatible with remat-off ones
+                name=f"SERes2NetBlock_{i - 1}",
+            )(x, lengths, train)
             block_outputs.append(x)
 
         # Multi-layer feature aggregation over the SE-Res2Net outputs
@@ -115,7 +129,7 @@ def build_ecapa_tdnn(nOut: int = 192, **kwargs) -> ECAPA_TDNN:
     known = {k: kwargs[k] for k in (
         "channels", "kernel_sizes", "dilations", "attention_channels",
         "res2net_scale", "se_channels", "global_context", "input_norm",
-        "log_input", "activation", "conv_backend") if k in kwargs}
+        "log_input", "activation", "conv_backend", "remat") if k in kwargs}
     if "channels" in known:
         known["channels"] = tuple(known["channels"])
     for k in ("kernel_sizes", "dilations"):

@@ -78,3 +78,57 @@ def test_speaker_encoder_loss_path():
 
 def test_model_registry():
     assert "ECAPA_TDNN" in MODELS
+
+
+def test_ecapa_remat_matches_exactly(ecapa_small):
+    """remat=True (per-SE-Res2Net-block jax.checkpoint) must be a pure
+    memory/recompute trade: identical forward AND identical gradients
+    (same params, same program math — only the backward's activation
+    storage changes)."""
+    remat_model = build_model("ECAPA_TDNN", nOut=32, remat=True,
+                              **SMALL_ECAPA)
+    rng = np.random.default_rng(17)
+    # positive mel-power-like inputs: the model log-compresses
+    # (log of a negative would make every comparison NaN==NaN-vacuous)
+    feats = jnp.asarray(
+        rng.gamma(2.0, 1.0, (2, 100, 80)).astype(np.float32))
+    variables = ecapa_small.init(jax.random.PRNGKey(0), feats)
+
+    @jax.jit
+    def fwd(model_flag, v, f):
+        m = remat_model if model_flag else ecapa_small
+        return m.apply(v, f)
+    # jit can't branch on python bool captured like this — build two fns
+    f1 = jax.jit(lambda v, f: ecapa_small.apply(v, f))
+    f2 = jax.jit(lambda v, f: remat_model.apply(v, f))
+    np.testing.assert_array_equal(np.asarray(f1(variables, feats)),
+                                  np.asarray(f2(variables, feats)))
+
+    def loss1(p, f):
+        return jnp.sum(ecapa_small.apply(
+            {"params": p, "batch_stats": variables["batch_stats"]}, f) ** 2)
+
+    def loss2(p, f):
+        return jnp.sum(remat_model.apply(
+            {"params": p, "batch_stats": variables["batch_stats"]}, f) ** 2)
+
+    g1 = jax.jit(jax.grad(loss1))(variables["params"], feats)
+    g2 = jax.jit(jax.grad(loss2))(variables["params"], feats)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+    # train mode: BN mutation must flow through the lifted remat
+    @jax.jit
+    def train_apply(v, f):
+        return remat_model.apply(v, f, train=True,
+                                 mutable=["batch_stats"])
+    out, mutated = train_apply(variables, feats)
+    assert np.isfinite(np.asarray(out)).all()
+    changed = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(
+            jax.tree_util.tree_leaves(variables["batch_stats"]),
+            jax.tree_util.tree_leaves(mutated["batch_stats"])))
+    assert changed, "remat blocked the batch_stats update"
