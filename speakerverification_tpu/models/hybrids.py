@@ -63,11 +63,13 @@ def _frontend_cfg(kwargs) -> FrontendConfig:
     )
 
 
-def _hybrid_ecapa(n_mels: int, input_norm: bool) -> ECAPA_TDNN:
+def _hybrid_ecapa(n_mels: int, input_norm: bool,
+                  remat: bool = False) -> ECAPA_TDNN:
     return ECAPA_TDNN(lin_neurons=192,
                       channels=(512, 512, 512, 512, 1536),
                       feature_type="melspectrogram",
-                      log_input=False, input_norm=input_norm)
+                      log_input=False, input_norm=input_norm,
+                      remat=remat)
 
 
 @MODELS.register("Raw3_ECAPA")
@@ -79,7 +81,9 @@ def build_raw3_ecapa(nOut: int = 512, **kwargs) -> RawECAPAHybrid:
                   encoder_type="ASP", sinc_stride=10,
                   sample_rate=cfg.sample_rate)
     return RawECAPAHybrid(raw_branch=raw,
-                          ecapa=_hybrid_ecapa(cfg.n_mels, input_norm=True),
+                          ecapa=_hybrid_ecapa(cfg.n_mels, input_norm=True,
+                                              remat=bool(
+                                                  kwargs.get("remat"))),
                           frontend=cfg)
 
 
