@@ -144,6 +144,11 @@ class InferenceEngine:
             # max-reduces cost more than the int8 GEMM saves (see
             # quant._int8_gemm). Embedding cosine fidelity vs the float
             # path is pinned by tests/test_quant.py.
+            import jax as _jax
+            if (len(_jax.local_devices()) > 1
+                    and hparams.get("eval_data_parallel", True)):
+                print("[INFO] --quant int8 runs single-device "
+                      "(eval data parallelism applies to the bf16 path)")
             self._embed = None
         elif quant:
             raise ValueError(f"unknown quant mode {quant!r} (expected 'int8')")
