@@ -424,9 +424,21 @@ class Trainer:
                 compute_dtype_from_hparams,
             )
             normalize = bool(getattr(self.model.loss, "test_normalize", True))
+            # mesh-less training with several local chips: row-shard the
+            # validation extraction like InferenceEngine does (exact
+            # math). Under DP/TP training (mesh set) the state is
+            # already device-placed on its own mesh — keep the embed on
+            # one device rather than resharding across meshes.
+            devices = None
+            if self.mesh is None and not self.multiprocess:
+                import jax as _jax
+                if (len(_jax.local_devices()) > 1
+                        and self.hparams.get("eval_data_parallel", True)):
+                    devices = _jax.local_devices()
             self.embed_fn = make_eval_embed_fn(
                 self.model, normalize=normalize,
-                compute_dtype=compute_dtype_from_hparams(self.hparams))
+                compute_dtype=compute_dtype_from_hparams(self.hparams),
+                devices=devices)
         # accept either a ready trial list or a CSV manifest
         va = str(self.hparams["valid_annotation"])
         listfile = self._validation_trials() if va.endswith(".csv") else va
