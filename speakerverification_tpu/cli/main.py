@@ -24,7 +24,8 @@ from speakerverification_tpu.config import dump_config, read_config
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser("speakerverification_tpu")
-    p.add_argument("--config", type=str, required=True)
+    # required unless --list_components short-circuits (checked in main)
+    p.add_argument("--config", type=str, default=None)
     p.add_argument("--do_train", action="store_true")
     p.add_argument("--do_infer", action="store_true")
     p.add_argument("--do_export", action="store_true")
@@ -85,13 +86,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--test_threshold", type=float, default=None)
     p.add_argument("--scoring_mode", type=str, default=None)
     p.add_argument("--sys_info", action="store_true")
+    p.add_argument("--list_components", action="store_true",
+                   help="print every registered model/loss/optimizer/"
+                        "scheduler name and exit")
     return p
 
 
 # CLI mode flags that must not clobber same-named YAML config keys
 # (e.g. the YAML `prepare: cohorts|embed` selector vs the --prepare flag).
 _MODE_FLAGS = {"config", "do_train", "do_infer", "do_export",
-               "eval", "test", "prepare", "predict", "sys_info", "device"}
+               "eval", "test", "prepare", "predict", "sys_info", "device",
+               "list_components"}
 
 
 def load_hparams(args: argparse.Namespace) -> dict:
@@ -142,6 +147,21 @@ def ensure_metadata(hparams: dict) -> None:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.list_components:
+        # registries import no jax-compiled code — safe without a device
+        from speakerverification_tpu.losses import LOSSES
+        from speakerverification_tpu.models import MODELS
+        from speakerverification_tpu.optim import OPTIMIZERS
+        from speakerverification_tpu.registry import SCHEDULERS
+        for title, reg in (("models", MODELS), ("losses", LOSSES),
+                           ("optimizers", OPTIMIZERS),
+                           ("schedulers", SCHEDULERS)):
+            names = sorted(reg.names())
+            print(f"{title} ({len(names)}): {', '.join(names)}")
+        return 0
+    if not args.config:
+        print("--config is required", file=sys.stderr)
+        return 2
     apply_device_flag(args.device)
     hparams = load_hparams(args)
 
