@@ -15,8 +15,8 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
-# Fast-compile mode for the CPU test backend: the suite is ~270
-# jit-compile-bound tests (~371 default-tier) on a 1-CPU CI box; optimization level 0 +
+# Fast-compile mode for the CPU test backend: the suite is
+# ~371 jit-compile-bound default-tier tests on a 1-CPU CI box; optimization level 0 +
 # cheap LLVM passes cut cold compile ~36 % (measured) and every oracle/
 # torch-parity/DP-equality test still passes — test-only, production
 # flags are untouched.
