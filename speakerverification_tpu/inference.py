@@ -68,6 +68,13 @@ def _select_weights(hparams: Mapping, model_dir: Path) -> Optional[Path]:
 
 class InferenceEngine:
     def __init__(self, hparams: Mapping, weights: Optional[str] = None):
+        hparams = dict(hparams)
+        if (hparams.get("model") or {}).get("remat"):
+            # remat is a training-memory knob: the eval forward is
+            # bit-identical without it (tested), checkpoints are
+            # name-compatible, and int8 calibration's eager activation
+            # probes cannot run inside a jax.checkpoint region
+            hparams["model"] = {**hparams["model"], "remat": False}
         self.hparams = dict(hparams)
         self.dirs = run_dirs(hparams)
         self.model = encoder_from_hparams(hparams, with_loss=True)

@@ -224,3 +224,32 @@ def test_int8_ecapa_embeddings_cosine_aligned():
     # trial-pair scores must track: cosine score matrix of the int8
     # embeddings stays within a few 1e-3 of the fp32 one
     assert np.max(np.abs(got @ got.T - ref @ ref.T)) < 2e-2
+
+
+def test_inference_engine_strips_remat(tmp_path):
+    """model.remat is a training-memory knob: the engine must build the
+    eval model without it (int8 calibration's eager activation probes
+    cannot run inside a jax.checkpoint region) and int8 extraction must
+    work on a remat-configured model."""
+    from speakerverification_tpu.inference import InferenceEngine
+
+    hp = {
+        "save_folder": str(tmp_path), "nClasses": 4,
+        "audio_spec": {"sample_rate": 8000, "sentence_len": 1.0,
+                       "win_len": 0.025, "hop_len": 0.01},
+        "n_mels": 24, "features": "melspectrogram",
+        "model": {"name": "ECAPA_TDNN", "feature_type": "melspectrogram",
+                  "nOut": 16, "remat": True,
+                  "channels": [16, 16, 16, 16, 48],
+                  "kernel_sizes": [5, 3, 3, 3, 1],
+                  "dilations": [1, 2, 3, 4, 1], "attention_channels": 4,
+                  "res2net_scale": 4, "se_channels": 4},
+        "criterion": {"name": "AAmSoftmax"},
+        "quant": "int8",
+    }
+    eng = InferenceEngine(hp)
+    assert eng.model.backbone.remat is False
+    rng = np.random.default_rng(3)
+    emb = np.asarray(eng.embed_fn(
+        rng.normal(0, .1, (4, 8000)).astype(np.float32)))
+    assert emb.shape == (4, 16) and np.isfinite(emb).all()
