@@ -129,13 +129,65 @@ def yogi(learning_rate, weight_decay=0.0, b1=0.9, b2=0.999, eps=1e-3, **kw):
                        optax.scale(-learning_rate))
 
 
+class LookaheadState(NamedTuple):
+    inner: Any
+    slow: Any
+    counter: Any          # int32 scalar, cycles mod k
+    has_slow: Any         # bool scalar: slow initialized yet?
+
+
+def _lookahead(inner: optax.GradientTransformation, k: int,
+               alpha: float) -> optax.GradientTransformation:
+    """Self-contained Lookahead (reference: src/optimizer/Lookahead.py).
+
+    Unlike ``optax.lookahead`` (which demands a fast/slow
+    ``LookaheadParams`` pair threaded through the whole training loop),
+    the slow weights live in THIS transformation's state, so the zoo's
+    standard ``update(grads, state, params)`` contract holds. Reference
+    quirks reproduced exactly: the sync runs when the counter is 0 —
+    including the very FIRST step, where it initializes the slow params
+    from the post-inner-step fast params (a no-op interpolation) — and
+    the interpolation is ``alpha*fast + (1-alpha)*slow`` with the slow
+    side overwritten by the result (Lookahead.py:58-80).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    def init(params):
+        return LookaheadState(
+            inner=inner.init(params),
+            slow=jax.tree_util.tree_map(jnp.zeros_like, params),
+            counter=jnp.zeros([], jnp.int32),
+            has_slow=jnp.zeros([], jnp.bool_))
+
+    def update(updates, state, params=None):
+        if params is None:
+            raise ValueError("Lookahead requires params in tx.update")
+        u, inner_state = inner.update(updates, state.inner, params)
+        fast = optax.apply_updates(params, u)
+        sync = state.counter == 0
+        tmap = jax.tree_util.tree_map
+        slow0 = tmap(lambda s, f: jnp.where(state.has_slow, s, f),
+                     state.slow, fast)
+        out = tmap(lambda f, s: jnp.where(sync, alpha * f + (1 - alpha) * s,
+                                          f), fast, slow0)
+        new_slow = tmap(lambda o, s: jnp.where(sync, o, s), out, slow0)
+        final = tmap(lambda o, p: o - p, out, params)
+        return final, LookaheadState(
+            inner=inner_state, slow=new_slow,
+            counter=(state.counter + 1) % k,
+            has_slow=jnp.ones([], jnp.bool_))
+
+    return optax.GradientTransformation(init, update)
+
+
 @OPTIMIZERS.register("Lookahead")
 def lookahead(learning_rate, weight_decay=0.0, k=5, alpha=0.5,
               inner: str = "adam", **kw):
-    """Lookahead wrapper (reference: src/optimizer/lookahead.py) around an
+    """Lookahead wrapper (reference: src/optimizer/Lookahead.py) around an
     inner optimizer (default adam, matching the common usage)."""
     fast = OPTIMIZERS.get(inner)(learning_rate, weight_decay, **kw)
-    return optax.lookahead(fast, sync_period=k, slow_step_size=alpha)
+    return _lookahead(fast, k=int(k), alpha=float(alpha))
 
 
 def build_optimizer(name: str, learning_rate: float, weight_decay: float = 0.0,

@@ -20,7 +20,7 @@ from speakerverification_tpu.optim import (
 ALL_NAMES = ["adam", "sgd", "AdaBelief", "RAdam", "Lamb", "LARS", "NovoGrad",
              "Yogi", "Adafactor", "SGDW", "QHM", "QHAdam", "DiffGrad",
              "MADGRAD", "AdaBound", "AdaMod", "AdamP", "SGDP", "AggMo",
-             "PID", "AccSGD", "SWATS"]
+             "PID", "AccSGD", "SWATS", "Lookahead"]
 
 
 @pytest.mark.parametrize("name", ALL_NAMES)

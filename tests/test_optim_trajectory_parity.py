@@ -208,3 +208,31 @@ def test_reference_optimizer_config_path_is_broken(ref_path):
     for name in ("AdaBelief", "Adahessian"):
         cls = getattr(importlib.import_module("optimizer." + name), name)
         cls([p], lr=1e-3, weight_decay=0.0, lr_decay=0.95)   # absorbs it
+
+
+def test_lookahead_trajectory_parity(ref_path):
+    """Our self-contained Lookahead vs the reference's wrapper around
+    torch Adam (src/optimizer/Lookahead.py): sync fires when the counter
+    is 0 — including the FIRST step, which initializes the slow params
+    from the post-step fast params — and interpolates
+    alpha*fast + (1-alpha)*slow. 8 steps at k=3 cross three syncs."""
+    import torch
+    k, alpha, wd = 3, 0.5, 0.01
+    Lookahead = getattr(importlib.import_module("optimizer.Lookahead"),
+                        "Lookahead")
+    b = torch.nn.Parameter(torch.from_numpy(B0.copy()))
+    w = torch.nn.Parameter(torch.from_numpy(W0.copy()))
+    opt = Lookahead(torch.optim.Adam([b, w], lr=LR, weight_decay=wd),
+                    k=k, alpha=alpha)
+    xs, ys = torch.from_numpy(X), torch.from_numpy(Y)
+    ref = []
+    for _ in range(STEPS):
+        opt.zero_grad()
+        loss = 0.5 * ((xs @ w + b - ys) ** 2).mean()
+        loss.backward()
+        opt.step()
+        ref.append((b.detach().numpy().copy(), w.detach().numpy().copy()))
+
+    ours = _jax_traj("Lookahead",
+                     {"k": k, "alpha": alpha, "inner": "adam"}, wd)
+    _assert_traj_close(ours, ref)
