@@ -248,3 +248,27 @@ def test_track_ema_averages_bfloat16_leaves():
     # ema = 1*0.5 + 0.5*0.5 = 0.75 — NOT the raw post-update 0.5
     np.testing.assert_allclose(np.asarray(ema, np.float32), 0.75)
     np.testing.assert_allclose(np.asarray(new_p["w"], np.float32), 0.5)
+
+
+def test_every_registered_optimizer_meets_contract():
+    """Every registry entry must work through the zoo's one contract:
+    build -> init on plain params -> set_learning_rate -> update -> jit,
+    composed with ema_decay. (Caught: the optax.lookahead wrapper needs
+    a fast/slow params pair and crashed on plain params.)"""
+    import optax
+
+    from speakerverification_tpu.optim import get_ema_params
+
+    for name in sorted(OPTIMIZERS.names()):
+        tx = build_optimizer(name, learning_rate=0.01, ema_decay=0.5)
+        p = {"w": jnp.ones((4, 3)), "b": jnp.zeros((3,))}
+        s = tx.init(p)
+        s = set_learning_rate(s, jnp.float32(0.005))
+        g = {"w": jnp.full((4, 3), 0.1), "b": jnp.full((3,), 0.1)}
+        u, s = tx.update(g, s, p)
+        p2 = optax.apply_updates(p, u)
+        for leaf in jax.tree_util.tree_leaves(p2):
+            assert np.isfinite(np.asarray(leaf)).all(), name
+        assert get_ema_params(s) is not None, name
+        jitted = jax.jit(lambda s_, p_, tx_=tx: tx_.update(g, s_, p_))
+        jitted(s, p2)
