@@ -75,7 +75,7 @@ class InferenceEngine:
             # name-compatible, and int8 calibration's eager activation
             # probes cannot run inside a jax.checkpoint region
             hparams["model"] = {**hparams["model"], "remat": False}
-        self.hparams = dict(hparams)
+        self.hparams = hparams
         self.dirs = run_dirs(hparams)
         self.model = encoder_from_hparams(hparams, with_loss=True)
 
@@ -151,9 +151,10 @@ class InferenceEngine:
             # max-reduces cost more than the int8 GEMM saves (see
             # quant._int8_gemm). Embedding cosine fidelity vs the float
             # path is pinned by tests/test_quant.py.
-            import jax as _jax
-            if (len(_jax.local_devices()) > 1
-                    and hparams.get("eval_data_parallel", True)):
+            from speakerverification_tpu.training.train_step import (
+                eval_dp_devices,
+            )
+            if eval_dp_devices(hparams):
                 print("[INFO] --quant int8 runs single-device "
                       "(eval data parallelism applies to the bf16 path)")
             self._embed = None
@@ -166,17 +167,17 @@ class InferenceEngine:
             # see make_eval_embed_fn). `eval_data_parallel: false` opts
             # out; composes with the per-process file-list sharding of
             # multi-host runs (extract_embeddings distributed=True).
-            import jax as _jax
-            devices = _jax.local_devices()
-            use_dp = (len(devices) > 1
-                      and bool(hparams.get("eval_data_parallel", True)))
-            if use_dp:
+            from speakerverification_tpu.training.train_step import (
+                eval_dp_devices,
+            )
+            devices = eval_dp_devices(hparams)
+            if devices:
                 print(f"[INFO] eval data parallelism over "
                       f"{len(devices)} local devices")
             self._embed = make_eval_embed_fn(
                 self.model, normalize=normalize,
                 compute_dtype=compute_dtype_from_hparams(hparams),
-                devices=devices if use_dp else None)
+                devices=devices)
         self._normalize = normalize
         # the embed fn above already applied the head's test_normalize
         # policy; scoring must not re-normalize or heads with

@@ -93,7 +93,9 @@ def _rawnet2_hybrid(nOut, front, agg, kwargs, input_norm) -> RawECAPAHybrid:
                         att_dim=128, sample_rate=cfg.sample_rate)
     return RawECAPAHybrid(raw_branch=raw,
                           ecapa=_hybrid_ecapa(cfg.n_mels,
-                                              input_norm=input_norm),
+                                              input_norm=input_norm,
+                                              remat=bool(
+                                                  kwargs.get("remat"))),
                           frontend=cfg)
 
 
@@ -162,5 +164,6 @@ def build_raw_ecapa_hype(nOut: int = 512, **kwargs) -> RawECAPAHype:
         raw_branch=RawNet2Custom(nOut=512, front_proc="sinc",
                                  aggregate="gru", att_dim=128,
                                  sample_rate=cfg.sample_rate),
-        ecapa=_hybrid_ecapa(cfg.n_mels, input_norm=True),
+        ecapa=_hybrid_ecapa(cfg.n_mels, input_norm=True,
+                            remat=bool(kwargs.get("remat"))),
         nOut=nOut, frontend=cfg)

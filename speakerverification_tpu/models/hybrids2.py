@@ -52,7 +52,8 @@ def build_tita_ecapa(nOut: int = 512, **kwargs) -> TitaECAPA:
     hidden, kernel = _SIZES["m"]
     return TitaECAPA(
         ecapa=ECAPA_TDNN(lin_neurons=192, channels=(512, 512, 512, 512, 1536),
-                         log_input=False, input_norm=True),
+                         log_input=False, input_norm=True,
+                         remat=bool(kwargs.get("remat"))),
         # the reference resolves n_mega_blocks=None by a param-count
         # search that depends on the branch embedding size (nOut-192)
         titanet=TitaNet(nOut=nOut - 192, hidden_size=hidden,

@@ -183,10 +183,18 @@ def _lookahead(inner: optax.GradientTransformation, k: int,
 
 @OPTIMIZERS.register("Lookahead")
 def lookahead(learning_rate, weight_decay=0.0, k=5, alpha=0.5,
-              inner: str = "adam", **kw):
+              inner: str = "adam", inner_kwargs=None, **kw):
     """Lookahead wrapper (reference: src/optimizer/Lookahead.py) around an
-    inner optimizer (default adam, matching the common usage)."""
-    fast = OPTIMIZERS.get(inner)(learning_rate, weight_decay, **kw)
+    inner optimizer (default adam, matching the common usage).
+
+    Inner hyperparameters go through ``inner_kwargs`` — a NAMED param,
+    because build_optimizer filters config keys to the factory's
+    signature, so a bare ``**kw`` passthrough would be unreachable from
+    YAML: ``optimizer: {name: Lookahead, inner: sgd,
+    inner_kwargs: {momentum: 0.9}}``.
+    """
+    fast = OPTIMIZERS.get(inner)(learning_rate, weight_decay,
+                                 **dict(inner_kwargs or {}))
     return _lookahead(fast, k=int(k), alpha=float(alpha))
 
 

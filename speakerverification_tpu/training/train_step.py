@@ -28,7 +28,18 @@ import optax
 from speakerverification_tpu.optim import set_learning_rate
 from speakerverification_tpu.training.state import TrainState
 
-__all__ = ["make_train_step", "make_eval_embed_fn"]
+__all__ = ["make_train_step", "make_eval_embed_fn", "eval_dp_devices"]
+
+
+def eval_dp_devices(hparams) -> Optional[list]:
+    """The ONE policy for row-sharded eval extraction: all local devices
+    when more than one is addressable and ``eval_data_parallel`` isn't
+    disabled, else None. Shared by the Trainer's validation and the
+    InferenceEngine so the opt-out key can't drift between call sites."""
+    devs = jax.local_devices()
+    if len(devs) > 1 and bool(hparams.get("eval_data_parallel", True)):
+        return devs
+    return None
 
 
 def make_train_step(model, tx: optax.GradientTransformation,

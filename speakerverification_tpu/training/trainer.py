@@ -429,12 +429,12 @@ class Trainer:
             # math). Under DP/TP training (mesh set) the state is
             # already device-placed on its own mesh — keep the embed on
             # one device rather than resharding across meshes.
-            devices = None
-            if self.mesh is None and not self.multiprocess:
-                import jax as _jax
-                if (len(_jax.local_devices()) > 1
-                        and self.hparams.get("eval_data_parallel", True)):
-                    devices = _jax.local_devices()
+            from speakerverification_tpu.training.train_step import (
+                eval_dp_devices,
+            )
+            devices = (eval_dp_devices(self.hparams)
+                       if self.mesh is None and not self.multiprocess
+                       else None)
             self.embed_fn = make_eval_embed_fn(
                 self.model, normalize=normalize,
                 compute_dtype=compute_dtype_from_hparams(self.hparams),

@@ -94,11 +94,6 @@ def test_ecapa_remat_matches_exactly(ecapa_small):
         rng.gamma(2.0, 1.0, (2, 100, 80)).astype(np.float32))
     variables = ecapa_small.init(jax.random.PRNGKey(0), feats)
 
-    @jax.jit
-    def fwd(model_flag, v, f):
-        m = remat_model if model_flag else ecapa_small
-        return m.apply(v, f)
-    # jit can't branch on python bool captured like this — build two fns
     f1 = jax.jit(lambda v, f: ecapa_small.apply(v, f))
     f2 = jax.jit(lambda v, f: remat_model.apply(v, f))
     np.testing.assert_array_equal(np.asarray(f1(variables, feats)),
