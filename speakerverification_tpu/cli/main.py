@@ -1,4 +1,4 @@
-"""CLI entry point: train / infer / export / dataprep.
+"""CLI entry point: train / infer / export / serve / dataprep.
 
 Flag-surface parity with the reference's ``src/main.py:11-96``:
 ``--do_train | --do_infer | --do_export`` with ``--eval/--test/--predict/
@@ -29,6 +29,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--do_train", action="store_true")
     p.add_argument("--do_infer", action="store_true")
     p.add_argument("--do_export", action="store_true")
+    p.add_argument("--do_serve", action="store_true",
+                   help="run the dynamic-batching embedding/scoring HTTP "
+                        "server (serving.py; no reference equivalent)")
+    p.add_argument("--serve_host", type=str, default=None)
+    p.add_argument("--serve_port", type=int, default=None)
     # infer sub-modes (parity: main.py:36-56)
     p.add_argument("--eval", action="store_true")
     p.add_argument("--test", action="store_true")
@@ -94,7 +99,8 @@ def build_parser() -> argparse.ArgumentParser:
 
 # CLI mode flags that must not clobber same-named YAML config keys
 # (e.g. the YAML `prepare: cohorts|embed` selector vs the --prepare flag).
-_MODE_FLAGS = {"config", "do_train", "do_infer", "do_export",
+_MODE_FLAGS = {"config", "do_train", "do_infer", "do_export", "do_serve",
+               "serve_host", "serve_port",
                "eval", "test", "prepare", "predict", "sys_info", "device",
                "list_components"}
 
@@ -191,8 +197,16 @@ def main(argv=None) -> int:
         export_model(hparams)
         return 0
 
-    print("nothing to do: pass --do_train / --do_infer / --do_export",
-          file=sys.stderr)
+    if args.do_serve:
+        from speakerverification_tpu.serving import serve
+        serving = hparams.get("serving") or {}
+        serve(hparams,
+              host=args.serve_host or serving.get("host", "0.0.0.0"),
+              port=int(args.serve_port or serving.get("port", 8008)))
+        return 0
+
+    print("nothing to do: pass --do_train / --do_infer / --do_export "
+          "/ --do_serve", file=sys.stderr)
     return 2
 
 

@@ -1,0 +1,312 @@
+"""Production serving: a dynamic-batching embedding/scoring HTTP daemon.
+
+Beyond-reference capability. The reference's closest analogue is the
+bare ``onnx_inference`` helper (src/model.py:783-792) — there is no
+server, no batching, no request path. On TPU the per-dispatch overhead
+dominates batch-1 latency (PARITY.md measures ~3.65 ms host round-trip
+per dispatch on the bench chip), so a serving layer MUST coalesce
+concurrent requests into one device program call. This module does
+exactly that:
+
+- :class:`DynamicBatcher` — concurrent requests enqueue ``[num_eval, T]``
+  crop stacks; a dispatcher thread coalesces up to ``batch_utts``
+  utterances (or flushes after ``max_wait_ms``) into ONE fixed-shape
+  ``[batch_utts * num_eval, T]`` device batch. The shape never changes,
+  so the extraction program compiles exactly once (XLA static-shape
+  rule) and short batches are padded, not recompiled.
+- :class:`ServingHandler` / :func:`serve` — a dependency-free
+  ``ThreadingHTTPServer`` exposing::
+
+      GET  /healthz            -> {"status": "ok", model, dim, ...}
+      POST /embed              -> {"embedding": [D floats], "dim": D}
+      POST /score              -> {"score": s}   (reference cosine
+                                  semantics: mean |cos| over all
+                                  num_eval x num_eval crop pairs,
+                                  src/utils.py:163-164)
+      POST /identify           -> {"speaker": name, "score": s}
+                                  (nearest enrolled speaker over the
+                                  prepare-type=embed banks,
+                                  src/inference.py:254-327 semantics)
+
+  Audio is supplied per request as ``{"path": server-local file}`` or
+  ``{"pcm": [...], "sample_rate": N}``; ``/score`` takes ``enroll`` and
+  ``test`` objects of the same shape.
+
+The utterance embedding returned by ``/embed`` is the re-normalized
+mean of the per-crop embeddings — the same pooling the reference uses
+for its cohort/enrollment banks (src/model.py:578-609), so served
+embeddings are directly comparable to ``--prepare`` artifacts.
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import threading
+from concurrent.futures import Future
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Callable, Mapping, Optional
+
+import numpy as np
+
+__all__ = ["DynamicBatcher", "serve", "make_serving_app"]
+
+
+class DynamicBatcher:
+    """Coalesce concurrent embedding requests into fixed-shape batches.
+
+    ``embed`` maps ``[N, T] float32 -> [N, D]`` (the jitted extractor
+    from ``make_eval_embed_fn``; N = batch_utts * num_eval is constant
+    across calls). ``submit`` is thread-safe and returns a Future
+    resolving to the ``[num_eval, D]`` crop embeddings of that request.
+    """
+
+    def __init__(self, embed: Callable, batch_utts: int, num_eval: int,
+                 samples: int, max_wait_ms: float = 5.0):
+        if batch_utts < 1:
+            raise ValueError("batch_utts must be >= 1")
+        self.embed = embed
+        self.batch_utts = int(batch_utts)
+        self.num_eval = int(num_eval)
+        self.samples = int(samples)
+        self.max_wait = float(max_wait_ms) / 1000.0
+        self._q: "queue.Queue" = queue.Queue()
+        self._closed = False
+        self.batches_run = 0          # observability: coalescing ratio
+        self.utts_served = 0
+        self._thread = threading.Thread(target=self._worker, daemon=True,
+                                        name="svtpu-batcher")
+        self._thread.start()
+
+    def submit(self, crops: np.ndarray) -> Future:
+        crops = np.asarray(crops, np.float32)
+        if crops.shape != (self.num_eval, self.samples):
+            raise ValueError(
+                f"crops shape {crops.shape} != "
+                f"({self.num_eval}, {self.samples})")
+        if self._closed:
+            raise RuntimeError("batcher is closed")
+        fut: Future = Future()
+        self._q.put((crops, fut))
+        return fut
+
+    def close(self) -> None:
+        if not self._closed:
+            self._closed = True
+            self._q.put(None)
+            self._thread.join(timeout=10)
+
+    # ------------------------------------------------------------------
+    def _worker(self) -> None:
+        import time
+        while True:
+            head = self._q.get()
+            if head is None:
+                return
+            batch = [head]
+            deadline = time.monotonic() + self.max_wait
+            # coalesce: wait up to max_wait for more requests, flush
+            # early once the batch is full
+            while len(batch) < self.batch_utts:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    item = self._q.get(timeout=remaining)
+                except queue.Empty:
+                    break
+                if item is None:
+                    self._run(batch)
+                    return
+                batch.append(item)
+            self._run(batch)
+
+    def _run(self, batch) -> None:
+        n = len(batch)
+        try:
+            waves = np.empty((self.batch_utts * self.num_eval, self.samples),
+                             np.float32)
+            for i, (crops, _) in enumerate(batch):
+                waves[i * self.num_eval:(i + 1) * self.num_eval] = crops
+            if n < self.batch_utts:
+                # pad slots repeat request 0's crops: the shape stays
+                # static (no recompile) and the rows are numerically
+                # benign; padded outputs are sliced away below
+                waves[n * self.num_eval:] = np.tile(
+                    batch[0][0], (self.batch_utts - n, 1))
+            emb = np.asarray(self.embed(waves), np.float32)
+            emb = emb.reshape(self.batch_utts, self.num_eval, -1)
+            self.batches_run += 1
+            self.utts_served += n
+            for i, (_, fut) in enumerate(batch):
+                fut.set_result(emb[i])
+        except Exception as exc:                    # pragma: no cover
+            for _, fut in batch:
+                if not fut.done():
+                    fut.set_exception(exc)
+
+
+# ----------------------------------------------------------------------
+def _decode_audio_spec(obj: Mapping, spec: Mapping,
+                       num_eval: int) -> np.ndarray:
+    """Request audio object -> [num_eval, T] eval crops."""
+    from speakerverification_tpu.data.audio import AudioSpec, load_wav
+    aspec = AudioSpec(spec)
+    if "path" in obj:
+        return load_wav(str(obj["path"]), spec, evalmode=True,
+                        num_eval=num_eval)
+    if "pcm" in obj:
+        sr = int(obj.get("sample_rate", aspec.sample_rate))
+        if sr != aspec.sample_rate:
+            raise ValueError(
+                f"pcm sample_rate {sr} != configured {aspec.sample_rate} "
+                "(resample client-side)")
+        pcm = np.asarray(obj["pcm"], np.float32)
+        if pcm.ndim != 1 or pcm.size == 0:
+            raise ValueError("pcm must be a non-empty 1-D sample list")
+        return load_wav(pcm, spec, evalmode=True, num_eval=num_eval)
+    raise ValueError("audio object needs 'path' or 'pcm'")
+
+
+def _pair_cosine(e1: np.ndarray, e2: np.ndarray) -> float:
+    """Reference cosine trial score: mean |cos| over all crop pairs
+    (src/utils.py:163-164; crop embeddings arrive L2-normalized when the
+    head's test_normalize is set, matching the eval path)."""
+    return float(np.mean(np.abs(e1 @ e2.T)))
+
+
+def _utt_embedding(crop_emb: np.ndarray) -> np.ndarray:
+    """Re-normalized crop mean (bank pooling, src/model.py:578-609)."""
+    mean = crop_emb.mean(axis=0)
+    return mean / max(float(np.linalg.norm(mean)), 1e-12)
+
+
+def make_serving_app(engine, hparams: Mapping,
+                     batch_utts: Optional[int] = None,
+                     max_wait_ms: Optional[float] = None):
+    """Build (handler_class, batcher) around an ``InferenceEngine``.
+
+    Split from :func:`serve` so tests can mount the handler on an
+    ephemeral port without going through the CLI.
+    """
+    h = dict(hparams)
+    serving = dict(h.get("serving") or {})
+    num_eval = int(h.get("num_eval", 10))
+    if num_eval == 0:
+        raise ValueError("serving requires num_eval >= 1 (fixed shapes)")
+    spec = h.get("audio_spec", {})
+    samples = int(float(spec.get("sentence_len", 2.0))
+                  * int(spec.get("sample_rate", 8000)))
+    batch_utts = int(batch_utts if batch_utts is not None
+                     else serving.get("batch_utts", 8))
+    max_wait_ms = float(max_wait_ms if max_wait_ms is not None
+                        else serving.get("max_wait_ms", 5.0))
+    batcher = DynamicBatcher(engine.embed_fn, batch_utts, num_eval,
+                             samples, max_wait_ms)
+
+    # optional identification banks (prepare_type='embed' artifacts)
+    banks = {"embeds": None, "classes": None}
+
+    def _load_banks():
+        if banks["embeds"] is None:
+            mdir = engine.dirs["model"]
+            epath, cpath = mdir / "embeds.npy", mdir / "classes.npy"
+            if not (epath.exists() and cpath.exists()):
+                raise FileNotFoundError(
+                    "identification needs embeds.npy/classes.npy — run "
+                    "--do_infer --prepare with prepare: embed first")
+            banks["embeds"] = np.load(epath)
+            banks["classes"] = np.load(cpath, allow_pickle=True).item()
+        return banks["embeds"], banks["classes"]
+
+    model_name = (h.get("model") or {}).get("name", "?")
+
+    class ServingHandler(BaseHTTPRequestHandler):
+        server_version = "svtpu-serving/1.0"
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt, *args):          # quiet by default
+            if serving.get("access_log"):
+                super().log_message(fmt, *args)
+
+        def _reply(self, code: int, payload: dict) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._reply(200, {
+                    "status": "ok", "model": model_name,
+                    "num_eval": num_eval, "samples": samples,
+                    "batch_utts": batch_utts,
+                    "batches_run": batcher.batches_run,
+                    "utts_served": batcher.utts_served,
+                })
+            else:
+                self._reply(404, {"error": f"unknown path {self.path}"})
+
+        def do_POST(self):
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                obj = json.loads(self.rfile.read(length) or b"{}")
+            except (ValueError, json.JSONDecodeError) as exc:
+                return self._reply(400, {"error": f"bad JSON: {exc}"})
+            try:
+                if self.path == "/embed":
+                    crops = _decode_audio_spec(obj, spec, num_eval)
+                    emb = batcher.submit(crops).result()
+                    utt = _utt_embedding(emb)
+                    return self._reply(200, {
+                        "embedding": [float(x) for x in utt],
+                        "dim": int(utt.shape[0])})
+                if self.path == "/score":
+                    futs = [batcher.submit(
+                        _decode_audio_spec(obj[k], spec, num_eval))
+                        for k in ("enroll", "test")]
+                    e1, e2 = (f.result() for f in futs)
+                    return self._reply(200, {"score": _pair_cosine(e1, e2)})
+                if self.path == "/identify":
+                    embeds, classes = _load_banks()
+                    crops = _decode_audio_spec(obj, spec, num_eval)
+                    utt = _utt_embedding(batcher.submit(crops).result())
+                    # nearest enrolled speaker by mean pairwise distance,
+                    # score = 1 - d^2/2 (src/inference.py:254-327)
+                    d = np.linalg.norm(embeds - utt[None, :], axis=1)
+                    best = int(np.argmin(d))
+                    return self._reply(200, {
+                        "speaker": str(classes[best]),
+                        "score": float(1.0 - d[best] ** 2 / 2.0)})
+                return self._reply(404, {"error": f"unknown path {self.path}"})
+            except (KeyError, ValueError, TypeError,
+                    FileNotFoundError) as exc:
+                return self._reply(400, {"error": str(exc)})
+
+    return ServingHandler, batcher
+
+
+def serve(hparams: Mapping, host: str = "0.0.0.0",
+          port: int = 8008) -> None:
+    """Blocking server entry (CLI ``--do_serve``)."""
+    from speakerverification_tpu.inference import InferenceEngine
+
+    engine = InferenceEngine(hparams)
+    handler, batcher = make_serving_app(engine, hparams)
+    # warm the compile before accepting traffic: one full-shape batch
+    warm = np.zeros((batcher.batch_utts * batcher.num_eval,
+                     batcher.samples), np.float32)
+    np.asarray(engine.embed_fn(warm))
+    httpd = ThreadingHTTPServer((host, port), handler)
+    print(f"[INFO] serving {hparams.get('model', {}).get('name', '?')} "
+          f"on {host}:{port} (batch_utts={batcher.batch_utts}, "
+          f"max_wait={batcher.max_wait * 1000:.0f}ms)")
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:                       # pragma: no cover
+        pass
+    finally:
+        httpd.shutdown()
+        batcher.close()
