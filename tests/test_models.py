@@ -80,6 +80,9 @@ def test_model_registry():
     assert "ECAPA_TDNN" in MODELS
 
 
+@pytest.mark.slow        # two extra grad compiles ≈ 26 s cold; the remat
+                         # path stays default-covered by the engine
+                         # strips-remat test and the driver dryrun
 def test_ecapa_remat_matches_exactly(ecapa_small):
     """remat=True (per-SE-Res2Net-block jax.checkpoint) must be a pure
     memory/recompute trade: identical forward AND identical gradients

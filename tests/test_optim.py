@@ -250,6 +250,8 @@ def test_track_ema_averages_bfloat16_leaves():
     np.testing.assert_allclose(np.asarray(new_p["w"], np.float32), 0.5)
 
 
+@pytest.mark.slow        # 29 distinct tiny compiles ≈ 22 s; per-optimizer
+                         # math is already covered by trajectory parity
 def test_every_registered_optimizer_meets_contract():
     """Every registry entry must work through the zoo's one contract:
     build -> init on plain params -> set_learning_rate -> update -> jit,

@@ -45,6 +45,10 @@ def test_mesh_shape_mismatch():
 
 
 def test_dp_step_runs_and_replicates(model_and_tx):
+    """ECAPA (per-shard BN) under 8-way DP runs finite and steps. Exact
+    equality with single-device is checked on a BN-free backbone below —
+    per-rank BN makes DP differ by design, the same semantics torch DDP
+    has (SURVEY.md §7 hard part (d))."""
     model, tx = model_and_tx
     mesh = make_mesh()
     rng = np.random.default_rng(0)
@@ -110,24 +114,6 @@ def test_dp_matches_single_device():
     for a, b in zip(flat1, flat2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=2e-5)
-
-
-def test_dp_with_batchnorm_runs(model_and_tx):
-    """ECAPA (per-shard BN) under DP: finite and steps (exact equality with
-    single-device is not expected — per-rank BN, like torch DDP)."""
-    model, tx = model_and_tx
-    mesh = make_mesh()
-    rng = np.random.default_rng(3)
-    wave = rng.normal(0, 0.1, (8, 2, 8000)).astype(np.float32)
-    label = np.arange(8, dtype=np.int32)
-    state = create_train_state(model, tx, jax.random.PRNGKey(0),
-                               jnp.asarray(wave), jnp.asarray(label))
-    state = replicate_state(state, mesh)
-    batch = shard_batch({"wave": wave, "label": label}, mesh)
-    step = make_dp_train_step(model, tx, mesh, donate=False)
-    state, metrics = step(state, batch["wave"], batch["label"],
-                          jax.random.PRNGKey(1), jnp.float32(1e-3))
-    assert np.isfinite(float(metrics["loss"]))
 
 
 def test_dp_multiple_steps_stay_finite(model_and_tx):
@@ -379,10 +365,12 @@ def test_grad_accumulation_matches_dp(model_and_tx):
 def test_grad_accumulation_rejects_indivisible_batch(model_and_tx):
     model, tx = model_and_tx
     rng = np.random.default_rng(0)
-    wave = jnp.asarray(rng.normal(0, .1, (6, 2, 8000)).astype(np.float32))
-    lab = jnp.asarray(np.arange(6, dtype=np.int32))
+    # batch 8 reuses the module's cached (8, 2, 8000) init compile — the
+    # rejection itself fires at trace time, before any step compile
+    wave = jnp.asarray(rng.normal(0, .1, (8, 2, 8000)).astype(np.float32))
+    lab = jnp.asarray(np.arange(8, dtype=np.int32))
     s = create_train_state(model, tx, jax.random.PRNGKey(0), wave, lab)
-    step = jax.jit(make_train_step(model, tx, accum_steps=4))
+    step = jax.jit(make_train_step(model, tx, accum_steps=3))
     with pytest.raises(ValueError, match="accumulate_steps"):
         step(s, wave, lab, jax.random.PRNGKey(0), jnp.float32(1e-3))
 

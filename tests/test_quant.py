@@ -192,6 +192,9 @@ def _small_ecapa():
                           frontend_backend="xla")
 
 
+@pytest.mark.slow        # three int8 program compiles ≈ 37 s cold; int8
+                         # stays default-covered by the CLI e2e
+                         # (test_cli_infer_eval_int8_quant)
 def test_int8_ecapa_embeddings_cosine_aligned():
     model = _small_ecapa()
     rng = np.random.default_rng(3)
