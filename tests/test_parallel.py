@@ -276,16 +276,20 @@ def test_builder_gates_gather_axis_on_single_device():
     model8 = encoder_from_hparams(hparams, num_devices=8)
     assert model8.gather_axis == "data"
 
-    # the previously-crashing path: plain jitted step, no mesh
     tx = build_optimizer("adam", learning_rate=1e-3)
     rng = np.random.default_rng(7)
     wave = jnp.asarray(rng.normal(0, 0.1, (4, 2, 8000)).astype(np.float32))
     label = jnp.arange(4, dtype=jnp.int32)
+    # the previously-crashing path: plain jitted step, no mesh. The
+    # regression (unbound 'data' axis from the metric-loss all_gather)
+    # fires at TRACE time, so lowering alone exercises it — no need to
+    # pay the XLA compile of this unique (4,2,8000)+AngularProto shape
     state = create_train_state(model, tx, jax.random.PRNGKey(0), wave, label)
     step = jax.jit(make_train_step(model, tx))
-    _, metrics = step(state, wave, label, jax.random.PRNGKey(1),
-                      jnp.float32(1e-3))
-    assert np.isfinite(float(metrics["loss"]))
+    lowered = step.lower(state, wave, label, jax.random.PRNGKey(1),
+                         jnp.float32(1e-3))
+    txt = lowered.as_text()
+    assert "all-gather" not in txt and "all_gather" not in txt
 
 
 @pytest.mark.slow
