@@ -200,6 +200,8 @@ class InferenceEngine:
             # often speaker-ordered — the first rows alone can calibrate
             # quiet); calibrate_act_scales adds 10 % saturation headroom
             flat = jnp.asarray(waves).reshape(-1, np.shape(waves)[-1])
+            if flat.dtype == jnp.int16:   # serving int16 wire format
+                flat = flat.astype(jnp.float32) * (1.0 / 32768.0)
             n_calib = min(int(self.hparams.get("quant_calib_utts", 32)),
                           flat.shape[0])
             idx = np.linspace(0, flat.shape[0] - 1, n_calib).astype(int)

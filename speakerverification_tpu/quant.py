@@ -299,6 +299,10 @@ def make_int8_embed_fn(model, normalize: bool = True,
 
     @jax.jit
     def embed(params, batch_stats, wave):
+        if wave.dtype == jnp.int16:
+            # int16 serving wire format — dequantize in-program (same
+            # contract as make_eval_embed_fn, training/train_step.py)
+            wave = wave.astype(jnp.float32) * (1.0 / 32768.0)
         if compute_dtype is not None:
             params = jax.tree_util.tree_map(
                 lambda p: p.astype(compute_dtype)

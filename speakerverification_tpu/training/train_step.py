@@ -194,6 +194,13 @@ def make_eval_embed_fn(model, normalize: bool = True,
     """
 
     def _embed(params, batch_stats, wave):
+        if wave.dtype == jnp.int16:
+            # serving wire format (serving.py transport=int16): 16-bit
+            # PCM crosses host->device at half the float32 bytes and is
+            # dequantized HERE, inside the compiled program, so XLA
+            # fuses the cast+scale into the frontend's first op. jit
+            # specializes on dtype, so float32 callers are unaffected.
+            wave = wave.astype(jnp.float32) * (1.0 / 32768.0)
         if compute_dtype is not None:
             # params only — the model's frontend stays fp32 and casts
             # features to its compute_dtype (encoder.py)

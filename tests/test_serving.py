@@ -33,7 +33,13 @@ class FakeEmbed:
     def __call__(self, waves):
         with self.lock:
             self.calls.append(np.asarray(waves).shape)
-        w = np.asarray(waves, np.float32)
+            self.last_input = np.asarray(waves).copy()
+        w = np.asarray(waves)
+        if w.dtype == np.int16:
+            # serving int16 wire contract: embed_fn dequantizes
+            # (make_eval_embed_fn does this inside its jitted program)
+            w = w.astype(np.float32) * (1.0 / 32768.0)
+        w = w.astype(np.float32)
         # embedding from the first dim samples; deterministic per row
         emb = w[:, :self.dim] + 0.01
         return emb / np.linalg.norm(emb, axis=1, keepdims=True)
@@ -110,12 +116,16 @@ class FakeEngine:
         self.dirs = {"model": model_dir}
 
 
-def _serving_hparams(sr=8000, sentence_len=SAMPLES / 8000):
+def _serving_hparams(sr=8000, sentence_len=SAMPLES / 8000,
+                     transport="float32"):
+    # float32 transport here so the fake-extractor expectations stay
+    # bit-exact; the int16 wire default is covered by its own tests
     return {
         "model": {"name": "FAKE"},
         "num_eval": NUM_EVAL,
         "audio_spec": {"sample_rate": sr, "sentence_len": sentence_len},
-        "serving": {"batch_utts": 2, "max_wait_ms": 5},
+        "serving": {"batch_utts": 2, "max_wait_ms": 5,
+                    "transport": transport},
     }
 
 
@@ -199,6 +209,87 @@ def test_http_error_paths(http_app):
     assert status == 400 and "embeds.npy" in out["error"]
     status, out = _post(port, "/nope", {})
     assert status == 404
+
+
+def test_batcher_int16_transport_wire_format():
+    """transport='int16' puts exactly-quantized 16-bit PCM on the wire:
+    round(x*32768) clipped to the int16 range (serving.py _run)."""
+    fake = FakeEmbed()
+    b = DynamicBatcher(fake, batch_utts=1, num_eval=NUM_EVAL,
+                       samples=SAMPLES, max_wait_ms=5, transport="int16")
+    try:
+        crops = np.clip(_crops(0), -1.5, 1.5)     # includes out-of-range
+        b.submit(crops).result(timeout=10)
+        assert len(fake.calls) == 1
+        wire = fake.last_input
+        assert wire.dtype == np.int16
+        expect = np.clip(np.round(crops * 32768.0), -32768, 32767)
+        np.testing.assert_array_equal(wire, expect.astype(np.int16))
+    finally:
+        b.close()
+    with pytest.raises(ValueError, match="transport"):
+        DynamicBatcher(fake, 1, NUM_EVAL, SAMPLES, transport="int8")
+
+
+def test_int16_transport_app_matches_float_path(tmp_path):
+    """The default int16 wire + on-device dequant must reproduce the
+    float32-transport embedding to quantization precision (<=0.5/32768
+    per sample into a scale-invariant extractor)."""
+    rng = np.random.default_rng(7)
+    pcm = (0.5 * rng.normal(size=2 * SAMPLES)).astype(np.float32).tolist()
+
+    embs = {}
+    for transport in ("float32", "int16"):
+        engine = FakeEngine(tmp_path)
+        handler, batcher = make_serving_app(
+            engine, _serving_hparams(transport=transport))
+        httpd = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+        try:
+            port = httpd.server_address[1]
+            status, out = _post(port, "/embed",
+                                {"pcm": pcm, "sample_rate": 8000})
+            assert status == 200
+            embs[transport] = np.asarray(out["embedding"])
+            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+            conn.request("GET", "/healthz")
+            resp = conn.getresponse()
+            assert json.loads(resp.read())["transport"] == transport
+            conn.close()
+        finally:
+            httpd.shutdown()
+            batcher.close()
+    np.testing.assert_allclose(embs["int16"], embs["float32"], atol=1e-3)
+
+
+def test_eval_embed_fn_dequantizes_int16_in_program():
+    """make_eval_embed_fn's jitted program dtype-specializes on int16
+    and fuses the dequant (wave/32768) in-program — the serving wire
+    contract (serving.py transport=int16). int16 and float32 calls must
+    agree exactly (the quantized grid is exactly representable)."""
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+    from speakerverification_tpu.training.train_step import (
+        make_eval_embed_fn,
+    )
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, w):
+            return nn.Dense(4)(w[:, :16])
+
+    model = Tiny()
+    wave_f = np.round(np.random.default_rng(0).normal(
+        size=(3, 64)) * 8192) / 32768.0          # exact int16 grid
+    wave_f = wave_f.astype(np.float32)
+    wave_i = (wave_f * 32768.0).astype(np.int16)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((3, 64), jnp.float32))
+    embed = make_eval_embed_fn(model, normalize=True)
+    out_f = np.asarray(embed(variables["params"], {}, wave_f))
+    out_i = np.asarray(embed(variables["params"], {}, wave_i))
+    np.testing.assert_array_equal(out_f, out_i)
 
 
 # ----------------------------------------------------------------------
