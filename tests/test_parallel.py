@@ -44,6 +44,11 @@ def test_mesh_shape_mismatch():
         make_mesh(("data",), shape=[3])
 
 
+@pytest.mark.slow        # ~21 s cold compile of the ECAPA+AdaBelief DP
+                         # step; the same program class stays covered by
+                         # default-tier tests: grad-accum-vs-DP equality
+                         # (SGD DP step), metric-loss DP equality, the
+                         # two-process psum test, and the driver dryrun
 def test_dp_step_runs_and_replicates(model_and_tx):
     """ECAPA (per-shard BN) under 8-way DP runs finite and steps. Exact
     equality with single-device is checked on a BN-free backbone below —
@@ -116,6 +121,10 @@ def test_dp_matches_single_device():
                                    rtol=2e-3, atol=2e-5)
 
 
+@pytest.mark.slow        # shares the ECAPA+AdaBelief DP-step compile
+                         # with test_dp_step_runs_and_replicates above —
+                         # both must leave the default tier for the
+                         # compile to actually drop out of it
 def test_dp_multiple_steps_stay_finite(model_and_tx):
     model, tx = model_and_tx
     mesh = make_mesh()

@@ -229,14 +229,8 @@ def test_int8_ecapa_embeddings_cosine_aligned():
     assert np.max(np.abs(got @ got.T - ref @ ref.T)) < 2e-2
 
 
-def test_inference_engine_strips_remat(tmp_path):
-    """model.remat is a training-memory knob: the engine must build the
-    eval model without it (int8 calibration's eager activation probes
-    cannot run inside a jax.checkpoint region) and int8 extraction must
-    work on a remat-configured model."""
-    from speakerverification_tpu.inference import InferenceEngine
-
-    hp = {
+def _remat_int8_hparams(tmp_path):
+    return {
         "save_folder": str(tmp_path), "nClasses": 4,
         "audio_spec": {"sample_rate": 8000, "sentence_len": 1.0,
                        "win_len": 0.025, "hop_len": 0.01},
@@ -250,8 +244,26 @@ def test_inference_engine_strips_remat(tmp_path):
         "criterion": {"name": "AAmSoftmax"},
         "quant": "int8",
     }
-    eng = InferenceEngine(hp)
+
+
+def test_inference_engine_strips_remat(tmp_path):
+    """model.remat is a training-memory knob: the engine must build the
+    eval model without it (int8 calibration's eager activation probes
+    cannot run inside a jax.checkpoint region)."""
+    from speakerverification_tpu.inference import InferenceEngine
+
+    eng = InferenceEngine(_remat_int8_hparams(tmp_path))
     assert eng.model.backbone.remat is False
+
+
+@pytest.mark.slow        # int8-interception compile ≈ 10 s cold; the
+                         # strip itself is asserted by the fast test above
+def test_int8_extraction_on_remat_configured_model(tmp_path):
+    """int8 extraction (calibration probes + quantized embed) must work
+    end-to-end on a remat-configured model after the engine's strip."""
+    from speakerverification_tpu.inference import InferenceEngine
+
+    eng = InferenceEngine(_remat_int8_hparams(tmp_path))
     rng = np.random.default_rng(3)
     emb = np.asarray(eng.embed_fn(
         rng.normal(0, .1, (4, 8000)).astype(np.float32)))
