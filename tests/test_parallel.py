@@ -324,6 +324,9 @@ def test_dp_step_bf16_mixed_precision(model_and_tx):
                if jnp.issubdtype(p.dtype, jnp.floating))
 
 
+@pytest.mark.slow    # ~26 s cold: compiles BOTH an accum step and a DP step;
+# default tier keeps DP equality (test_dp_matches_single_device) and the
+# accum API surface (test_grad_accumulation_rejects_indivisible_batch)
 def test_grad_accumulation_matches_dp(model_and_tx):
     """accum_steps=k is sequential data parallelism: microbatch grads
     and BN stats averaged from the same starting stats — so a k-way

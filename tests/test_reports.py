@@ -59,6 +59,8 @@ def test_dump_fa_fr(tmp_path):
     assert "a d" in fa
 
 
+@pytest.mark.slow    # ~32 s cold: unique small-ECAPA bf16 train-step compile;
+# default tier keeps bf16-eval (below) + fp32 train coverage elsewhere
 def test_bf16_train_step():
     from speakerverification_tpu.encoder import SpeakerEncoder
     from speakerverification_tpu.losses import build_loss
