@@ -1,3 +1,7 @@
+from speakerverification_tpu.evaluation.bank import (  # noqa: F401
+    SpeakerBank,
+    identify_with_bank,
+)
 from speakerverification_tpu.evaluation.metrics import (  # noqa: F401
     accuracy,
     compute_error_rates,

@@ -1,0 +1,150 @@
+"""Device-resident speaker bank — production-scale identification.
+
+The reference identifies a speaker by a host-side linear scan over the
+enrolled bank (``src/inference.py:254-327``: pairwise distance against
+every enrolled mean embedding, ``score = 1 − d²/2``). On L2-normalized
+embeddings that score IS the cosine similarity and the argmin of the
+distance IS the argmax of the cosine — so the whole scan is one
+``[Q, D] @ [D, N]`` GEMM plus a ``lax.top_k``, which the MXU does at
+memory speed for banks far past what a host scan can serve online.
+
+``SpeakerBank`` keeps the normalized bank resident in HBM (fp32 by
+default; bf16 halves footprint for multi-million-speaker banks) and
+serves ``identify(queries, k)`` through a jitted program per padded
+query-batch size:
+
+* bank rows are L2-normalized once at construction (same formula as
+  ``scoring.l2_normalize``) and padded to a lane-friendly multiple;
+  padded rows are masked to −2 (below any cosine) before ``top_k``;
+* queries are L2-normalized *inside* the program, so callers may pass
+  raw or normalized mean embeddings interchangeably (normalizing an
+  already-normalized vector is a no-op);
+* query batches are padded to a small bucket grid so online traffic
+  (Q = 1 … batch) reuses a handful of compiled programs instead of one
+  per Q.
+
+Numerics vs the host path: the host computes ``1 − d²/2`` through the
+``|e|² + |c|² − 2e·c`` expansion on normalized vectors, which equals
+the cosine up to fp32 rounding of ``|e|² ≈ 1`` (~1e-7). Exact-parity
+tested in tests/test_bank.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Mapping, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["SpeakerBank", "identify_with_bank"]
+
+# Banks at or above this row count route /identify and --predict through
+# the device GEMM by default; below it a host scan is already sub-ms and
+# not worth a device dispatch.
+AUTO_DEVICE_BANK_MIN_ROWS = 4096
+
+
+def _normalize_rows(x: np.ndarray, eps: float = 1e-12) -> np.ndarray:
+    n = np.linalg.norm(x, axis=-1, keepdims=True)
+    return x / np.clip(n, eps, None)
+
+
+@functools.lru_cache(maxsize=32)
+def _identify_fn(q_pad: int, n_pad: int, n_valid: int, dim: int, k: int,
+                 dtype: str):
+    """Jitted (bank[n_pad, D], queries[q_pad, D]) -> (cos[q_pad,k], idx)."""
+
+    @jax.jit
+    def run(bank, queries):
+        qn = queries / jnp.clip(
+            jnp.linalg.norm(queries, axis=-1, keepdims=True), 1e-12)
+        scores = (qn.astype(bank.dtype) @ bank.T).astype(jnp.float32)
+        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        scores = jnp.where(col < n_valid, scores, jnp.float32(-2.0))
+        return jax.lax.top_k(scores, k)
+
+    return run
+
+
+class SpeakerBank:
+    """HBM-resident L2-normalized enrollment bank with GEMM top-k lookup.
+
+    Parameters
+    ----------
+    embeds : [N, D] enrolled mean embeddings (normalized or not).
+    labels : optional sequence/mapping of N speaker names; ``name(i)``
+        falls back to the integer index when absent.
+    dtype : bank storage dtype — fp32 (exact) or bf16 (half footprint;
+        scores still accumulate and rank in fp32).
+    pad_rows_to : bank rows pad to this multiple (MXU lane tiling).
+    query_buckets : padded query-batch sizes, smallest sufficient bucket
+        wins; queries beyond the largest bucket are chunked through it.
+    """
+
+    def __init__(self, embeds: np.ndarray,
+                 labels: Optional[Sequence | Mapping] = None, *,
+                 dtype: jnp.dtype = jnp.float32, pad_rows_to: int = 1024,
+                 query_buckets: Sequence[int] = (1, 8, 64, 512),
+                 device=None):
+        embeds = np.asarray(embeds, np.float32)
+        if embeds.ndim != 2:
+            raise ValueError(f"bank must be [N, D], got {embeds.shape}")
+        self.n, self.dim = embeds.shape
+        self._labels = labels
+        self._buckets = tuple(sorted(set(int(b) for b in query_buckets)))
+        n_pad = -(-self.n // pad_rows_to) * pad_rows_to
+        bank = np.zeros((n_pad, self.dim), np.float32)
+        bank[: self.n] = _normalize_rows(embeds)
+        self._bank = jax.device_put(jnp.asarray(bank, dtype), device)
+        self.n_pad = n_pad
+        self.nbytes = self._bank.nbytes
+
+    def name(self, idx: int):
+        if self._labels is None:
+            return int(idx)
+        if isinstance(self._labels, Mapping):
+            return self._labels[int(idx)]
+        return self._labels[int(idx)]
+
+    def _bucket(self, q: int) -> int:
+        for b in self._buckets:
+            if q <= b:
+                return b
+        return self._buckets[-1]
+
+    def identify(self, queries: np.ndarray, k: int = 1):
+        """Top-k nearest speakers by cosine (== reference's 1 − d²/2).
+
+        queries: [Q, D] or [D] mean embeddings. Returns
+        ``(scores [Q, k] fp32, idx [Q, k] int)`` as host arrays.
+        """
+        q = np.atleast_2d(np.asarray(queries, np.float32))
+        if q.shape[-1] != self.dim:
+            raise ValueError(f"query dim {q.shape[-1]} != bank {self.dim}")
+        k = min(int(k), self.n)
+        out_s, out_i = [], []
+        step = self._buckets[-1]
+        fn_dtype = str(self._bank.dtype)
+        for lo in range(0, q.shape[0], step):
+            chunk = q[lo: lo + step]
+            qp = self._bucket(chunk.shape[0])
+            pad = np.zeros((qp, self.dim), np.float32)
+            pad[: chunk.shape[0]] = chunk
+            fn = _identify_fn(qp, self.n_pad, self.n, self.dim, k, fn_dtype)
+            s, i = fn(self._bank, jnp.asarray(pad))
+            out_s.append(np.asarray(s[: chunk.shape[0]]))
+            out_i.append(np.asarray(i[: chunk.shape[0]]))
+        return np.concatenate(out_s), np.concatenate(out_i)
+
+
+def identify_with_bank(bank: SpeakerBank, queries: np.ndarray,
+                       threshold: float = 0.0):
+    """Reference --predict semantics over a device bank: best speaker per
+    query, 'unknown' below threshold (src/inference.py:254-327)."""
+    scores, idx = bank.identify(queries, k=1)
+    scores, idx = scores[:, 0], idx[:, 0]
+    names = [bank.name(int(b)) if scores[i] >= threshold else "unknown"
+             for i, b in enumerate(idx)]
+    return names, scores

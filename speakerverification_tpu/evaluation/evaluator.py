@@ -31,6 +31,11 @@ from typing import Callable, Mapping, Optional, Sequence
 import numpy as np
 
 from speakerverification_tpu.data.loader import EvalDataLoader
+from speakerverification_tpu.evaluation.bank import (
+    AUTO_DEVICE_BANK_MIN_ROWS,
+    SpeakerBank,
+    identify_with_bank,
+)
 from speakerverification_tpu.evaluation.scoring import l2_normalize, score_trials
 
 __all__ = ["parse_trials", "extract_embeddings", "evaluate_from_list",
@@ -284,14 +289,25 @@ def predict_identity(embed_fn: Callable, files: Sequence[str],
                      enrolled: np.ndarray, classes: Mapping,
                      audio_spec: Mapping, num_eval: int = 10,
                      threshold: float = 0.0, batch_size: int = 32,
-                     num_workers: int = 8):
+                     num_workers: int = 8,
+                     device_bank: Optional[bool] = None):
     """Nearest enrolled speaker; score = 1 − d²/2 on normalized means
-    (parity: src/inference.py:254-327). Returns (names, scores)."""
+    (parity: src/inference.py:254-327). Returns (names, scores).
+
+    ``device_bank``: route the scan through a ``SpeakerBank`` GEMM on
+    device (None = auto: banks ≥ AUTO_DEVICE_BANK_MIN_ROWS). On
+    normalized vectors 1 − d²/2 equals the cosine the bank ranks by, so
+    the two paths agree to fp32 rounding (tests/test_bank.py)."""
     emb = extract_embeddings(embed_fn, list(files), audio_spec, num_eval,
                              batch_size, num_workers)
     emb = np.asarray(l2_normalize(emb)).mean(axis=1)          # [n, D]
     emb = np.asarray(l2_normalize(emb))
     enr = np.asarray(l2_normalize(np.asarray(enrolled)))
+    if device_bank is None:
+        device_bank = len(enr) >= AUTO_DEVICE_BANK_MIN_ROWS
+    if device_bank:
+        bank = SpeakerBank(enr, classes)
+        return identify_with_bank(bank, emb, threshold=threshold)
     d2 = (np.sum(emb**2, -1)[:, None] + np.sum(enr**2, -1)[None, :]
           - 2.0 * emb @ enr.T)
     best = np.argmin(d2, axis=-1)

@@ -53,6 +53,11 @@ from typing import Callable, Mapping, Optional
 
 import numpy as np
 
+from speakerverification_tpu.evaluation.bank import (
+    AUTO_DEVICE_BANK_MIN_ROWS,
+    SpeakerBank,
+)
+
 __all__ = ["DynamicBatcher", "serve", "make_serving_app"]
 
 
@@ -234,8 +239,12 @@ def make_serving_app(engine, hparams: Mapping,
     batcher = DynamicBatcher(engine.embed_fn, batch_utts, num_eval,
                              samples, max_wait_ms, transport=transport)
 
-    # optional identification banks (prepare_type='embed' artifacts)
-    banks = {"embeds": None, "classes": None}
+    # optional identification banks (prepare_type='embed' artifacts);
+    # serving.device_bank: true/false/'auto' (auto = device GEMM once the
+    # bank reaches AUTO_DEVICE_BANK_MIN_ROWS — a host scan over millions
+    # of speakers per request would dominate the latency budget)
+    device_bank_cfg = serving.get("device_bank", "auto")
+    banks = {"embeds": None, "classes": None, "device": None}
 
     def _load_banks():
         if banks["embeds"] is None:
@@ -247,7 +256,12 @@ def make_serving_app(engine, hparams: Mapping,
                     "--do_infer --prepare with prepare: embed first")
             banks["embeds"] = np.load(epath)
             banks["classes"] = np.load(cpath, allow_pickle=True).item()
-        return banks["embeds"], banks["classes"]
+            use_dev = (len(banks["embeds"]) >= AUTO_DEVICE_BANK_MIN_ROWS
+                       if device_bank_cfg == "auto" else bool(device_bank_cfg))
+            if use_dev:
+                banks["device"] = SpeakerBank(banks["embeds"],
+                                              banks["classes"])
+        return banks["embeds"], banks["classes"], banks["device"]
 
     model_name = (h.get("model") or {}).get("name", "?")
 
@@ -306,11 +320,18 @@ def make_serving_app(engine, hparams: Mapping,
                     e1, e2 = (f.result() for f in futs)
                     return self._reply(200, {"score": _pair_cosine(e1, e2)})
                 if self.path == "/identify":
-                    embeds, classes = _load_banks()
+                    embeds, classes, dev_bank = _load_banks()
                     crops = _decode_audio_spec(obj, spec, num_eval)
                     utt = _utt_embedding(batcher.submit(crops).result())
                     # nearest enrolled speaker by mean pairwise distance,
-                    # score = 1 - d^2/2 (src/inference.py:254-327)
+                    # score = 1 - d^2/2 (src/inference.py:254-327); on
+                    # normalized vectors that equals the cosine the
+                    # device bank ranks by (evaluation/bank.py)
+                    if dev_bank is not None:
+                        s, i = dev_bank.identify(utt, k=1)
+                        return self._reply(200, {
+                            "speaker": str(dev_bank.name(int(i[0, 0]))),
+                            "score": float(s[0, 0])})
                     d = np.linalg.norm(embeds - utt[None, :], axis=1)
                     best = int(np.argmin(d))
                     return self._reply(200, {

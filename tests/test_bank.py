@@ -1,0 +1,153 @@
+"""Device-resident SpeakerBank: exact parity with the reference's
+host identification scan (src/inference.py:254-327 semantics), padding
+masks, query bucketing, and the serving /identify device route."""
+
+import http.client
+import json
+import threading
+from http.server import ThreadingHTTPServer
+
+import numpy as np
+import pytest
+
+from speakerverification_tpu.evaluation.bank import (
+    SpeakerBank,
+    identify_with_bank,
+)
+
+
+def _host_scan(enrolled, queries):
+    """The pre-bank path: d^2 expansion on normalized vectors,
+    score = 1 - d^2/2 (evaluator.predict_identity)."""
+    def norm(x):
+        return x / np.clip(np.linalg.norm(x, axis=-1, keepdims=True),
+                           1e-12, None)
+    e, q = norm(enrolled), norm(queries)
+    d2 = (np.sum(q**2, -1)[:, None] + np.sum(e**2, -1)[None, :]
+          - 2.0 * q @ e.T)
+    best = np.argmin(d2, axis=-1)
+    return best, 1.0 - d2[np.arange(len(best)), best] / 2.0
+
+
+def test_bank_matches_host_scan_with_padding():
+    rng = np.random.default_rng(0)
+    enrolled = rng.normal(size=(300, 16)).astype(np.float32)   # pads 300->384
+    queries = rng.normal(size=(7, 16)).astype(np.float32)
+    bank = SpeakerBank(enrolled, pad_rows_to=128)
+    assert bank.n_pad == 384
+
+    scores, idx = bank.identify(queries, k=3)
+    assert scores.shape == (7, 3) and idx.shape == (7, 3)
+    best_host, score_host = _host_scan(enrolled, queries)
+    np.testing.assert_array_equal(idx[:, 0], best_host)
+    np.testing.assert_allclose(scores[:, 0], score_host, atol=1e-5)
+    # top-k is sorted descending and indices are distinct real rows
+    assert np.all(np.diff(scores, axis=1) <= 1e-7)
+    assert np.all(idx < 300)
+
+
+def test_bank_padding_never_wins_on_all_negative_scores():
+    # every real cosine is negative — the -2 pad fill must still lose
+    rng = np.random.default_rng(1)
+    base = np.abs(rng.normal(size=(5, 8))).astype(np.float32)
+    bank = SpeakerBank(base, pad_rows_to=64)                  # 59 pad rows
+    scores, idx = bank.identify(-base[:2], k=5)
+    assert np.all(idx < 5)
+    assert np.all(scores > -1.5)
+
+
+def test_bank_query_chunking_matches_one_shot():
+    rng = np.random.default_rng(2)
+    enrolled = rng.normal(size=(50, 12)).astype(np.float32)
+    queries = rng.normal(size=(21, 12)).astype(np.float32)
+    small = SpeakerBank(enrolled, pad_rows_to=64, query_buckets=(1, 4))
+    big = SpeakerBank(enrolled, pad_rows_to=64, query_buckets=(32,))
+    s1, i1 = small.identify(queries, k=2)      # chunks of <=4
+    s2, i2 = big.identify(queries, k=2)        # one padded dispatch
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(s1, s2, atol=1e-6)
+
+
+def test_bank_k_clamps_and_1d_query():
+    rng = np.random.default_rng(3)
+    bank = SpeakerBank(rng.normal(size=(3, 4)).astype(np.float32),
+                       ["a", "b", "c"], pad_rows_to=8)
+    scores, idx = bank.identify(rng.normal(size=4).astype(np.float32), k=10)
+    assert scores.shape == (1, 3)              # k clamped to n
+    assert bank.name(int(idx[0, 0])) in ("a", "b", "c")
+
+
+def test_identify_with_bank_threshold_semantics():
+    # orthonormal bank, query == row 1 -> score 1.0; threshold above it
+    # yields 'unknown' (reference --predict semantics)
+    enrolled = np.eye(4, dtype=np.float32)
+    bank = SpeakerBank(enrolled, {0: "s0", 1: "s1", 2: "s2", 3: "s3"},
+                       pad_rows_to=8)
+    q = np.stack([enrolled[1], -enrolled[2]])
+    names, scores = identify_with_bank(bank, q, threshold=0.5)
+    assert names == ["s1", "unknown"]
+    assert scores[0] == pytest.approx(1.0, abs=1e-6)
+    # -e2's best match is any orthogonal row at cos 0 — still 'unknown'
+    assert scores[1] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_bank_bf16_storage_ranks_separated_speakers():
+    import jax.numpy as jnp
+    enrolled = np.eye(8, dtype=np.float32)
+    bank = SpeakerBank(enrolled, dtype=jnp.bfloat16, pad_rows_to=8)
+    scores, idx = bank.identify(enrolled[5], k=1)
+    assert int(idx[0, 0]) == 5
+    assert scores.dtype == np.float32          # ranking stays fp32
+
+
+def test_bank_input_validation():
+    with pytest.raises(ValueError, match=r"\[N, D\]"):
+        SpeakerBank(np.zeros((2, 3, 4), np.float32))
+    bank = SpeakerBank(np.eye(3, dtype=np.float32), pad_rows_to=8)
+    with pytest.raises(ValueError, match="dim"):
+        bank.identify(np.zeros((1, 7), np.float32))
+
+
+# ---------------------------------------------------------------- serving
+def test_serving_identify_device_bank_matches_host(tmp_path):
+    from tests.test_serving import (
+        NUM_EVAL,
+        SAMPLES,
+        FakeEngine,
+        _post,
+        _serving_hparams,
+    )
+    from speakerverification_tpu.serving import make_serving_app
+
+    rng = np.random.default_rng(7)
+    pcm = rng.normal(size=2 * SAMPLES).astype(np.float32).tolist()
+
+    results = {}
+    for forced in (False, True):
+        engine = FakeEngine(tmp_path)
+        h = _serving_hparams()
+        h["serving"]["device_bank"] = forced
+        handler, batcher = make_serving_app(engine, h)
+        httpd = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+        try:
+            port = httpd.server_address[1]
+            status, out = _post(port, "/embed",
+                                {"pcm": pcm, "sample_rate": 8000})
+            assert status == 200
+            emb = np.asarray(out["embedding"], np.float32)
+            np.save(tmp_path / "embeds.npy",
+                    np.stack([np.roll(emb, 1), emb, -emb]))
+            np.save(tmp_path / "classes.npy",
+                    {0: "spk0", 1: "spk1", 2: "spk2"}, allow_pickle=True)
+            status, out = _post(port, "/identify",
+                                {"pcm": pcm, "sample_rate": 8000})
+            assert status == 200
+            results[forced] = out
+        finally:
+            httpd.shutdown()
+            batcher.close()
+
+    assert results[True]["speaker"] == results[False]["speaker"] == "spk1"
+    assert results[True]["score"] == pytest.approx(
+        results[False]["score"], abs=1e-4)
