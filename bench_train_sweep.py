@@ -1,7 +1,8 @@
 """Train-step efficiency probe (VERDICT r2 #5): one variant per run.
 
 Usage: python bench_train_sweep.py <variant>
-  tb32 | tb64 | tb128   — chained train step at that half-batch
+  tb32 | tb64 | tb128 | tb256 | tb512
+                        — chained train step at that half-batch
                           (utts = 2×tb), AdaBelief update included
   grad64                — forward+backward only at tb=64 (no update)
 
@@ -47,7 +48,8 @@ def main():
 
     T = 32000
     ITERS = 5
-    tb = {"tb32": 32, "tb64": 64, "tb128": 128, "tb256": 256, "grad64": 64}[variant]
+    tb = {"tb32": 32, "tb64": 64, "tb128": 128, "tb256": 256, "tb512": 512,
+          "grad64": 64}[variant]
 
     model = _flagship(frontend_backend="auto")
     model_bf16 = model.clone(compute_dtype=jnp.bfloat16)
