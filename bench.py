@@ -13,7 +13,7 @@ src/models/ECAPA_TDNN.py:469-478), params cast in-step.
 
 MFU: FLOPs come from XLA cost analysis of the compiled program;
 peak is TPU v5e bf16 (197 TFLOP/s). A training-step entry (forward +
-backward + AdaBelief update, batch 256 utts — the measured sweet spot,
+backward + AdaBelief update, batch 512 utts — the measured sweet spot,
 see bench_train_sweep.py) is reported alongside.
 
 Timing methodology: the axon tunnel adds ~3.65 ms of host round-trip
@@ -228,12 +228,14 @@ def main() -> None:
     from speakerverification_tpu.training.state import create_train_state
 
     tx = build_optimizer("AdaBelief", learning_rate=1e-3, weight_decay=2e-5)
-    # 128×2 = 256 utts/step: measured sweet spot (bench_train_sweep.py —
-    # 61.8/66.7/71.7 TF/s at 64/128/256 utts; 256 utts runs at 78 % of
-    # the chip's practical GEMM peak, nearly matching extraction's 80 %,
-    # so the r2 "training efficiency gap" was batch amortization of the
-    # ~60 µs per-instruction floor, not a step-structure defect)
-    tb = 128
+    # 256×2 = 512 utts/step: measured sweet spot (bench_train_sweep.py —
+    # 2807/3026/3251/3454/2802 utt/s at 64/128/256/512/1024 utts; 512
+    # utts runs at 76.2 TF/s, near extraction's efficiency, so the r2
+    # "training efficiency gap" was batch amortization of the ~60 µs
+    # per-instruction floor, not a step-structure defect. 1024 utts
+    # REGRESSES: XLA's HBM-pressure rematerialization pass recomputes
+    # activations (cost analysis shows GF/utt inflate 22.0 -> 28.1).
+    tb = 256
     twave = jnp.asarray(rng.normal(0, 0.1, (tb, 2, T)).astype(np.float32))
     tlabel = jnp.asarray(np.arange(tb) % 5994, jnp.int32)
     state = create_train_state(model_bf16, tx, jax.random.PRNGKey(0),
