@@ -1,4 +1,5 @@
 from speakerverification_tpu.evaluation.bank import (  # noqa: F401
+    ShardedSpeakerBank,
     SpeakerBank,
     identify_with_bank,
 )

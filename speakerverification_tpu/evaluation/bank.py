@@ -38,7 +38,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["SpeakerBank", "identify_with_bank"]
+__all__ = ["SpeakerBank", "ShardedSpeakerBank", "identify_with_bank"]
 
 # Banks at or above this row count route /identify and --predict through
 # the device GEMM by default; below it a host scan is already sub-ms and
@@ -148,3 +148,111 @@ def identify_with_bank(bank: SpeakerBank, queries: np.ndarray,
     names = [bank.name(int(b)) if scores[i] >= threshold else "unknown"
              for i, b in enumerate(idx)]
     return names, scores
+
+
+@functools.lru_cache(maxsize=32)
+def _sharded_identify_fn(q_pad: int, shard_rows: int, n_valid: int, k: int,
+                         k_local: int, dtype: str, mesh: jax.sharding.Mesh,
+                         axis: str):
+    """Jitted sharded lookup: bank P(axis, None), queries replicated.
+
+    Each device GEMMs its row shard, top-k's LOCALLY (k_local candidates
+    with global row indices), all_gathers the n_dev*k_local candidates
+    per query, and reduces to the global top-k. The [Q, N] score matrix
+    never exists unsharded, so bank capacity scales linearly with the
+    mesh while per-query collective traffic is O(n_dev * k), not O(N).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    def local(bank_shard, q):
+        dev = jax.lax.axis_index(axis)
+        row0 = dev * shard_rows
+        qn = q / jnp.clip(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+        scores = (qn.astype(bank_shard.dtype) @ bank_shard.T
+                  ).astype(jnp.float32)
+        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + row0
+        scores = jnp.where(col < n_valid, scores, jnp.float32(-2.0))
+        s, li = jax.lax.top_k(scores, k_local)          # [q_pad, k_local]
+        cand_s = jax.lax.all_gather(s, axis, axis=1, tiled=True)
+        cand_i = jax.lax.all_gather(li + row0, axis, axis=1, tiled=True)
+        gs, pos = jax.lax.top_k(cand_s, k)              # [q_pad, k]
+        gi = jnp.take_along_axis(cand_i, pos, axis=1)
+        return gs, gi
+
+    run = jax.shard_map(local, mesh=mesh,
+                        in_specs=(P(axis, None), P(None, None)),
+                        out_specs=(P(None, None), P(None, None)),
+                        check_vma=False)
+    return jax.jit(run)
+
+
+class ShardedSpeakerBank:
+    """Row-sharded :class:`SpeakerBank` over a device mesh.
+
+    The enrolled bank is partitioned row-wise across a 1-D ``axis`` of
+    ``mesh`` (``jax.sharding.NamedSharding(mesh, P(axis, None))``), so
+    aggregate capacity is the SUM of the chips' HBM — a 16 GB v5e holds
+    ~20 M fp32 192-d rows; an 8-chip pod slice holds ~160 M. ``identify``
+    is exact-equal to the single-device bank (same GEMM, same masking;
+    local-then-global top-k is exact because every global top-k row is
+    by definition in its own shard's top-k).
+
+    Beyond the reference (its identification is a host linear scan,
+    src/inference.py:254-327); the TPU-native scale-out for it.
+    """
+
+    def __init__(self, embeds: np.ndarray,
+                 labels: Optional[Sequence | Mapping] = None, *,
+                 mesh: jax.sharding.Mesh, axis: str = "bank",
+                 dtype: jnp.dtype = jnp.float32, pad_rows_to: int = 1024,
+                 query_buckets: Sequence[int] = (1, 8, 64, 512)):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        embeds = np.asarray(embeds, np.float32)
+        if embeds.ndim != 2:
+            raise ValueError(f"bank must be [N, D], got {embeds.shape}")
+        if axis not in mesh.axis_names:
+            raise ValueError(f"mesh has no axis {axis!r}: {mesh.axis_names}")
+        self.mesh, self.axis = mesh, axis
+        self.n_dev = int(mesh.shape[axis])
+        self.n, self.dim = embeds.shape
+        self._labels = labels
+        self._buckets = tuple(sorted(set(int(b) for b in query_buckets)))
+        # equal shards, each a multiple of pad_rows_to
+        unit = pad_rows_to * self.n_dev
+        n_pad = -(-max(self.n, 1) // unit) * unit
+        bank = np.zeros((n_pad, self.dim), np.float32)
+        bank[: self.n] = _normalize_rows(embeds)
+        self._bank = jax.device_put(
+            jnp.asarray(bank, dtype), NamedSharding(mesh, P(axis, None)))
+        self.n_pad = n_pad
+        self.shard_rows = n_pad // self.n_dev
+        self.nbytes = self._bank.nbytes  # aggregate across shards
+
+    name = SpeakerBank.name
+    _bucket = SpeakerBank._bucket
+
+    def identify(self, queries: np.ndarray, k: int = 1):
+        """Same contract as :meth:`SpeakerBank.identify`, sharded."""
+        q = np.atleast_2d(np.asarray(queries, np.float32))
+        if q.shape[-1] != self.dim:
+            raise ValueError(f"query dim {q.shape[-1]} != bank {self.dim}")
+        k = min(int(k), self.n)
+        # Correctness: a global top-k row is in its shard's local top-k,
+        # so k_local = min(k, shard_rows) candidates per shard suffice.
+        k_local = min(k, self.shard_rows)
+        out_s, out_i = [], []
+        step = self._buckets[-1]
+        fn_dtype = str(self._bank.dtype)
+        for lo in range(0, q.shape[0], step):
+            chunk = q[lo: lo + step]
+            qp = self._bucket(chunk.shape[0])
+            pad = np.zeros((qp, self.dim), np.float32)
+            pad[: chunk.shape[0]] = chunk
+            fn = _sharded_identify_fn(qp, self.shard_rows, self.n, k,
+                                      k_local, fn_dtype, self.mesh,
+                                      self.axis)
+            s, i = fn(self._bank, jnp.asarray(pad))
+            out_s.append(np.asarray(s[: chunk.shape[0]]))
+            out_i.append(np.asarray(i[: chunk.shape[0]]))
+        return np.concatenate(out_s), np.concatenate(out_i)

@@ -55,6 +55,7 @@ import numpy as np
 
 from speakerverification_tpu.evaluation.bank import (
     AUTO_DEVICE_BANK_MIN_ROWS,
+    ShardedSpeakerBank,
     SpeakerBank,
 )
 
@@ -244,6 +245,10 @@ def make_serving_app(engine, hparams: Mapping,
     # bank reaches AUTO_DEVICE_BANK_MIN_ROWS — a host scan over millions
     # of speakers per request would dominate the latency budget)
     device_bank_cfg = serving.get("device_bank", "auto")
+    # serving.bank_devices: row-shard the bank across this many local
+    # chips (ShardedSpeakerBank) — aggregate HBM capacity for banks past
+    # one chip; 1 (default) keeps the single-device bank
+    bank_devices_cfg = int(serving.get("bank_devices", 1))
     banks = {"embeds": None, "classes": None, "device": None}
 
     def _load_banks():
@@ -259,8 +264,16 @@ def make_serving_app(engine, hparams: Mapping,
             use_dev = (len(banks["embeds"]) >= AUTO_DEVICE_BANK_MIN_ROWS
                        if device_bank_cfg == "auto" else bool(device_bank_cfg))
             if use_dev:
-                banks["device"] = SpeakerBank(banks["embeds"],
-                                              banks["classes"])
+                import jax
+                ndev = min(bank_devices_cfg, len(jax.devices()))
+                if ndev > 1:
+                    from jax.sharding import Mesh
+                    mesh = Mesh(np.array(jax.devices()[:ndev]), ("bank",))
+                    banks["device"] = ShardedSpeakerBank(
+                        banks["embeds"], banks["classes"], mesh=mesh)
+                else:
+                    banks["device"] = SpeakerBank(banks["embeds"],
+                                                  banks["classes"])
         return banks["embeds"], banks["classes"], banks["device"]
 
     model_name = (h.get("model") or {}).get("name", "?")

@@ -108,6 +108,65 @@ def test_bank_input_validation():
         bank.identify(np.zeros((1, 7), np.float32))
 
 
+# ---------------------------------------------------------------- sharded
+def _bank_mesh(n=8):
+    import jax
+    from jax.sharding import Mesh
+    return Mesh(np.array(jax.devices()[:n]), ("bank",))
+
+
+def test_sharded_bank_matches_unsharded_exactly():
+    from speakerverification_tpu.evaluation.bank import ShardedSpeakerBank
+
+    rng = np.random.default_rng(11)
+    # 300 rows pad to 320 (8 devs x 5 x pad_rows_to=8): uneven tail shard
+    enrolled = rng.normal(size=(300, 16)).astype(np.float32)
+    queries = rng.normal(size=(9, 16)).astype(np.float32)
+    mesh = _bank_mesh()
+    sb = ShardedSpeakerBank(enrolled, mesh=mesh, pad_rows_to=8,
+                            query_buckets=(16,))
+    assert sb.shard_rows * 8 == sb.n_pad and sb.n_pad >= 300
+    ub = SpeakerBank(enrolled, pad_rows_to=sb.n_pad, query_buckets=(16,))
+
+    for k in (1, 3, 40):  # k=40 exceeds... shard candidates when small
+        ss, si = sb.identify(queries, k=k)
+        us, ui = ub.identify(queries, k=k)
+        np.testing.assert_array_equal(si, ui)
+        np.testing.assert_allclose(ss, us, atol=1e-5)
+
+
+def test_sharded_bank_is_actually_row_sharded():
+    import jax
+    from jax.sharding import PartitionSpec as P
+    from speakerverification_tpu.evaluation.bank import ShardedSpeakerBank
+
+    mesh = _bank_mesh()
+    sb = ShardedSpeakerBank(np.eye(16, dtype=np.float32), mesh=mesh,
+                            pad_rows_to=2)
+    assert sb._bank.sharding.spec == P("bank", None)
+    # each device holds 1/8 of the rows
+    shard = sb._bank.addressable_shards[0]
+    assert shard.data.shape[0] == sb.n_pad // 8
+
+
+def test_sharded_bank_predict_semantics_and_validation():
+    from speakerverification_tpu.evaluation.bank import ShardedSpeakerBank
+
+    mesh = _bank_mesh()
+    enrolled = np.eye(8, dtype=np.float32)
+    sb = ShardedSpeakerBank(enrolled, [f"s{i}" for i in range(8)],
+                            mesh=mesh, pad_rows_to=1)
+    names, scores = identify_with_bank(
+        sb, np.stack([enrolled[3], -enrolled[0]]), threshold=0.5)
+    assert names == ["s3", "unknown"]
+    assert scores[0] == pytest.approx(1.0, abs=1e-6)
+
+    with pytest.raises(ValueError, match="no axis"):
+        ShardedSpeakerBank(enrolled, mesh=mesh, axis="rows")
+    with pytest.raises(ValueError, match="dim"):
+        sb.identify(np.zeros((1, 5), np.float32))
+
+
 # ---------------------------------------------------------------- serving
 def test_serving_identify_device_bank_matches_host(tmp_path):
     from tests.test_serving import (
@@ -123,10 +182,12 @@ def test_serving_identify_device_bank_matches_host(tmp_path):
     pcm = rng.normal(size=2 * SAMPLES).astype(np.float32).tolist()
 
     results = {}
-    for forced in (False, True):
+    # host scan / single-device bank / 8-way row-sharded bank
+    for forced, bank_devices in ((False, 1), (True, 1), (True, 8)):
         engine = FakeEngine(tmp_path)
         h = _serving_hparams()
         h["serving"]["device_bank"] = forced
+        h["serving"]["bank_devices"] = bank_devices
         handler, batcher = make_serving_app(engine, h)
         httpd = ThreadingHTTPServer(("127.0.0.1", 0), handler)
         threading.Thread(target=httpd.serve_forever, daemon=True).start()
@@ -143,11 +204,13 @@ def test_serving_identify_device_bank_matches_host(tmp_path):
             status, out = _post(port, "/identify",
                                 {"pcm": pcm, "sample_rate": 8000})
             assert status == 200
-            results[forced] = out
+            results[(forced, bank_devices)] = out
         finally:
             httpd.shutdown()
             batcher.close()
 
-    assert results[True]["speaker"] == results[False]["speaker"] == "spk1"
-    assert results[True]["score"] == pytest.approx(
-        results[False]["score"], abs=1e-4)
+    host, dev1, dev8 = (results[(False, 1)], results[(True, 1)],
+                        results[(True, 8)])
+    assert host["speaker"] == dev1["speaker"] == dev8["speaker"] == "spk1"
+    assert dev1["score"] == pytest.approx(host["score"], abs=1e-4)
+    assert dev8["score"] == pytest.approx(host["score"], abs=1e-4)
