@@ -51,6 +51,27 @@ def _normalize_rows(x: np.ndarray, eps: float = 1e-12) -> np.ndarray:
     return x / np.clip(n, eps, None)
 
 
+def _padded_normalized_bank(embeds: np.ndarray, pad_unit: int):
+    """[N, D] float32 -> (bank [n_pad, D] row-normalized, n, dim, n_pad).
+
+    Allocates exactly ONE full-size host array (the padded bank) and
+    normalizes rows in place — at multi-hundred-GB bank scale an extra
+    normalize temp or staging copy is the difference between fitting in
+    host RAM and an OOM kill.
+    """
+    embeds = np.asarray(embeds, np.float32)
+    if embeds.ndim != 2:
+        raise ValueError(f"bank must be [N, D], got {embeds.shape}")
+    n, dim = embeds.shape
+    n_pad = -(-max(n, 1) // pad_unit) * pad_unit
+    bank = np.zeros((n_pad, dim), np.float32)
+    bank[:n] = embeds
+    norms = np.linalg.norm(bank[:n], axis=-1, keepdims=True)
+    np.clip(norms, 1e-12, None, out=norms)
+    bank[:n] /= norms
+    return bank, n, dim, n_pad
+
+
 @functools.lru_cache(maxsize=32)
 def _identify_fn(q_pad: int, n_pad: int, n_valid: int, dim: int, k: int,
                  dtype: str):
@@ -88,17 +109,11 @@ class SpeakerBank:
                  dtype: jnp.dtype = jnp.float32, pad_rows_to: int = 1024,
                  query_buckets: Sequence[int] = (1, 8, 64, 512),
                  device=None):
-        embeds = np.asarray(embeds, np.float32)
-        if embeds.ndim != 2:
-            raise ValueError(f"bank must be [N, D], got {embeds.shape}")
-        self.n, self.dim = embeds.shape
+        bank, self.n, self.dim, self.n_pad = _padded_normalized_bank(
+            embeds, pad_rows_to)
         self._labels = labels
         self._buckets = tuple(sorted(set(int(b) for b in query_buckets)))
-        n_pad = -(-self.n // pad_rows_to) * pad_rows_to
-        bank = np.zeros((n_pad, self.dim), np.float32)
-        bank[: self.n] = _normalize_rows(embeds)
         self._bank = jax.device_put(jnp.asarray(bank, dtype), device)
-        self.n_pad = n_pad
         self.nbytes = self._bank.nbytes
 
     def name(self, idx: int):
@@ -114,29 +129,36 @@ class SpeakerBank:
                 return b
         return self._buckets[-1]
 
-    def identify(self, queries: np.ndarray, k: int = 1):
-        """Top-k nearest speakers by cosine (== reference's 1 − d²/2).
-
-        queries: [Q, D] or [D] mean embeddings. Returns
-        ``(scores [Q, k] fp32, idx [Q, k] int)`` as host arrays.
-        """
+    def _identify_chunked(self, queries, k: int, fn_factory):
+        """Shared bucket/pad/chunk loop; ``fn_factory(q_pad, k)`` returns
+        the jitted ``(bank, queries) -> (scores, idx)`` for one bucket."""
         q = np.atleast_2d(np.asarray(queries, np.float32))
         if q.shape[-1] != self.dim:
             raise ValueError(f"query dim {q.shape[-1]} != bank {self.dim}")
         k = min(int(k), self.n)
         out_s, out_i = [], []
         step = self._buckets[-1]
-        fn_dtype = str(self._bank.dtype)
         for lo in range(0, q.shape[0], step):
             chunk = q[lo: lo + step]
             qp = self._bucket(chunk.shape[0])
             pad = np.zeros((qp, self.dim), np.float32)
             pad[: chunk.shape[0]] = chunk
-            fn = _identify_fn(qp, self.n_pad, self.n, self.dim, k, fn_dtype)
-            s, i = fn(self._bank, jnp.asarray(pad))
+            s, i = fn_factory(qp, k)(self._bank, jnp.asarray(pad))
             out_s.append(np.asarray(s[: chunk.shape[0]]))
             out_i.append(np.asarray(i[: chunk.shape[0]]))
         return np.concatenate(out_s), np.concatenate(out_i)
+
+    def identify(self, queries: np.ndarray, k: int = 1):
+        """Top-k nearest speakers by cosine (== reference's 1 − d²/2).
+
+        queries: [Q, D] or [D] mean embeddings. Returns
+        ``(scores [Q, k] fp32, idx [Q, k] int)`` as host arrays.
+        """
+        fn_dtype = str(self._bank.dtype)
+        return self._identify_chunked(
+            queries, k,
+            lambda qp, kk: _identify_fn(qp, self.n_pad, self.n, self.dim,
+                                        kk, fn_dtype))
 
 
 def identify_with_bank(bank: SpeakerBank, queries: np.ndarray,
@@ -208,51 +230,37 @@ class ShardedSpeakerBank:
                  query_buckets: Sequence[int] = (1, 8, 64, 512)):
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        embeds = np.asarray(embeds, np.float32)
-        if embeds.ndim != 2:
-            raise ValueError(f"bank must be [N, D], got {embeds.shape}")
         if axis not in mesh.axis_names:
             raise ValueError(f"mesh has no axis {axis!r}: {mesh.axis_names}")
         self.mesh, self.axis = mesh, axis
         self.n_dev = int(mesh.shape[axis])
-        self.n, self.dim = embeds.shape
+        # equal shards, each a multiple of pad_rows_to
+        bank, self.n, self.dim, self.n_pad = _padded_normalized_bank(
+            embeds, pad_rows_to * self.n_dev)
         self._labels = labels
         self._buckets = tuple(sorted(set(int(b) for b in query_buckets)))
-        # equal shards, each a multiple of pad_rows_to
-        unit = pad_rows_to * self.n_dev
-        n_pad = -(-max(self.n, 1) // unit) * unit
-        bank = np.zeros((n_pad, self.dim), np.float32)
-        bank[: self.n] = _normalize_rows(embeds)
-        self._bank = jax.device_put(
-            jnp.asarray(bank, dtype), NamedSharding(mesh, P(axis, None)))
-        self.n_pad = n_pad
-        self.shard_rows = n_pad // self.n_dev
+        # per-shard placement: each device pulls only its row slice (with
+        # the dtype cast applied per shard), so no second full-size host
+        # staging array exists next to `bank`
+        self._bank = jax.make_array_from_callback(
+            bank.shape, NamedSharding(mesh, P(axis, None)),
+            lambda idx: jnp.asarray(bank[idx], dtype))
+        self.shard_rows = self.n_pad // self.n_dev
         self.nbytes = self._bank.nbytes  # aggregate across shards
 
     name = SpeakerBank.name
     _bucket = SpeakerBank._bucket
+    _identify_chunked = SpeakerBank._identify_chunked
 
     def identify(self, queries: np.ndarray, k: int = 1):
         """Same contract as :meth:`SpeakerBank.identify`, sharded."""
-        q = np.atleast_2d(np.asarray(queries, np.float32))
-        if q.shape[-1] != self.dim:
-            raise ValueError(f"query dim {q.shape[-1]} != bank {self.dim}")
-        k = min(int(k), self.n)
-        # Correctness: a global top-k row is in its shard's local top-k,
-        # so k_local = min(k, shard_rows) candidates per shard suffice.
-        k_local = min(k, self.shard_rows)
-        out_s, out_i = [], []
-        step = self._buckets[-1]
         fn_dtype = str(self._bank.dtype)
-        for lo in range(0, q.shape[0], step):
-            chunk = q[lo: lo + step]
-            qp = self._bucket(chunk.shape[0])
-            pad = np.zeros((qp, self.dim), np.float32)
-            pad[: chunk.shape[0]] = chunk
-            fn = _sharded_identify_fn(qp, self.shard_rows, self.n, k,
-                                      k_local, fn_dtype, self.mesh,
-                                      self.axis)
-            s, i = fn(self._bank, jnp.asarray(pad))
-            out_s.append(np.asarray(s[: chunk.shape[0]]))
-            out_i.append(np.asarray(i[: chunk.shape[0]]))
-        return np.concatenate(out_s), np.concatenate(out_i)
+
+        def factory(qp, kk):
+            # Correctness: a global top-k row is in its shard's local
+            # top-k, so min(kk, shard_rows) candidates per shard suffice.
+            return _sharded_identify_fn(qp, self.shard_rows, self.n, kk,
+                                        min(kk, self.shard_rows), fn_dtype,
+                                        self.mesh, self.axis)
+
+        return self._identify_chunked(queries, k, factory)

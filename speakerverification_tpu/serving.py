@@ -250,30 +250,45 @@ def make_serving_app(engine, hparams: Mapping,
     # one chip; 1 (default) keeps the single-device bank
     bank_devices_cfg = int(serving.get("bank_devices", 1))
     banks = {"embeds": None, "classes": None, "device": None}
+    # ThreadingHTTPServer serves each request on its own thread; without
+    # a lock a second /identify landing mid-construction would see a
+    # half-initialized dict (embeds set, device bank still building) and
+    # silently fall back to a host scan over the full bank
+    banks_lock = threading.Lock()
 
     def _load_banks():
-        if banks["embeds"] is None:
-            mdir = engine.dirs["model"]
-            epath, cpath = mdir / "embeds.npy", mdir / "classes.npy"
-            if not (epath.exists() and cpath.exists()):
-                raise FileNotFoundError(
-                    "identification needs embeds.npy/classes.npy — run "
-                    "--do_infer --prepare with prepare: embed first")
-            banks["embeds"] = np.load(epath)
-            banks["classes"] = np.load(cpath, allow_pickle=True).item()
-            use_dev = (len(banks["embeds"]) >= AUTO_DEVICE_BANK_MIN_ROWS
-                       if device_bank_cfg == "auto" else bool(device_bank_cfg))
-            if use_dev:
-                import jax
-                ndev = min(bank_devices_cfg, len(jax.devices()))
-                if ndev > 1:
-                    from jax.sharding import Mesh
-                    mesh = Mesh(np.array(jax.devices()[:ndev]), ("bank",))
-                    banks["device"] = ShardedSpeakerBank(
-                        banks["embeds"], banks["classes"], mesh=mesh)
-                else:
-                    banks["device"] = SpeakerBank(banks["embeds"],
-                                                  banks["classes"])
+        with banks_lock:
+            if banks["embeds"] is None:
+                mdir = engine.dirs["model"]
+                epath, cpath = mdir / "embeds.npy", mdir / "classes.npy"
+                if not (epath.exists() and cpath.exists()):
+                    raise FileNotFoundError(
+                        "identification needs embeds.npy/classes.npy — run "
+                        "--do_infer --prepare with prepare: embed first")
+                embeds = np.load(epath)
+                classes = np.load(cpath, allow_pickle=True).item()
+                use_dev = (len(embeds) >= AUTO_DEVICE_BANK_MIN_ROWS
+                           if device_bank_cfg == "auto"
+                           else bool(device_bank_cfg))
+                if use_dev:
+                    import jax
+                    ndev = bank_devices_cfg
+                    if ndev > len(jax.devices()):
+                        # an explicit capacity request must not silently
+                        # shrink: the bank was sized for ndev chips' HBM
+                        raise ValueError(
+                            f"serving.bank_devices={ndev} but only "
+                            f"{len(jax.devices())} device(s) visible")
+                    if ndev > 1:
+                        from jax.sharding import Mesh
+                        mesh = Mesh(np.array(jax.devices()[:ndev]),
+                                    ("bank",))
+                        banks["device"] = ShardedSpeakerBank(
+                            embeds, classes, mesh=mesh)
+                    else:
+                        banks["device"] = SpeakerBank(embeds, classes)
+                banks["classes"] = classes
+                banks["embeds"] = embeds     # last: marks init complete
         return banks["embeds"], banks["classes"], banks["device"]
 
     model_name = (h.get("model") or {}).get("name", "?")

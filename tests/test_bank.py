@@ -214,3 +214,33 @@ def test_serving_identify_device_bank_matches_host(tmp_path):
     assert host["speaker"] == dev1["speaker"] == dev8["speaker"] == "spk1"
     assert dev1["score"] == pytest.approx(host["score"], abs=1e-4)
     assert dev8["score"] == pytest.approx(host["score"], abs=1e-4)
+
+
+def test_serving_bank_devices_beyond_visible_fails_loudly(tmp_path):
+    """An explicit bank_devices the host can't satisfy must 400 with a
+    clear message, not silently build a smaller bank (the bank was
+    sized for that many chips' HBM)."""
+    from tests.test_serving import SAMPLES, FakeEngine, _post, _serving_hparams
+    from speakerverification_tpu.serving import make_serving_app
+
+    rng = np.random.default_rng(8)
+    pcm = rng.normal(size=2 * SAMPLES).astype(np.float32).tolist()
+    engine = FakeEngine(tmp_path)
+    h = _serving_hparams()
+    h["serving"]["device_bank"] = True
+    h["serving"]["bank_devices"] = 9999
+    handler, batcher = make_serving_app(engine, h)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        port = httpd.server_address[1]
+        np.save(tmp_path / "embeds.npy", np.eye(3, 8, dtype=np.float32))
+        np.save(tmp_path / "classes.npy", {0: "a", 1: "b", 2: "c"},
+                allow_pickle=True)
+        status, out = _post(port, "/identify",
+                            {"pcm": pcm, "sample_rate": 8000})
+        assert status == 400
+        assert "bank_devices" in out.get("error", "")
+    finally:
+        httpd.shutdown()
+        batcher.close()
