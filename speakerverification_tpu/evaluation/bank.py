@@ -73,12 +73,13 @@ def _padded_normalized_bank(embeds: np.ndarray, pad_unit: int):
 
 
 @functools.lru_cache(maxsize=32)
-def _identify_fn(q_pad: int, n_pad: int, n_valid: int, dim: int, k: int,
-                 dtype: str):
-    """Jitted (bank[n_pad, D], queries[q_pad, D]) -> (cos[q_pad,k], idx)."""
+def _identify_fn(q_pad: int, n_pad: int, dim: int, k: int, dtype: str):
+    """Jitted (bank[n_pad,D], queries[q_pad,D], n_valid) -> (cos[q_pad,k],
+    idx). ``n_valid`` is TRACED so live enrollment (``add``) never
+    recompiles the lookup."""
 
     @jax.jit
-    def run(bank, queries):
+    def run(bank, queries, n_valid):
         qn = queries / jnp.clip(
             jnp.linalg.norm(queries, axis=-1, keepdims=True), 1e-12)
         scores = (qn.astype(bank.dtype) @ bank.T).astype(jnp.float32)
@@ -87,6 +88,16 @@ def _identify_fn(q_pad: int, n_pad: int, n_valid: int, dim: int, k: int,
         return jax.lax.top_k(scores, k)
 
     return run
+
+
+# Jitted donated scatter: bank.at[idx].set(rows) — the bank buffer
+# updates in place (donate), so enrollment is O(rows) HBM work, not a
+# bank copy; jit's own cache keys on (shape, dtype, sharding), so one
+# program per enroll bucket. Padding lanes repeat row 0 / index 0 of
+# the batch, making the duplicate writes idempotent.
+_enroll_scatter = jax.jit(
+    lambda b, rows, idx: b.at[idx].set(rows.astype(b.dtype)),
+    donate_argnums=0)
 
 
 class SpeakerBank:
@@ -112,6 +123,7 @@ class SpeakerBank:
         bank, self.n, self.dim, self.n_pad = _padded_normalized_bank(
             embeds, pad_rows_to)
         self._labels = labels
+        self._pad_unit = pad_rows_to
         self._buckets = tuple(sorted(set(int(b) for b in query_buckets)))
         self._bank = jax.device_put(jnp.asarray(bank, dtype), device)
         self.nbytes = self._bank.nbytes
@@ -143,7 +155,8 @@ class SpeakerBank:
             qp = self._bucket(chunk.shape[0])
             pad = np.zeros((qp, self.dim), np.float32)
             pad[: chunk.shape[0]] = chunk
-            s, i = fn_factory(qp, k)(self._bank, jnp.asarray(pad))
+            s, i = fn_factory(qp, k)(self._bank, jnp.asarray(pad),
+                                     jnp.asarray(self.n, jnp.int32))
             out_s.append(np.asarray(s[: chunk.shape[0]]))
             out_i.append(np.asarray(i[: chunk.shape[0]]))
         return np.concatenate(out_s), np.concatenate(out_i)
@@ -157,8 +170,69 @@ class SpeakerBank:
         fn_dtype = str(self._bank.dtype)
         return self._identify_chunked(
             queries, k,
-            lambda qp, kk: _identify_fn(qp, self.n_pad, self.n, self.dim,
-                                        kk, fn_dtype))
+            lambda qp, kk: _identify_fn(qp, self.n_pad, self.dim, kk,
+                                        fn_dtype))
+
+    # ------------------------------------------------------- enrollment
+    _ENROLL_BUCKETS = (1, 8, 64)
+
+    def _append_labels(self, names):
+        if names is None:
+            if self._labels is not None:
+                raise ValueError("bank has labels; add() needs names")
+            return
+        if self._labels is None and self.n > 0:
+            raise ValueError("bank has no labels; add() got names")
+        if self._labels is None:
+            self._labels = {}
+        if isinstance(self._labels, Mapping):
+            if not isinstance(self._labels, dict):
+                self._labels = dict(self._labels)
+            for j, nm in enumerate(names):
+                self._labels[self.n + j] = nm
+        else:
+            self._labels = list(self._labels) + list(names)
+
+    def _grow(self, min_rows: int):
+        """Re-pad the device bank so at least ``min_rows`` fit."""
+        new_pad = -(-min_rows // self._pad_unit) * self._pad_unit
+        extra = new_pad - self.n_pad
+        self._bank = jnp.pad(self._bank, ((0, extra), (0, 0)))
+        self.n_pad = new_pad
+        self.nbytes = self._bank.nbytes
+
+    def add(self, embeds: np.ndarray, names: Optional[Sequence] = None):
+        """Enroll speakers into the LIVE bank.
+
+        In-capacity adds are one donated scatter (in-place HBM update,
+        O(new rows)); ``n_valid`` is traced, so identify() reuses its
+        compiled program. Growth past the padding re-pads the device
+        array (rare — padding absorbs ``pad_rows_to`` adds at a time).
+        Returns the indices assigned to the new rows.
+        """
+        rows = np.atleast_2d(np.asarray(embeds, np.float32))
+        if rows.shape[-1] != self.dim:
+            raise ValueError(f"embed dim {rows.shape[-1]} != {self.dim}")
+        rows = _normalize_rows(rows)
+        m = rows.shape[0]
+        if names is not None and len(names) != m:
+            raise ValueError(f"{m} rows but {len(names)} names")
+        if self.n + m > self.n_pad:
+            self._grow(self.n + m)
+        self._append_labels(names)
+        idx = np.arange(self.n, self.n + m, dtype=np.int32)
+        for b in (*self._ENROLL_BUCKETS, None):
+            if b is None or m <= b:
+                mp = m if b is None else b
+                break
+        rows_p = np.broadcast_to(rows[:1], (mp, self.dim)).copy()
+        rows_p[:m] = rows
+        idx_p = np.full((mp,), idx[0], np.int32)
+        idx_p[:m] = idx
+        self._bank = _enroll_scatter(self._bank, jnp.asarray(rows_p),
+                                     jnp.asarray(idx_p))
+        self.n += m
+        return idx
 
 
 def identify_with_bank(bank: SpeakerBank, queries: np.ndarray,
@@ -173,7 +247,7 @@ def identify_with_bank(bank: SpeakerBank, queries: np.ndarray,
 
 
 @functools.lru_cache(maxsize=32)
-def _sharded_identify_fn(q_pad: int, shard_rows: int, n_valid: int, k: int,
+def _sharded_identify_fn(q_pad: int, shard_rows: int, k: int,
                          k_local: int, dtype: str, mesh: jax.sharding.Mesh,
                          axis: str):
     """Jitted sharded lookup: bank P(axis, None), queries replicated.
@@ -186,7 +260,7 @@ def _sharded_identify_fn(q_pad: int, shard_rows: int, n_valid: int, k: int,
     """
     from jax.sharding import PartitionSpec as P
 
-    def local(bank_shard, q):
+    def local(bank_shard, q, n_valid):
         dev = jax.lax.axis_index(axis)
         row0 = dev * shard_rows
         qn = q / jnp.clip(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
@@ -202,13 +276,13 @@ def _sharded_identify_fn(q_pad: int, shard_rows: int, n_valid: int, k: int,
         return gs, gi
 
     run = jax.shard_map(local, mesh=mesh,
-                        in_specs=(P(axis, None), P(None, None)),
+                        in_specs=(P(axis, None), P(None, None), P()),
                         out_specs=(P(None, None), P(None, None)),
                         check_vma=False)
     return jax.jit(run)
 
 
-class ShardedSpeakerBank:
+class ShardedSpeakerBank(SpeakerBank):
     """Row-sharded :class:`SpeakerBank` over a device mesh.
 
     The enrolled bank is partitioned row-wise across a 1-D ``axis`` of
@@ -238,6 +312,7 @@ class ShardedSpeakerBank:
         bank, self.n, self.dim, self.n_pad = _padded_normalized_bank(
             embeds, pad_rows_to * self.n_dev)
         self._labels = labels
+        self._pad_unit = pad_rows_to * self.n_dev
         self._buckets = tuple(sorted(set(int(b) for b in query_buckets)))
         # per-shard placement: each device pulls only its row slice (with
         # the dtype cast applied per shard), so no second full-size host
@@ -248,10 +323,6 @@ class ShardedSpeakerBank:
         self.shard_rows = self.n_pad // self.n_dev
         self.nbytes = self._bank.nbytes  # aggregate across shards
 
-    name = SpeakerBank.name
-    _bucket = SpeakerBank._bucket
-    _identify_chunked = SpeakerBank._identify_chunked
-
     def identify(self, queries: np.ndarray, k: int = 1):
         """Same contract as :meth:`SpeakerBank.identify`, sharded."""
         fn_dtype = str(self._bank.dtype)
@@ -259,8 +330,22 @@ class ShardedSpeakerBank:
         def factory(qp, kk):
             # Correctness: a global top-k row is in its shard's local
             # top-k, so min(kk, shard_rows) candidates per shard suffice.
-            return _sharded_identify_fn(qp, self.shard_rows, self.n, kk,
+            return _sharded_identify_fn(qp, self.shard_rows, kk,
                                         min(kk, self.shard_rows), fn_dtype,
                                         self.mesh, self.axis)
 
         return self._identify_chunked(queries, k, factory)
+
+    def _grow(self, min_rows: int):
+        """Re-pad keeping the P(axis, None) row sharding (and equal
+        shards: the pad unit is pad_rows_to * n_dev)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        new_pad = -(-min_rows // self._pad_unit) * self._pad_unit
+        extra = new_pad - self.n_pad
+        sh = NamedSharding(self.mesh, P(self.axis, None))
+        self._bank = jax.jit(lambda b: jnp.pad(b, ((0, extra), (0, 0))),
+                             out_shardings=sh)(self._bank)
+        self.n_pad = new_pad
+        self.shard_rows = new_pad // self.n_dev
+        self.nbytes = self._bank.nbytes

@@ -45,6 +45,7 @@ embeddings are directly comparable to ``--prepare`` artifacts.
 from __future__ import annotations
 
 import json
+import os
 import queue
 import threading
 from concurrent.futures import Future
@@ -291,6 +292,17 @@ def make_serving_app(engine, hparams: Mapping,
                 banks["embeds"] = embeds     # last: marks init complete
         return banks["embeds"], banks["classes"], banks["device"]
 
+    def _persist_banks():
+        """Write the --prepare artifacts atomically (tmp + rename) so a
+        crash mid-save never truncates the enrollment bank. Caller holds
+        banks_lock."""
+        mdir = engine.dirs["model"]
+        for fname, arr in (("embeds.npy", banks["embeds"]),
+                           ("classes.npy", banks["classes"])):
+            tmp = mdir / fname.replace(".npy", ".tmp.npy")
+            np.save(tmp, arr, allow_pickle=True)
+            os.replace(tmp, mdir / fname)
+
     model_name = (h.get("model") or {}).get("name", "?")
 
     class ServingHandler(BaseHTTPRequestHandler):
@@ -365,6 +377,29 @@ def make_serving_app(engine, hparams: Mapping,
                     return self._reply(200, {
                         "speaker": str(classes[best]),
                         "score": float(1.0 - d[best] ** 2 / 2.0)})
+                if self.path == "/enroll":
+                    # live enrollment: {"name": ..., "pcm"/"path": ...}
+                    # embeds the utterance and appends it to the serving
+                    # bank in place (SpeakerBank.add: donated scatter, no
+                    # recompile) + persists the --prepare artifacts so a
+                    # restart sees the new speaker
+                    name = obj.get("name")
+                    if not isinstance(name, str) or not name:
+                        raise ValueError("/enroll needs a 'name' string")
+                    crops = _decode_audio_spec(obj, spec, num_eval)
+                    utt = _utt_embedding(batcher.submit(crops).result())
+                    _load_banks()
+                    with banks_lock:
+                        new_idx = len(banks["embeds"])
+                        banks["classes"][new_idx] = name
+                        banks["embeds"] = np.concatenate(
+                            [banks["embeds"], utt[None, :]])
+                        if banks["device"] is not None:
+                            banks["device"].add(utt, [name])
+                        _persist_banks()
+                    return self._reply(200, {
+                        "speaker": name, "index": new_idx,
+                        "enrolled": new_idx + 1})
                 return self._reply(404, {"error": f"unknown path {self.path}"})
             except (KeyError, ValueError, TypeError,
                     FileNotFoundError) as exc:

@@ -216,6 +216,149 @@ def test_serving_identify_device_bank_matches_host(tmp_path):
     assert dev8["score"] == pytest.approx(host["score"], abs=1e-4)
 
 
+# ------------------------------------------------------------- enrollment
+def test_bank_add_within_capacity_matches_rebuild():
+    rng = np.random.default_rng(20)
+    base = rng.normal(size=(100, 16)).astype(np.float32)
+    extra = rng.normal(size=(7, 16)).astype(np.float32)
+    queries = rng.normal(size=(5, 16)).astype(np.float32)
+
+    live = SpeakerBank(base, pad_rows_to=128)          # 28 spare rows
+    idx = live.add(extra)
+    assert list(idx) == list(range(100, 107))
+    assert live.n == 107 and live.n_pad == 128         # no growth
+
+    rebuilt = SpeakerBank(np.concatenate([base, extra]), pad_rows_to=128)
+    s1, i1 = live.identify(queries, k=4)
+    s2, i2 = rebuilt.identify(queries, k=4)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(s1, s2, atol=1e-6)
+
+
+def test_bank_add_grows_past_padding():
+    rng = np.random.default_rng(21)
+    base = rng.normal(size=(30, 8)).astype(np.float32)
+    extra = rng.normal(size=(6, 8)).astype(np.float32)
+    bank = SpeakerBank(base, pad_rows_to=32)           # 2 spare rows
+    bank.add(extra)                                    # 36 > 32: grows
+    assert bank.n == 36 and bank.n_pad == 64
+
+    rebuilt = SpeakerBank(np.concatenate([base, extra]), pad_rows_to=32)
+    q = rng.normal(size=(4, 8)).astype(np.float32)
+    s1, i1 = bank.identify(q, k=3)
+    s2, i2 = rebuilt.identify(q, k=3)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(s1, s2, atol=1e-6)
+
+
+def test_bank_add_labels_and_validation():
+    bank = SpeakerBank(np.eye(8, dtype=np.float32)[:4],
+                       {i: f"s{i}" for i in range(4)}, pad_rows_to=8)
+    bank.add(np.eye(8, dtype=np.float32)[5], ["newbie"])
+    names, scores = identify_with_bank(
+        bank, np.eye(8, dtype=np.float32)[5], threshold=0.5)
+    assert names == ["newbie"]
+    with pytest.raises(ValueError, match="names"):
+        bank.add(np.zeros((2, 8), np.float32))         # labeled bank
+    with pytest.raises(ValueError, match="dim"):
+        bank.add(np.zeros((1, 5), np.float32), ["x"])
+    with pytest.raises(ValueError, match="names"):
+        bank.add(np.zeros((2, 8), np.float32), ["only-one"])
+
+
+def test_sharded_bank_add_matches_rebuild_and_keeps_sharding():
+    from jax.sharding import PartitionSpec as P
+    from speakerverification_tpu.evaluation.bank import ShardedSpeakerBank
+
+    rng = np.random.default_rng(22)
+    mesh = _bank_mesh()
+    base = rng.normal(size=(60, 16)).astype(np.float32)
+    extra = rng.normal(size=(3, 16)).astype(np.float32)
+    q = rng.normal(size=(5, 16)).astype(np.float32)
+
+    live = ShardedSpeakerBank(base, mesh=mesh, pad_rows_to=8)   # pad 64
+    live.add(extra)
+    assert live.n == 63 and live.n_pad == 64
+    assert live._bank.sharding.spec == P("bank", None)
+
+    rebuilt = ShardedSpeakerBank(np.concatenate([base, extra]),
+                                 mesh=mesh, pad_rows_to=8)
+    s1, i1 = live.identify(q, k=4)
+    s2, i2 = rebuilt.identify(q, k=4)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(s1, s2, atol=1e-6)
+
+    # growth across the sharded padding re-pads with equal shards
+    live.add(rng.normal(size=(10, 16)).astype(np.float32))
+    assert live.n == 73 and live.n_pad == 128
+    assert live.shard_rows == 16
+    assert live._bank.sharding.spec == P("bank", None)
+    reb2 = ShardedSpeakerBank(np.asarray(live._bank)[:73], mesh=mesh,
+                              pad_rows_to=8)
+    s3, i3 = live.identify(q, k=4)
+    s4, i4 = reb2.identify(q, k=4)
+    np.testing.assert_array_equal(i3, i4)
+    np.testing.assert_allclose(s3, s4, atol=1e-6)
+
+
+def test_serving_enroll_then_identify_and_persist(tmp_path):
+    """POST /enroll adds a live speaker: the next /identify finds them
+    on the device bank without a rebuild, and a server restart sees the
+    persisted artifacts."""
+    from tests.test_serving import SAMPLES, FakeEngine, _post, _serving_hparams
+    from speakerverification_tpu.serving import make_serving_app
+
+    rng = np.random.default_rng(9)
+    pcm = rng.normal(size=2 * SAMPLES).astype(np.float32).tolist()
+    other = rng.normal(size=2 * SAMPLES).astype(np.float32).tolist()
+
+    def _spin(engine, h):
+        handler, batcher = make_serving_app(engine, h)
+        httpd = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+        return httpd, batcher, httpd.server_address[1]
+
+    h = _serving_hparams()
+    h["serving"]["device_bank"] = True
+    httpd, batcher, port = _spin(FakeEngine(tmp_path), h)
+    try:
+        # seed bank: one far-away speaker
+        status, out = _post(port, "/embed",
+                            {"pcm": other, "sample_rate": 8000})
+        assert status == 200
+        emb = np.asarray(out["embedding"], np.float32)
+        np.save(tmp_path / "embeds.npy", -emb[None, :])
+        np.save(tmp_path / "classes.npy", {0: "faraway"}, allow_pickle=True)
+
+        status, out = _post(port, "/enroll",
+                            {"pcm": pcm, "sample_rate": 8000,
+                             "name": "alice"})
+        assert status == 200 and out["index"] == 1 and out["enrolled"] == 2
+
+        status, out = _post(port, "/identify",
+                            {"pcm": pcm, "sample_rate": 8000})
+        assert status == 200 and out["speaker"] == "alice"
+
+        status, out = _post(port, "/enroll", {"pcm": pcm,
+                                              "sample_rate": 8000})
+        assert status == 400 and "name" in out["error"]
+    finally:
+        httpd.shutdown()
+        batcher.close()
+
+    # restart: the persisted artifacts carry the live enrollment
+    httpd, batcher, port = _spin(FakeEngine(tmp_path), h)
+    try:
+        status, out = _post(port, "/identify",
+                            {"pcm": pcm, "sample_rate": 8000})
+        assert status == 200 and out["speaker"] == "alice"
+        classes = np.load(tmp_path / "classes.npy", allow_pickle=True).item()
+        assert classes == {0: "faraway", 1: "alice"}
+    finally:
+        httpd.shutdown()
+        batcher.close()
+
+
 def test_serving_bank_devices_beyond_visible_fails_loudly(tmp_path):
     """An explicit bank_devices the host can't satisfy must 400 with a
     clear message, not silently build a smaller bank (the bank was
