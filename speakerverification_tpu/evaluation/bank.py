@@ -148,6 +148,9 @@ class SpeakerBank:
         if q.shape[-1] != self.dim:
             raise ValueError(f"query dim {q.shape[-1]} != bank {self.dim}")
         k = min(int(k), self.n)
+        if k == 0:                                 # empty bank
+            return (np.zeros((q.shape[0], 0), np.float32),
+                    np.zeros((q.shape[0], 0), np.int32))
         out_s, out_i = [], []
         step = self._buckets[-1]
         for lo in range(0, q.shape[0], step):
@@ -233,6 +236,38 @@ class SpeakerBank:
                                      jnp.asarray(idx_p))
         self.n += m
         return idx
+
+    def remove(self, idx: int):
+        """Un-enroll row ``idx`` by swapping the LAST valid row into its
+        slot (one gather + one donated scatter) and shrinking the traced
+        valid count — identify() keeps its compiled program. Later rows'
+        indices are unchanged except the moved last row, whose new index
+        (``idx``) is returned (None if it was the last row)."""
+        idx = int(idx)
+        if not 0 <= idx < self.n:
+            raise IndexError(f"row {idx} not in bank of {self.n}")
+        last = self.n - 1
+        moved = None
+        if idx != last:
+            row = np.asarray(self._bank[last], np.float32)[None, :]
+            self._bank = _enroll_scatter(
+                self._bank, jnp.asarray(row),
+                jnp.asarray([idx], np.int32))
+            moved = idx
+        if self._labels is not None:
+            if isinstance(self._labels, Mapping):
+                if not isinstance(self._labels, dict):
+                    self._labels = dict(self._labels)
+                if idx != last:
+                    self._labels[idx] = self._labels[last]
+                self._labels.pop(last, None)
+            else:
+                self._labels = list(self._labels)
+                if idx != last:
+                    self._labels[idx] = self._labels[last]
+                del self._labels[last]
+        self.n = last
+        return moved
 
 
 def identify_with_bank(bank: SpeakerBank, queries: np.ndarray,

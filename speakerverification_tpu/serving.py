@@ -400,6 +400,46 @@ def make_serving_app(engine, hparams: Mapping,
                     return self._reply(200, {
                         "speaker": name, "index": new_idx,
                         "enrolled": new_idx + 1})
+                if self.path == "/unenroll":
+                    # {"index": i} or {"name": ...} (name must be unique);
+                    # swap-with-last removal mirrored on the host arrays,
+                    # device bank, and persisted artifacts
+                    _load_banks()
+                    with banks_lock:
+                        if "index" in obj:
+                            idx = int(obj["index"])
+                        else:
+                            nm = obj.get("name")
+                            hits = [i for i, v in banks["classes"].items()
+                                    if v == nm]
+                            if len(hits) != 1:
+                                raise ValueError(
+                                    f"name {nm!r} matches {len(hits)} "
+                                    "speakers; pass 'index'")
+                            idx = hits[0]
+                        n = len(banks["embeds"])
+                        if not 0 <= idx < n:
+                            raise ValueError(f"index {idx} not in bank "
+                                             f"of {n}")
+                        removed = banks["classes"][idx]
+                        last = n - 1
+                        if banks["device"] is not None:
+                            # the device bank's labels ARE banks['classes']
+                            # (same dict, by construction in _load_banks /
+                            # /enroll): remove() applies the swap-with-last
+                            # label fix-up exactly once
+                            banks["device"].remove(idx)
+                        else:
+                            if idx != last:
+                                banks["classes"][idx] = \
+                                    banks["classes"][last]
+                            banks["classes"].pop(last, None)
+                        if idx != last:
+                            banks["embeds"][idx] = banks["embeds"][last]
+                        banks["embeds"] = banks["embeds"][:last]
+                        _persist_banks()
+                    return self._reply(200, {
+                        "speaker": str(removed), "enrolled": last})
                 return self._reply(404, {"error": f"unknown path {self.path}"})
             except (KeyError, ValueError, TypeError,
                     FileNotFoundError) as exc:

@@ -301,6 +301,57 @@ def test_sharded_bank_add_matches_rebuild_and_keeps_sharding():
     np.testing.assert_allclose(s3, s4, atol=1e-6)
 
 
+def test_bank_remove_swap_with_last_matches_rebuild():
+    rng = np.random.default_rng(23)
+    base = rng.normal(size=(10, 8)).astype(np.float32)
+    labels = [f"s{i}" for i in range(10)]
+    bank = SpeakerBank(base, labels, pad_rows_to=16)
+
+    moved = bank.remove(3)                 # s9 moves into slot 3
+    assert moved == 3 and bank.n == 9
+    assert bank.name(3) == "s9"
+    want = base.copy()
+    want[3] = base[9]
+    rebuilt = SpeakerBank(want[:9], pad_rows_to=16)
+    q = rng.normal(size=(4, 8)).astype(np.float32)
+    s1, i1 = bank.identify(q, k=3)
+    s2, i2 = rebuilt.identify(q, k=3)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(s1, s2, atol=1e-6)
+
+    assert bank.remove(8) is None          # removing the last row: no move
+    assert bank.n == 8
+    with pytest.raises(IndexError):
+        bank.remove(8)
+
+    # drain to empty: identify returns empty, then re-add works
+    for _ in range(8):
+        bank.remove(0)
+    s, i = bank.identify(q, k=1)
+    assert s.shape == (4, 0) and i.shape == (4, 0)
+    bank.add(base[0], ["back"])
+    names, _ = identify_with_bank(bank, base[0])
+    assert names == ["back"]
+
+
+def test_sharded_bank_remove_matches_rebuild():
+    from speakerverification_tpu.evaluation.bank import ShardedSpeakerBank
+
+    rng = np.random.default_rng(24)
+    mesh = _bank_mesh()
+    base = rng.normal(size=(40, 16)).astype(np.float32)
+    bank = ShardedSpeakerBank(base, mesh=mesh, pad_rows_to=4)
+    bank.remove(5)
+    want = base.copy()
+    want[5] = base[39]
+    rebuilt = ShardedSpeakerBank(want[:39], mesh=mesh, pad_rows_to=4)
+    q = rng.normal(size=(3, 16)).astype(np.float32)
+    s1, i1 = bank.identify(q, k=5)
+    s2, i2 = rebuilt.identify(q, k=5)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(s1, s2, atol=1e-6)
+
+
 def test_serving_enroll_then_identify_and_persist(tmp_path):
     """POST /enroll adds a live speaker: the next /identify finds them
     on the device bank without a rebuild, and a server restart sees the
@@ -354,6 +405,18 @@ def test_serving_enroll_then_identify_and_persist(tmp_path):
         assert status == 200 and out["speaker"] == "alice"
         classes = np.load(tmp_path / "classes.npy", allow_pickle=True).item()
         assert classes == {0: "faraway", 1: "alice"}
+
+        # /unenroll by name: alice swaps into slot 0 and persists
+        status, out = _post(port, "/unenroll", {"name": "faraway"})
+        assert status == 200 and out == {"speaker": "faraway",
+                                         "enrolled": 1}
+        status, out = _post(port, "/identify",
+                            {"pcm": pcm, "sample_rate": 8000})
+        assert status == 200 and out["speaker"] == "alice"
+        classes = np.load(tmp_path / "classes.npy", allow_pickle=True).item()
+        assert classes == {0: "alice"}
+        status, out = _post(port, "/unenroll", {"name": "nobody"})
+        assert status == 400
     finally:
         httpd.shutdown()
         batcher.close()
