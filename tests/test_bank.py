@@ -422,6 +422,52 @@ def test_serving_enroll_then_identify_and_persist(tmp_path):
         batcher.close()
 
 
+def test_serving_concurrent_enroll_is_serialized(tmp_path):
+    """N parallel /enroll requests must each get a distinct index and
+    all land in the bank (the banks_lock serializes index assignment
+    while embedding still batches concurrently)."""
+    from concurrent.futures import ThreadPoolExecutor
+    from tests.test_serving import SAMPLES, FakeEngine, _post, _serving_hparams
+    from speakerverification_tpu.serving import make_serving_app
+
+    rng = np.random.default_rng(10)
+    h = _serving_hparams()
+    h["serving"]["device_bank"] = True
+    handler, batcher = make_serving_app(FakeEngine(tmp_path), h)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        port = httpd.server_address[1]
+        seed = rng.normal(size=2 * SAMPLES).astype(np.float32).tolist()
+        status, out = _post(port, "/embed",
+                            {"pcm": seed, "sample_rate": 8000})
+        emb = np.asarray(out["embedding"], np.float32)
+        np.save(tmp_path / "embeds.npy", -emb[None, :])
+        np.save(tmp_path / "classes.npy", {0: "seed"}, allow_pickle=True)
+
+        # pre-generate audio: numpy Generators are not thread-safe
+        pcms = [rng.normal(size=2 * SAMPLES).astype(np.float32).tolist()
+                for _ in range(8)]
+
+        def enroll(i):
+            return _post(port, "/enroll", {"pcm": pcms[i],
+                                           "sample_rate": 8000,
+                                           "name": f"spk{i}"})
+
+        with ThreadPoolExecutor(8) as ex:
+            results = list(ex.map(enroll, range(8)))
+        assert all(st == 200 for st, _ in results)
+        indices = sorted(out["index"] for _, out in results)
+        assert indices == list(range(1, 9))          # distinct, gap-free
+        classes = np.load(tmp_path / "classes.npy",
+                          allow_pickle=True).item()
+        assert len(classes) == 9
+        assert len(np.load(tmp_path / "embeds.npy")) == 9
+    finally:
+        httpd.shutdown()
+        batcher.close()
+
+
 def test_serving_bank_devices_beyond_visible_fails_loudly(tmp_path):
     """An explicit bank_devices the host can't satisfy must 400 with a
     clear message, not silently build a smaller bank (the bank was
