@@ -100,6 +100,17 @@ _enroll_scatter = jax.jit(
     donate_argnums=0)
 
 
+@functools.lru_cache(maxsize=16)
+def _grow_fn(extra: int, sharding=None):
+    """Cached re-pad for bank growth. A size-changing copy can't reuse
+    the old buffer (donation is a no-op across shapes), so growth
+    transiently peaks at old+new HBM — inherent to re-padding; size the
+    initial ``pad_rows_to`` so growth is rare. lru_cache keeps repeated
+    (esp. sharded) growth from re-tracing per call."""
+    kw = {"out_shardings": sharding} if sharding is not None else {}
+    return jax.jit(lambda b: jnp.pad(b, ((0, extra), (0, 0))), **kw)
+
+
 class SpeakerBank:
     """HBM-resident L2-normalized enrollment bank with GEMM top-k lookup.
 
@@ -200,7 +211,7 @@ class SpeakerBank:
         """Re-pad the device bank so at least ``min_rows`` fit."""
         new_pad = -(-min_rows // self._pad_unit) * self._pad_unit
         extra = new_pad - self.n_pad
-        self._bank = jnp.pad(self._bank, ((0, extra), (0, 0)))
+        self._bank = _grow_fn(extra)(self._bank)
         self.n_pad = new_pad
         self.nbytes = self._bank.nbytes
 
@@ -220,6 +231,8 @@ class SpeakerBank:
         m = rows.shape[0]
         if names is not None and len(names) != m:
             raise ValueError(f"{m} rows but {len(names)} names")
+        if m == 0:
+            return np.zeros((0,), np.int32)
         if self.n + m > self.n_pad:
             self._grow(self.n + m)
         self._append_labels(names)
@@ -379,8 +392,7 @@ class ShardedSpeakerBank(SpeakerBank):
         new_pad = -(-min_rows // self._pad_unit) * self._pad_unit
         extra = new_pad - self.n_pad
         sh = NamedSharding(self.mesh, P(self.axis, None))
-        self._bank = jax.jit(lambda b: jnp.pad(b, ((0, extra), (0, 0))),
-                             out_shardings=sh)(self._bank)
+        self._bank = _grow_fn(extra, sh)(self._bank)
         self.n_pad = new_pad
         self.shard_rows = new_pad // self.n_dev
         self.nbytes = self._bank.nbytes

@@ -257,6 +257,21 @@ def make_serving_app(engine, hparams: Mapping,
     # silently fall back to a host scan over the full bank
     banks_lock = threading.Lock()
 
+    def _build_device_bank(embeds, classes):
+        import jax
+        ndev = bank_devices_cfg
+        if ndev > len(jax.devices()):
+            # an explicit capacity request must not silently shrink:
+            # the bank was sized for ndev chips' HBM
+            raise ValueError(
+                f"serving.bank_devices={ndev} but only "
+                f"{len(jax.devices())} device(s) visible")
+        if ndev > 1:
+            from jax.sharding import Mesh
+            mesh = Mesh(np.array(jax.devices()[:ndev]), ("bank",))
+            return ShardedSpeakerBank(embeds, classes, mesh=mesh)
+        return SpeakerBank(embeds, classes)
+
     def _load_banks():
         with banks_lock:
             if banks["embeds"] is None:
@@ -272,30 +287,23 @@ def make_serving_app(engine, hparams: Mapping,
                            if device_bank_cfg == "auto"
                            else bool(device_bank_cfg))
                 if use_dev:
-                    import jax
-                    ndev = bank_devices_cfg
-                    if ndev > len(jax.devices()):
-                        # an explicit capacity request must not silently
-                        # shrink: the bank was sized for ndev chips' HBM
-                        raise ValueError(
-                            f"serving.bank_devices={ndev} but only "
-                            f"{len(jax.devices())} device(s) visible")
-                    if ndev > 1:
-                        from jax.sharding import Mesh
-                        mesh = Mesh(np.array(jax.devices()[:ndev]),
-                                    ("bank",))
-                        banks["device"] = ShardedSpeakerBank(
-                            embeds, classes, mesh=mesh)
-                    else:
-                        banks["device"] = SpeakerBank(embeds, classes)
+                    banks["device"] = _build_device_bank(embeds, classes)
                 banks["classes"] = classes
                 banks["embeds"] = embeds     # last: marks init complete
         return banks["embeds"], banks["classes"], banks["device"]
+
+    # serving.persist_enroll (default true): rewrite the --prepare
+    # artifacts after each /enroll//unenroll. The rewrite is O(bank) disk
+    # I/O under banks_lock — fine up to ~100k speakers; for multi-GB
+    # banks disable it and persist out-of-band
+    persist_enroll = bool(serving.get("persist_enroll", True))
 
     def _persist_banks():
         """Write the --prepare artifacts atomically (tmp + rename) so a
         crash mid-save never truncates the enrollment bank. Caller holds
         banks_lock."""
+        if not persist_enroll:
+            return
         mdir = engine.dirs["model"]
         for fname, arr in (("embeds.npy", banks["embeds"]),
                            ("classes.npy", banks["classes"])):
@@ -360,23 +368,36 @@ def make_serving_app(engine, hparams: Mapping,
                     e1, e2 = (f.result() for f in futs)
                     return self._reply(200, {"score": _pair_cosine(e1, e2)})
                 if self.path == "/identify":
-                    embeds, classes, dev_bank = _load_banks()
                     crops = _decode_audio_spec(obj, spec, num_eval)
                     utt = _utt_embedding(batcher.submit(crops).result())
-                    # nearest enrolled speaker by mean pairwise distance,
-                    # score = 1 - d^2/2 (src/inference.py:254-327); on
-                    # normalized vectors that equals the cosine the
-                    # device bank ranks by (evaluation/bank.py)
-                    if dev_bank is not None:
-                        s, i = dev_bank.identify(utt, k=1)
-                        return self._reply(200, {
-                            "speaker": str(dev_bank.name(int(i[0, 0]))),
-                            "score": float(s[0, 0])})
-                    d = np.linalg.norm(embeds - utt[None, :], axis=1)
-                    best = int(np.argmin(d))
-                    return self._reply(200, {
-                        "speaker": str(classes[best]),
-                        "score": float(1.0 - d[best] ** 2 / 2.0)})
+                    _load_banks()
+                    # the lock covers the bank READ too: /enroll's
+                    # donated scatter deletes the device array a
+                    # concurrent identify would otherwise dispatch on,
+                    # and /unenroll swaps the host arrays in place
+                    with banks_lock:
+                        embeds, classes = banks["embeds"], banks["classes"]
+                        dev_bank = banks["device"]
+                        if len(embeds) == 0:
+                            raise ValueError("no speakers enrolled")
+                        # nearest enrolled speaker by mean pairwise
+                        # distance, score = 1 - d^2/2
+                        # (src/inference.py:254-327); on normalized
+                        # vectors that equals the cosine the device bank
+                        # ranks by (evaluation/bank.py)
+                        if dev_bank is not None:
+                            s, i = dev_bank.identify(utt, k=1)
+                            payload = {
+                                "speaker": str(dev_bank.name(int(i[0, 0]))),
+                                "score": float(s[0, 0])}
+                        else:
+                            d = np.linalg.norm(embeds - utt[None, :],
+                                               axis=1)
+                            best = int(np.argmin(d))
+                            payload = {
+                                "speaker": str(classes[best]),
+                                "score": float(1.0 - d[best] ** 2 / 2.0)}
+                    return self._reply(200, payload)
                 if self.path == "/enroll":
                     # live enrollment: {"name": ..., "pcm"/"path": ...}
                     # embeds the utterance and appends it to the serving
@@ -391,11 +412,24 @@ def make_serving_app(engine, hparams: Mapping,
                     _load_banks()
                     with banks_lock:
                         new_idx = len(banks["embeds"])
+                        if banks["device"] is not None:
+                            # device first: if the scatter/growth fails
+                            # the host mirror is untouched and the two
+                            # stay consistent (add also inserts the label
+                            # into the SHARED classes dict)
+                            banks["device"].add(utt, [name])
                         banks["classes"][new_idx] = name
                         banks["embeds"] = np.concatenate(
                             [banks["embeds"], utt[None, :]])
-                        if banks["device"] is not None:
-                            banks["device"].add(utt, [name])
+                        if (banks["device"] is None
+                                and device_bank_cfg == "auto"
+                                and len(banks["embeds"])
+                                >= AUTO_DEVICE_BANK_MIN_ROWS):
+                            # live growth crossed the auto threshold:
+                            # promote to the device bank now rather than
+                            # host-scanning until a restart
+                            banks["device"] = _build_device_bank(
+                                banks["embeds"], banks["classes"])
                         _persist_banks()
                     return self._reply(200, {
                         "speaker": name, "index": new_idx,
