@@ -499,6 +499,17 @@ def serve(hparams: Mapping, host: str = "0.0.0.0",
     print(f"[INFO] serving {hparams.get('model', {}).get('name', '?')} "
           f"on {host}:{port} (batch_utts={batcher.batch_utts}, "
           f"max_wait={batcher.max_wait * 1000:.0f}ms)")
+    # preemption-safe like the trainer (training/trainer.py SIGTERM
+    # handling): a scheduler SIGTERM drains in-flight requests via
+    # shutdown() instead of killing handler threads mid-reply
+    import signal as _signal
+    for s in (_signal.SIGTERM, _signal.SIGINT):
+        try:
+            _signal.signal(s, lambda *_:
+                           threading.Thread(target=httpd.shutdown,
+                                            daemon=True).start())
+        except ValueError:                          # pragma: no cover
+            pass                                    # non-main thread
     try:
         httpd.serve_forever()
     except KeyboardInterrupt:                       # pragma: no cover
@@ -506,3 +517,4 @@ def serve(hparams: Mapping, host: str = "0.0.0.0",
     finally:
         httpd.shutdown()
         batcher.close()
+        print("[INFO] serving stopped cleanly")
