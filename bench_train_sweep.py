@@ -4,6 +4,10 @@ Usage: python bench_train_sweep.py <variant>
   tb32 | tb64 | tb128 | tb256 | tb512
                         — chained train step at that half-batch
                           (utts = 2×tb), AdaBelief update included
+  tb256r | tb512r       — same with model.remat=True (explicit per-
+                          SE-Res2Net-block rematerialization; probes
+                          whether hand-placed remat beats XLA's
+                          automatic HBM-pressure remat at 1024 utts)
   grad64                — forward+backward only at tb=64 (no update)
 
 Same chained-lax.scan methodology as bench.py (the tunnel's ~3.65 ms
@@ -49,9 +53,10 @@ def main():
     T = 32000
     ITERS = 5
     tb = {"tb32": 32, "tb64": 64, "tb128": 128, "tb256": 256, "tb512": 512,
-          "grad64": 64}[variant]
+          "tb256r": 256, "tb512r": 512, "grad64": 64}[variant]
 
-    model = _flagship(frontend_backend="auto")
+    model = _flagship(frontend_backend="auto",
+                      remat=variant.endswith("r"))
     model_bf16 = model.clone(compute_dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
     tx = build_optimizer("AdaBelief", learning_rate=1e-3, weight_decay=2e-5)
