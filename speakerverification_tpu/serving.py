@@ -63,6 +63,48 @@ from speakerverification_tpu.evaluation.bank import (
 __all__ = ["DynamicBatcher", "serve", "make_serving_app"]
 
 
+class _RWLock:
+    """Readers-writer lock for the serving banks: identify requests
+    (readers) proceed concurrently; enroll/unenroll/load (writers, which
+    donate the device bank buffer and swap host arrays in place) get
+    exclusive access. Classic first-reader-locks scheme; writers can
+    starve under saturating read load, which is the right trade for a
+    read-dominated identification service."""
+
+    def __init__(self):
+        self._counter = threading.Lock()
+        self._exclusive = threading.Lock()
+        self._readers = 0
+
+    class _Ctx:
+        def __init__(self, acq, rel):
+            self._acq, self._rel = acq, rel
+
+        def __enter__(self):
+            self._acq()
+
+        def __exit__(self, *exc):
+            self._rel()
+
+    def _acq_read(self):
+        with self._counter:
+            self._readers += 1
+            if self._readers == 1:
+                self._exclusive.acquire()
+
+    def _rel_read(self):
+        with self._counter:
+            self._readers -= 1
+            if self._readers == 0:
+                self._exclusive.release()
+
+    def read(self):
+        return self._Ctx(self._acq_read, self._rel_read)
+
+    def write(self):
+        return self._Ctx(self._exclusive.acquire, self._exclusive.release)
+
+
 class DynamicBatcher:
     """Coalesce concurrent embedding requests into fixed-shape batches.
 
@@ -254,8 +296,12 @@ def make_serving_app(engine, hparams: Mapping,
     # ThreadingHTTPServer serves each request on its own thread; without
     # a lock a second /identify landing mid-construction would see a
     # half-initialized dict (embeds set, device bank still building) and
-    # silently fall back to a host scan over the full bank
-    banks_lock = threading.Lock()
+    # silently fall back to a host scan over the full bank. Reads
+    # (identify) share; writes (load/enroll/unenroll, which donate the
+    # device buffer and swap host arrays in place) are exclusive — so
+    # identify traffic is never serialized by other identifies, only
+    # paused by the rare mutation.
+    banks_lock = _RWLock()
 
     def _build_device_bank(embeds, classes):
         import jax
@@ -273,7 +319,7 @@ def make_serving_app(engine, hparams: Mapping,
         return SpeakerBank(embeds, classes)
 
     def _load_banks():
-        with banks_lock:
+        with banks_lock.write():
             if banks["embeds"] is None:
                 mdir = engine.dirs["model"]
                 epath, cpath = mdir / "embeds.npy", mdir / "classes.npy"
@@ -371,11 +417,12 @@ def make_serving_app(engine, hparams: Mapping,
                     crops = _decode_audio_spec(obj, spec, num_eval)
                     utt = _utt_embedding(batcher.submit(crops).result())
                     _load_banks()
-                    # the lock covers the bank READ too: /enroll's
+                    # a read lock covers the bank READ too: /enroll's
                     # donated scatter deletes the device array a
                     # concurrent identify would otherwise dispatch on,
-                    # and /unenroll swaps the host arrays in place
-                    with banks_lock:
+                    # and /unenroll swaps the host arrays in place —
+                    # but identifies run concurrently with each other
+                    with banks_lock.read():
                         embeds, classes = banks["embeds"], banks["classes"]
                         dev_bank = banks["device"]
                         if len(embeds) == 0:
@@ -410,7 +457,7 @@ def make_serving_app(engine, hparams: Mapping,
                     crops = _decode_audio_spec(obj, spec, num_eval)
                     utt = _utt_embedding(batcher.submit(crops).result())
                     _load_banks()
-                    with banks_lock:
+                    with banks_lock.write():
                         new_idx = len(banks["embeds"])
                         if banks["device"] is not None:
                             # device first: if the scatter/growth fails
@@ -439,7 +486,7 @@ def make_serving_app(engine, hparams: Mapping,
                     # swap-with-last removal mirrored on the host arrays,
                     # device bank, and persisted artifacts
                     _load_banks()
-                    with banks_lock:
+                    with banks_lock.write():
                         if "index" in obj:
                             idx = int(obj["index"])
                         else:

@@ -468,6 +468,95 @@ def test_serving_concurrent_enroll_is_serialized(tmp_path):
         batcher.close()
 
 
+def test_rwlock_readers_share_writers_exclude():
+    import time
+    from concurrent.futures import ThreadPoolExecutor
+    from speakerverification_tpu.serving import _RWLock
+
+    lock = _RWLock()
+    peak = {"readers": 0}
+    active = {"n": 0}
+    guard = threading.Lock()
+
+    def reader():
+        with lock.read():
+            with guard:
+                active["n"] += 1
+                peak["readers"] = max(peak["readers"], active["n"])
+            time.sleep(0.05)
+            with guard:
+                active["n"] -= 1
+
+    with ThreadPoolExecutor(4) as ex:
+        list(ex.map(lambda _: reader(), range(4)))
+    assert peak["readers"] >= 2            # readers overlapped
+
+    # a writer blocks while a reader holds the lock, then proceeds
+    got_in = threading.Event()
+
+    def writer():
+        with lock.write():
+            got_in.set()
+
+    lock._acq_read()
+    t = threading.Thread(target=writer)
+    t.start()
+    assert not got_in.wait(0.15)           # excluded by the reader
+    lock._rel_read()
+    assert got_in.wait(2.0)                # admitted after release
+    t.join()
+
+
+def test_serving_mixed_identify_enroll_storm(tmp_path):
+    """Concurrent identifies during enrolls: every request succeeds and
+    the final bank holds every enrolled speaker (the RW lock keeps
+    reads off deleted donated buffers without serializing them)."""
+    from concurrent.futures import ThreadPoolExecutor
+    from tests.test_serving import SAMPLES, FakeEngine, _post, _serving_hparams
+    from speakerverification_tpu.serving import make_serving_app
+
+    rng = np.random.default_rng(11)
+    h = _serving_hparams()
+    h["serving"]["device_bank"] = True
+    handler, batcher = make_serving_app(FakeEngine(tmp_path), h)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        port = httpd.server_address[1]
+        seed = rng.normal(size=2 * SAMPLES).astype(np.float32).tolist()
+        status, out = _post(port, "/embed",
+                            {"pcm": seed, "sample_rate": 8000})
+        emb = np.asarray(out["embedding"], np.float32)
+        np.save(tmp_path / "embeds.npy", emb[None, :])
+        np.save(tmp_path / "classes.npy", {0: "seed"}, allow_pickle=True)
+
+        pcms = [rng.normal(size=2 * SAMPLES).astype(np.float32).tolist()
+                for _ in range(6)]
+
+        def work(i):
+            if i % 2 == 0:           # enroll
+                return _post(port, "/enroll",
+                             {"pcm": pcms[i // 2], "sample_rate": 8000,
+                              "name": f"spk{i // 2}"})
+            return _post(port, "/identify",
+                         {"pcm": seed, "sample_rate": 8000})
+
+        with ThreadPoolExecutor(6) as ex:
+            results = list(ex.map(work, range(12)))
+        assert all(st == 200 for st, _ in results), results
+        # identifies of the seed audio must return SOME valid speaker
+        for i, (st, out) in enumerate(results):
+            if i % 2 == 1:
+                assert out["speaker"] in (
+                    {"seed"} | {f"spk{j}" for j in range(6)})
+        classes = np.load(tmp_path / "classes.npy",
+                          allow_pickle=True).item()
+        assert len(classes) == 7
+    finally:
+        httpd.shutdown()
+        batcher.close()
+
+
 def test_serving_bank_devices_beyond_visible_fails_loudly(tmp_path):
     """An explicit bank_devices the host can't satisfy must 400 with a
     clear message, not silently build a smaller bank (the bank was
