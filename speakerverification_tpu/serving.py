@@ -422,6 +422,9 @@ def make_serving_app(engine, hparams: Mapping,
                     # concurrent identify would otherwise dispatch on,
                     # and /unenroll swaps the host arrays in place —
                     # but identifies run concurrently with each other
+                    k = int(obj.get("k", 1))
+                    if k < 1:
+                        raise ValueError("k must be >= 1")
                     with banks_lock.read():
                         embeds, classes = banks["embeds"], banks["classes"]
                         dev_bank = banks["device"]
@@ -433,17 +436,23 @@ def make_serving_app(engine, hparams: Mapping,
                         # vectors that equals the cosine the device bank
                         # ranks by (evaluation/bank.py)
                         if dev_bank is not None:
-                            s, i = dev_bank.identify(utt, k=1)
-                            payload = {
-                                "speaker": str(dev_bank.name(int(i[0, 0]))),
-                                "score": float(s[0, 0])}
+                            s, i = dev_bank.identify(utt, k=k)
+                            cand = [(str(dev_bank.name(int(ii))),
+                                     float(ss))
+                                    for ss, ii in zip(s[0], i[0])]
                         else:
                             d = np.linalg.norm(embeds - utt[None, :],
                                                axis=1)
-                            best = int(np.argmin(d))
-                            payload = {
-                                "speaker": str(classes[best]),
-                                "score": float(1.0 - d[best] ** 2 / 2.0)}
+                            order = np.argsort(d)[: min(k, len(d))]
+                            cand = [(str(classes[int(b)]),
+                                     float(1.0 - d[b] ** 2 / 2.0))
+                                    for b in order]
+                    payload = {"speaker": cand[0][0],
+                               "score": cand[0][1]}
+                    if k > 1:
+                        payload["candidates"] = [
+                            {"speaker": nm, "score": sc}
+                            for nm, sc in cand]
                     return self._reply(200, payload)
                 if self.path == "/enroll":
                     # live enrollment: {"name": ..., "pcm"/"path": ...}

@@ -393,6 +393,16 @@ def test_serving_enroll_then_identify_and_persist(tmp_path):
         status, out = _post(port, "/enroll", {"pcm": pcm,
                                               "sample_rate": 8000})
         assert status == 400 and "name" in out["error"]
+
+        # top-k candidates: both speakers ranked, alice first
+        status, out = _post(port, "/identify",
+                            {"pcm": pcm, "sample_rate": 8000, "k": 5})
+        assert status == 200
+        names = [c["speaker"] for c in out["candidates"]]
+        assert names[0] == out["speaker"] == "alice"
+        assert set(names) == {"alice", "faraway"}
+        scores = [c["score"] for c in out["candidates"]]
+        assert scores == sorted(scores, reverse=True)
     finally:
         httpd.shutdown()
         batcher.close()
