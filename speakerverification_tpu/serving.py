@@ -319,6 +319,12 @@ def make_serving_app(engine, hparams: Mapping,
         return SpeakerBank(embeds, classes)
 
     def _load_banks():
+        # double-checked fast path: banks["embeds"] is assigned LAST
+        # under the write lock, so a non-None read here proves init
+        # completed — steady-state identifies never touch the write
+        # lock (which would serialize them behind in-flight readers)
+        if banks["embeds"] is not None:
+            return banks["embeds"], banks["classes"], banks["device"]
         with banks_lock.write():
             if banks["embeds"] is None:
                 mdir = engine.dirs["model"]
@@ -423,8 +429,15 @@ def make_serving_app(engine, hparams: Mapping,
                     # and /unenroll swaps the host arrays in place —
                     # but identifies run concurrently with each other
                     k = int(obj.get("k", 1))
-                    if k < 1:
-                        raise ValueError("k must be >= 1")
+                    if not 1 <= k <= 100:
+                        raise ValueError("k must be in [1, 100]")
+                    # the device lookup compiles one program per k
+                    # (lru_cache'd): bucket client k to a tiny grid so
+                    # arbitrary values can't trace+compile under the
+                    # read lock or thrash the program cache; results
+                    # trim back to the requested k
+                    k_eff = next(b for b in (1, 5, 10, 50, 100)
+                                 if k <= b)
                     with banks_lock.read():
                         embeds, classes = banks["embeds"], banks["classes"]
                         dev_bank = banks["device"]
@@ -436,14 +449,18 @@ def make_serving_app(engine, hparams: Mapping,
                         # vectors that equals the cosine the device bank
                         # ranks by (evaluation/bank.py)
                         if dev_bank is not None:
-                            s, i = dev_bank.identify(utt, k=k)
+                            s, i = dev_bank.identify(utt, k=k_eff)
                             cand = [(str(dev_bank.name(int(ii))),
                                      float(ss))
-                                    for ss, ii in zip(s[0], i[0])]
+                                    for ss, ii in zip(s[0][:k], i[0][:k])]
                         else:
                             d = np.linalg.norm(embeds - utt[None, :],
                                                axis=1)
-                            order = np.argsort(d)[: min(k, len(d))]
+                            kk = min(k, len(d))
+                            # argpartition keeps the host path O(N) for
+                            # any k (argsort would full-sort the bank)
+                            part = np.argpartition(d, kk - 1)[:kk]
+                            order = part[np.argsort(d[part])]
                             cand = [(str(classes[int(b)]),
                                      float(1.0 - d[b] ** 2 / 2.0))
                                     for b in order]
@@ -552,18 +569,28 @@ def serve(hparams: Mapping, host: str = "0.0.0.0",
     batcher.submit(np.zeros((batcher.num_eval, batcher.samples),
                             np.float32)).result(timeout=1200)
     httpd = ThreadingHTTPServer((host, port), handler)
+    # drain on shutdown: non-daemon handler threads + server_close()
+    # (ThreadingMixIn joins them via block_on_close) — otherwise
+    # interpreter exit kills handlers mid-reply
+    httpd.daemon_threads = False
     print(f"[INFO] serving {hparams.get('model', {}).get('name', '?')} "
           f"on {host}:{port} (batch_utts={batcher.batch_utts}, "
           f"max_wait={batcher.max_wait * 1000:.0f}ms)")
     # preemption-safe like the trainer (training/trainer.py SIGTERM
-    # handling): a scheduler SIGTERM drains in-flight requests via
-    # shutdown() instead of killing handler threads mid-reply
+    # handling): the first SIGTERM/SIGINT stops the accept loop and
+    # drains; original handlers are restored immediately so a SECOND
+    # signal escalates (Ctrl-C Ctrl-C still kills a stuck drain)
     import signal as _signal
+    old_handlers = {}
+
+    def _graceful(signum, frame):
+        for s, h in old_handlers.items():
+            _signal.signal(s, h)
+        threading.Thread(target=httpd.shutdown, daemon=True).start()
+
     for s in (_signal.SIGTERM, _signal.SIGINT):
         try:
-            _signal.signal(s, lambda *_:
-                           threading.Thread(target=httpd.shutdown,
-                                            daemon=True).start())
+            old_handlers[s] = _signal.signal(s, _graceful)
         except ValueError:                          # pragma: no cover
             pass                                    # non-main thread
     try:
@@ -572,5 +599,6 @@ def serve(hparams: Mapping, host: str = "0.0.0.0",
         pass
     finally:
         httpd.shutdown()
-        batcher.close()
+        httpd.server_close()      # join in-flight handler threads
+        batcher.close()           # after handlers: no late submits
         print("[INFO] serving stopped cleanly")
