@@ -287,6 +287,8 @@ def identify_with_bank(bank: SpeakerBank, queries: np.ndarray,
                        threshold: float = 0.0):
     """Reference --predict semantics over a device bank: best speaker per
     query, 'unknown' below threshold (src/inference.py:254-327)."""
+    if bank.n == 0:
+        raise ValueError("bank has no enrolled speakers")
     scores, idx = bank.identify(queries, k=1)
     scores, idx = scores[:, 0], idx[:, 0]
     names = [bank.name(int(b)) if scores[i] >= threshold else "unknown"

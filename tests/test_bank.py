@@ -329,6 +329,8 @@ def test_bank_remove_swap_with_last_matches_rebuild():
         bank.remove(0)
     s, i = bank.identify(q, k=1)
     assert s.shape == (4, 0) and i.shape == (4, 0)
+    with pytest.raises(ValueError, match="no enrolled"):
+        identify_with_bank(bank, q)
     bank.add(base[0], ["back"])
     names, _ = identify_with_bank(bank, base[0])
     assert names == ["back"]
