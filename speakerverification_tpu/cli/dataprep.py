@@ -35,6 +35,12 @@ def main(argv=None) -> int:
     p.add_argument("--vad", action="store_true")
     p.add_argument("--stats", action="store_true")
     p.add_argument("--filter", action="store_true")
+    p.add_argument("--pack", type=str, default=None, metavar="OUT_DIR",
+                   help="pack the train manifest into raw-PCM shards + "
+                        "index (data/shards.py) for O(crop) train reads; "
+                        "enable with dataloader_options: {shards: OUT_DIR}")
+    p.add_argument("--shard_mb", type=int, default=1024,
+                   help="max shard file size for --pack (MiB)")
     args = p.parse_args(argv)
 
     h = read_config(args.config)
@@ -101,6 +107,15 @@ def main(argv=None) -> int:
         out = filter_low_quality(data_folder,
                                  Path(data_folder).parent / "quarantine")
         print(json.dumps({"n_moved": out["n_moved"], "n_kept": out["n_kept"]}))
+
+    if args.pack:
+        from speakerverification_tpu.data.manifest import Manifest
+        from speakerverification_tpu.data.shards import pack_shards
+        m = Manifest.read(h["train_annotation"])
+        stats = pack_shards(
+            m, args.pack, shard_mb=args.shard_mb,
+            sample_rate=int(h["audio_spec"]["sample_rate"]))
+        print(json.dumps(stats))
 
     return 0
 

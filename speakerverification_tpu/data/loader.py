@@ -49,9 +49,25 @@ class TrainDataLoader:
                  augment_options: Optional[Mapping] = None,
                  random_chunk: bool = True,
                  num_workers: int = 8, prefetch: int = 4,
-                 seed: int = 0, num_replicas: int = 1, rank: int = 0):
+                 seed: int = 0, num_replicas: int = 1, rank: int = 0,
+                 shard_source=None):
         self.manifest = manifest
         self.spec = AudioSpec(audio_spec)
+        # optional packed-shard source (data/shards.py): crops become
+        # one mmap seek+read instead of open+decode per utterance;
+        # byte-identical crops (same rng draws), tested
+        self.shard_source = shard_source
+        if shard_source is not None:
+            if len(shard_source) != len(manifest):
+                raise ValueError(
+                    f"shard index has {len(shard_source)} utts, manifest "
+                    f"{len(manifest)} — repack (cli.dataprep --pack)")
+            for probe in (0, len(manifest) - 1):
+                if shard_source.utts[probe][4] != manifest.paths[probe]:
+                    raise ValueError(
+                        f"shard index row {probe} is "
+                        f"{shard_source.utts[probe][4]!r}, manifest has "
+                        f"{manifest.paths[probe]!r} — repack")
         self.batch_size = batch_size
         self.n_per_speaker = nPerSpeaker
         self.random_chunk = random_chunk
@@ -94,9 +110,15 @@ class TrainDataLoader:
     def _load_tuple(self, index_tuple, rng: np.random.Generator) -> np.ndarray:
         crops = []
         for idx in index_tuple:
-            audio = load_wav(self.manifest.paths[idx], self.spec,
-                             evalmode=False, random_chunk=self.random_chunk,
-                             rng=rng)                       # [1, T]
+            if self.shard_source is not None:
+                audio = self.shard_source.crop_train(
+                    idx, self.spec, rng=rng,
+                    random_chunk=self.random_chunk)         # [1, T]
+            else:
+                audio = load_wav(self.manifest.paths[idx], self.spec,
+                                 evalmode=False,
+                                 random_chunk=self.random_chunk,
+                                 rng=rng)                   # [1, T]
             if self.augment and "time_domain" in self.augment_chain:
                 audio = random_time_domain_augment(
                     audio, self.augment_options.get("augment_time_domain", {}),
@@ -236,8 +258,13 @@ def train_data_loader(hparams: Mapping, num_replicas: int = 1,
     """Build from the reference YAML schema (parity: src/dataloader.py:241-272)."""
     opts = hparams.get("dataloader_options", {})
     manifest = Manifest.read(hparams["train_annotation"])
+    shard_source = None
+    if opts.get("shards"):
+        from speakerverification_tpu.data.shards import ShardedAudioSource
+        shard_source = ShardedAudioSource(opts["shards"])
     return TrainDataLoader(
         manifest=manifest,
+        shard_source=shard_source,
         audio_spec=hparams["audio_spec"],
         batch_size=int(opts.get("batch_size", hparams.get("batch_size", 32))),
         nPerSpeaker=int(opts.get("nPerSpeaker", 1)),

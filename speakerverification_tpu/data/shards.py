@@ -1,0 +1,194 @@
+"""Packed-shard dataset: crop-sized reads instead of file-per-utterance.
+
+The reference reads one WAV per ``__getitem__`` (src/dataloader.py:
+113-144 via audio_loader.py loadWAV) — a filesystem open + RIFF header
+parse + full-file read per utterance. On local disk that costs ~µs; on
+the network filesystems real corpora live on (GCS fuse, NFS), each open
+is ~ms and the full-file read moves 10-60 s of audio to crop 2 s of it.
+A chip consuming ~3.4k utt/s (PARITY.md train bench) starves on that
+layout long before the decoder is the bottleneck.
+
+``pack_shards`` rewrites the corpus once into a few large shards of
+concatenated raw little-endian int16 PCM plus a JSON index; at train
+time ``ShardedAudioSource`` memory-maps the shards and serves each crop
+as ONE seek + read of exactly ``max_audio`` samples — no opens, no
+header parse, no decode, O(crop) bytes moved. Values are scaled
+1/32768, the same convention as ``data/wavio.py`` decode, so crops are
+byte-identical to the file path (tested, tests/test_shards.py).
+
+Index format (``shard_index.json``)::
+
+    {"version": 1, "sample_rate": N, "shards": ["shard-00000.bin", ...],
+     "utts": [[shard_i, offset_samples, length_samples, label, key], ...]}
+
+``utts`` is in MANIFEST ORDER, so the loader's manifest indices address
+shard entries directly; ``key`` (the original path) is kept for
+integrity checks and path-based lookup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+from typing import Mapping, Optional, Sequence, Union
+
+import numpy as np
+
+from speakerverification_tpu.data.audio import AudioSpec
+from speakerverification_tpu.data.wavio import read_wav
+
+__all__ = ["pack_shards", "ShardedAudioSource"]
+
+INDEX_NAME = "shard_index.json"
+
+
+def pack_shards(manifest, out_dir: Union[str, Path],
+                shard_mb: int = 1024,
+                sample_rate: Optional[int] = None) -> dict:
+    """Pack every manifest utterance into raw-PCM shards + index.
+
+    manifest: object with ``paths`` (sequence of WAV paths) and
+    ``labels`` (sequence of int speaker ids) — ``data/manifest.py``.
+    ``shard_mb`` caps each shard file; ``sample_rate`` (default: first
+    file's rate) is enforced across the corpus.
+    Returns stats: {"utts", "shards", "samples", "bytes"}.
+    """
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    shard_samples_cap = int(shard_mb) * (1 << 20) // 2   # int16 = 2 B
+    utts, shards = [], []
+    cur = None
+    cur_samples = 0
+    total = 0
+
+    def _open_next():
+        nonlocal cur, cur_samples
+        if cur is not None:
+            cur.close()
+        name = f"shard-{len(shards):05d}.bin"
+        shards.append(name)
+        cur = open(out / name, "wb")
+        cur_samples = 0
+
+    _open_next()
+    for i, path in enumerate(manifest.paths):
+        audio, sr = read_wav(path)
+        if sample_rate is None:
+            sample_rate = int(sr)
+        elif int(sr) != int(sample_rate):
+            raise ValueError(f"{path}: sample rate {sr} != {sample_rate}")
+        pcm = np.clip(np.round(np.asarray(audio, np.float32) * 32768.0),
+                      -32768, 32767).astype("<i2")
+        if cur_samples and cur_samples + len(pcm) > shard_samples_cap:
+            _open_next()
+        utts.append([len(shards) - 1, cur_samples, int(len(pcm)),
+                     int(manifest.labels[i]), str(path)])
+        cur.write(pcm.tobytes())
+        cur_samples += len(pcm)
+        total += len(pcm)
+    cur.close()
+
+    index = {"version": 1, "sample_rate": int(sample_rate),
+             "shards": shards, "utts": utts}
+    tmp = out / (INDEX_NAME + ".tmp")
+    tmp.write_text(json.dumps(index))
+    os.replace(tmp, out / INDEX_NAME)
+    return {"utts": len(utts), "shards": len(shards),
+            "samples": total, "bytes": total * 2}
+
+
+class ShardedAudioSource:
+    """mmap-backed reader over ``pack_shards`` output.
+
+    ``crop_train(i, spec, rng)`` reproduces ``load_wav(path, spec,
+    evalmode=False, random_chunk=True, rng=rng)`` EXACTLY (same
+    pad-wrap, same single ``rng.random()`` draw, same float scaling)
+    while reading only the crop's samples from the mapped shard.
+    """
+
+    def __init__(self, shard_dir: Union[str, Path]):
+        d = Path(shard_dir)
+        idx_path = d / INDEX_NAME
+        if not idx_path.exists():
+            raise FileNotFoundError(f"no {INDEX_NAME} in {d}")
+        index = json.loads(idx_path.read_text())
+        if index.get("version") != 1:
+            raise ValueError(f"unsupported shard index version "
+                             f"{index.get('version')!r}")
+        self.sample_rate = int(index["sample_rate"])
+        self.utts = index["utts"]
+        self._by_key = {u[4]: i for i, u in enumerate(self.utts)}
+        self._maps = [np.memmap(d / name, dtype="<i2", mode="r")
+                      for name in index["shards"]]
+
+    def __len__(self) -> int:
+        return len(self.utts)
+
+    def index_of(self, key: str) -> int:
+        return self._by_key[key]
+
+    def _slice(self, i: int, start: int, n: int) -> np.ndarray:
+        shard, off, _, _, _ = self.utts[i]
+        return (self._maps[shard][off + start: off + start + n]
+                .astype(np.float32) / 32768.0)
+
+    def load(self, i: Union[int, str]) -> np.ndarray:
+        """Full utterance, float32 1/32768-scaled (decode convention)."""
+        if isinstance(i, str):
+            i = self.index_of(i)
+        return self._slice(i, 0, self.utts[i][2])
+
+    def label(self, i: int) -> int:
+        return int(self.utts[i][3])
+
+    def crop_train(self, i: int, spec: Mapping,
+                   rng: Optional[np.random.Generator] = None,
+                   random_chunk: bool = True) -> np.ndarray:
+        """One train crop ``[1, max_audio]`` — byte-equal to the
+        ``load_wav`` file path, reading only the crop's bytes."""
+        spec = AudioSpec(spec)
+        max_audio = spec.max_audio
+        length = self.utts[i][2]
+        if length <= max_audio:
+            # short utt: load_wav pads with "wrap" to max_audio+1 and a
+            # random start over 1 position == always 0; same rng draw
+            audio = self._slice(i, 0, length)
+            audio = np.pad(audio, (0, max_audio - length + 1), "wrap")
+            if random_chunk:
+                (rng or np.random.default_rng()).random()
+            return np.expand_dims(audio[:max_audio].astype(np.float32), 0)
+        if random_chunk:
+            rng = rng or np.random.default_rng()
+            start = int(rng.random() * (length - max_audio))
+        else:
+            start = 0
+        return np.expand_dims(self._slice(i, start, max_audio), 0)
+
+    def crops_eval(self, i: Union[int, str], spec: Mapping,
+                   num_eval: int = 10) -> np.ndarray:
+        """Eval crops ``[num_eval, max_audio]`` (linspace starts) —
+        mirrors ``load_wav`` evalmode."""
+        if isinstance(i, str):
+            i = self.index_of(i)
+        spec = AudioSpec(spec)
+        max_audio = spec.max_audio
+        length = self.utts[i][2]
+        if length <= max_audio:
+            audio = self._slice(i, 0, length)
+            audio = np.pad(audio, (0, max_audio - length + 1), "wrap")
+        else:
+            audio = None
+        size = max_audio + 1 if length <= max_audio else length
+        if num_eval == 0:
+            full = audio if audio is not None else self._slice(i, 0, length)
+            return np.expand_dims(full.astype(np.float32), 0)
+        starts = np.linspace(0, size - max_audio, num=num_eval)
+        crops = []
+        for s in starts:
+            s = int(s)
+            if audio is not None:
+                crops.append(audio[s:s + max_audio])
+            else:
+                crops.append(self._slice(i, s, max_audio))
+        return np.stack(crops, axis=0).astype(np.float32)
