@@ -58,6 +58,14 @@ class TrainDataLoader:
         # byte-identical crops (same rng draws), tested
         self.shard_source = shard_source
         if shard_source is not None:
+            if int(shard_source.sample_rate) != self.spec.sample_rate:
+                # the file path enforces this per file (load_wav
+                # expected_sr); the shard path must too or a stale pack
+                # trains silently on time-stretched audio
+                raise ValueError(
+                    f"shard pack is {shard_source.sample_rate} Hz but "
+                    f"audio_spec.sample_rate={self.spec.sample_rate} — "
+                    "repack (cli.dataprep --pack)")
             if len(shard_source) != len(manifest):
                 raise ValueError(
                     f"shard index has {len(shard_source)} utts, manifest "

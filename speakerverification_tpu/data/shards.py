@@ -14,7 +14,11 @@ time ``ShardedAudioSource`` memory-maps the shards and serves each crop
 as ONE seek + read of exactly ``max_audio`` samples — no opens, no
 header parse, no decode, O(crop) bytes moved. Values are scaled
 1/32768, the same convention as ``data/wavio.py`` decode, so crops are
-byte-identical to the file path (tested, tests/test_shards.py).
+byte-identical to the file path for mono 16-bit PCM sources (tested,
+tests/test_shards.py); stereo averages and 24/32-bit or float WAVs are
+quantized ONCE to int16 at pack time (<=0.5 LSB, far below the bf16
+compute precision) and the pack stats report how many
+(``requantized``).
 
 Index format (``shard_index.json``)::
 
@@ -54,6 +58,8 @@ def pack_shards(manifest, out_dir: Union[str, Path],
     file's rate) is enforced across the corpus.
     Returns stats: {"utts", "shards", "samples", "bytes"}.
     """
+    if len(manifest.paths) == 0:
+        raise ValueError("manifest has no utterances — nothing to pack")
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     shard_samples_cap = int(shard_mb) * (1 << 20) // 2   # int16 = 2 B
@@ -61,6 +67,7 @@ def pack_shards(manifest, out_dir: Union[str, Path],
     cur = None
     cur_samples = 0
     total = 0
+    requantized = 0        # sources that were not exactly 16-bit PCM
 
     def _open_next():
         nonlocal cur, cur_samples
@@ -71,23 +78,34 @@ def pack_shards(manifest, out_dir: Union[str, Path],
         cur = open(out / name, "wb")
         cur_samples = 0
 
-    _open_next()
-    for i, path in enumerate(manifest.paths):
-        audio, sr = read_wav(path)
-        if sample_rate is None:
-            sample_rate = int(sr)
-        elif int(sr) != int(sample_rate):
-            raise ValueError(f"{path}: sample rate {sr} != {sample_rate}")
-        pcm = np.clip(np.round(np.asarray(audio, np.float32) * 32768.0),
-                      -32768, 32767).astype("<i2")
-        if cur_samples and cur_samples + len(pcm) > shard_samples_cap:
-            _open_next()
-        utts.append([len(shards) - 1, cur_samples, int(len(pcm)),
-                     int(manifest.labels[i]), str(path)])
-        cur.write(pcm.tobytes())
-        cur_samples += len(pcm)
-        total += len(pcm)
-    cur.close()
+    try:
+        _open_next()
+        for i, path in enumerate(manifest.paths):
+            audio, sr = read_wav(path)
+            if sample_rate is None:
+                sample_rate = int(sr)
+            elif int(sr) != int(sample_rate):
+                raise ValueError(f"{path}: sample rate {sr} != "
+                                 f"{sample_rate}")
+            audio = np.asarray(audio, np.float32)
+            pcm = np.clip(np.round(audio * 32768.0),
+                          -32768, 32767).astype("<i2")
+            # byte-identity holds only for sources already on the int16
+            # grid (mono 16-bit PCM); stereo averages / 24-32-bit /
+            # float WAVs quantize by <=0.5 LSB here — record it
+            if not np.array_equal(pcm.astype(np.float32) / 32768.0,
+                                  audio):
+                requantized += 1
+            if cur_samples and cur_samples + len(pcm) > shard_samples_cap:
+                _open_next()
+            utts.append([len(shards) - 1, cur_samples, int(len(pcm)),
+                         int(manifest.labels[i]), str(path)])
+            cur.write(pcm.tobytes())
+            cur_samples += len(pcm)
+            total += len(pcm)
+    finally:
+        if cur is not None:
+            cur.close()
 
     index = {"version": 1, "sample_rate": int(sample_rate),
              "shards": shards, "utts": utts}
@@ -95,7 +113,8 @@ def pack_shards(manifest, out_dir: Union[str, Path],
     tmp.write_text(json.dumps(index))
     os.replace(tmp, out / INDEX_NAME)
     return {"utts": len(utts), "shards": len(shards),
-            "samples": total, "bytes": total * 2}
+            "samples": total, "bytes": total * 2,
+            "requantized": requantized}
 
 
 class ShardedAudioSource:
@@ -118,7 +137,7 @@ class ShardedAudioSource:
                              f"{index.get('version')!r}")
         self.sample_rate = int(index["sample_rate"])
         self.utts = index["utts"]
-        self._by_key = {u[4]: i for i, u in enumerate(self.utts)}
+        self._by_key = None        # lazy: the train loader never needs it
         self._maps = [np.memmap(d / name, dtype="<i2", mode="r")
                       for name in index["shards"]]
 
@@ -126,6 +145,9 @@ class ShardedAudioSource:
         return len(self.utts)
 
     def index_of(self, key: str) -> int:
+        if self._by_key is None:   # built on first use — a 1M-entry
+            self._by_key = {u[4]: i          # dict costs startup + RAM
+                            for i, u in enumerate(self.utts)}
         return self._by_key[key]
 
     def _slice(self, i: int, start: int, n: int) -> np.ndarray:
@@ -146,18 +168,23 @@ class ShardedAudioSource:
                    rng: Optional[np.random.Generator] = None,
                    random_chunk: bool = True) -> np.ndarray:
         """One train crop ``[1, max_audio]`` — byte-equal to the
-        ``load_wav`` file path, reading only the crop's bytes."""
+        ``load_wav`` file path (for 16-bit PCM sources; others are
+        quantized once at pack time), reading only the crop's bytes.
+
+        Only the long-utterance fast path is bespoke (the seek+read
+        that motivates the format, one ``rng.random()`` draw identical
+        to audio.py's crop math); short utterances are fully read
+        anyway, so they DELEGATE to ``load_wav``'s ndarray path — the
+        pad-wrap semantics live in exactly one place (audio.py)."""
+        from speakerverification_tpu.data.audio import load_wav
+
         spec = AudioSpec(spec)
         max_audio = spec.max_audio
         length = self.utts[i][2]
         if length <= max_audio:
-            # short utt: load_wav pads with "wrap" to max_audio+1 and a
-            # random start over 1 position == always 0; same rng draw
-            audio = self._slice(i, 0, length)
-            audio = np.pad(audio, (0, max_audio - length + 1), "wrap")
-            if random_chunk:
-                (rng or np.random.default_rng()).random()
-            return np.expand_dims(audio[:max_audio].astype(np.float32), 0)
+            return load_wav(self._slice(i, 0, length), spec,
+                            evalmode=False, random_chunk=random_chunk,
+                            rng=rng, normalize=False)
         if random_chunk:
             rng = rng or np.random.default_rng()
             start = int(rng.random() * (length - max_audio))
@@ -168,27 +195,13 @@ class ShardedAudioSource:
     def crops_eval(self, i: Union[int, str], spec: Mapping,
                    num_eval: int = 10) -> np.ndarray:
         """Eval crops ``[num_eval, max_audio]`` (linspace starts) —
-        mirrors ``load_wav`` evalmode."""
+        delegates the crop math to ``load_wav``'s ndarray path (eval
+        reads the whole utterance regardless, so there is no
+        partial-read win to justify duplicating the linspace logic)."""
+        from speakerverification_tpu.data.audio import load_wav
+
         if isinstance(i, str):
             i = self.index_of(i)
-        spec = AudioSpec(spec)
-        max_audio = spec.max_audio
-        length = self.utts[i][2]
-        if length <= max_audio:
-            audio = self._slice(i, 0, length)
-            audio = np.pad(audio, (0, max_audio - length + 1), "wrap")
-        else:
-            audio = None
-        size = max_audio + 1 if length <= max_audio else length
-        if num_eval == 0:
-            full = audio if audio is not None else self._slice(i, 0, length)
-            return np.expand_dims(full.astype(np.float32), 0)
-        starts = np.linspace(0, size - max_audio, num=num_eval)
-        crops = []
-        for s in starts:
-            s = int(s)
-            if audio is not None:
-                crops.append(audio[s:s + max_audio])
-            else:
-                crops.append(self._slice(i, s, max_audio))
-        return np.stack(crops, axis=0).astype(np.float32)
+        full = self._slice(i, 0, self.utts[i][2])
+        return load_wav(full, spec, evalmode=True, num_eval=num_eval,
+                        normalize=False)

@@ -45,6 +45,7 @@ def corpus(tmp_path_factory):
 def test_pack_stats_and_index(corpus):
     manifest, out, stats = corpus
     assert stats["utts"] == 12
+    assert stats["requantized"] == 0       # 16-bit PCM: exact round-trip
     assert (out / INDEX_NAME).exists()
     idx = json.loads((out / INDEX_NAME).read_text())
     assert idx["sample_rate"] == 8000
@@ -129,6 +130,46 @@ def test_pack_rejects_sample_rate_mismatch(corpus, tmp_path):
     manifest, _, _ = corpus
     with pytest.raises(ValueError, match="sample rate"):
         pack_shards(manifest, tmp_path / "bad", sample_rate=16000)
+
+
+def test_pack_empty_manifest_fails_loudly(tmp_path):
+    empty = Manifest(paths=[], labels=[], speakers=[])
+    with pytest.raises(ValueError, match="nothing to pack"):
+        pack_shards(empty, tmp_path / "empty")
+
+
+def test_loader_rejects_rate_mismatched_pack(corpus):
+    from speakerverification_tpu.data.loader import TrainDataLoader
+
+    manifest, out, _ = corpus
+    src = ShardedAudioSource(out)              # packed at 8 kHz
+    spec16 = dict(SPEC, sample_rate=16000)
+    with pytest.raises(ValueError, match="8000 Hz"):
+        TrainDataLoader(manifest=manifest, audio_spec=spec16,
+                        batch_size=2, nPerSpeaker=2, shard_source=src)
+
+
+def test_pack_counts_requantized_sources(tmp_path):
+    """A float-WAV source is not on the int16 grid: packing still works
+    but the stats record the quantization."""
+    import struct
+    from speakerverification_tpu.data.wavio import _parse_wav
+
+    sig = (np.random.default_rng(3).uniform(-0.4, 0.4, 9000)
+           .astype(np.float32) + 1e-6)         # off-grid values
+    p = tmp_path / "f32.wav"
+    data = sig.tobytes()
+    hdr = (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 3, 1, 8000,
+                                   8000 * 4, 4, 32)
+           + b"data" + struct.pack("<I", len(data)))
+    p.write_bytes(hdr + data)
+    m = Manifest(paths=[str(p)], labels=[0], speakers=[0])
+    stats = pack_shards(m, tmp_path / "packed")
+    assert stats["requantized"] == 1
+    src = ShardedAudioSource(tmp_path / "packed")
+    got = src.load(0)
+    np.testing.assert_allclose(got, sig, atol=0.5 / 32768)
 
 
 def test_pack_cli(corpus, tmp_path):
