@@ -172,6 +172,24 @@ def test_pack_counts_requantized_sources(tmp_path):
     np.testing.assert_allclose(got, sig, atol=0.5 / 32768)
 
 
+def test_train_data_loader_hparams_wiring(corpus, tmp_path):
+    """dataloader_options: {shards: dir} builds the shard source."""
+    from speakerverification_tpu.data.loader import train_data_loader
+
+    manifest, out, _ = corpus
+    csv = tmp_path / "train.csv"
+    Manifest.write(csv, [[f"s{l}", p] for p, l in
+                         zip(manifest.paths, manifest.labels)])
+    h = {"train_annotation": str(csv), "audio_spec": SPEC,
+         "dataloader_options": {"batch_size": 3, "nPerSpeaker": 2,
+                                "shards": str(out)}, "seed": 7}
+    loader = train_data_loader(h)
+    assert loader.shard_source is not None
+    batch = next(iter(loader))
+    assert batch["wave"].shape == (3, 2, 8000)
+    assert np.isfinite(batch["wave"]).all()
+
+
 def test_pack_cli(corpus, tmp_path):
     from speakerverification_tpu.cli.dataprep import main
 
