@@ -70,12 +70,19 @@ class TrainDataLoader:
                 raise ValueError(
                     f"shard index has {len(shard_source)} utts, manifest "
                     f"{len(manifest)} — repack (cli.dataprep --pack)")
-            for probe in (0, len(manifest) - 1):
-                if shard_source.utts[probe][4] != manifest.paths[probe]:
-                    raise ValueError(
-                        f"shard index row {probe} is "
-                        f"{shard_source.utts[probe][4]!r}, manifest has "
-                        f"{manifest.paths[probe]!r} — repack")
+            # full-manifest fingerprint: a same-length regeneration with
+            # different middle membership would pass any spot probe and
+            # train silently on mislabeled audio
+            from speakerverification_tpu.data.shards import (
+                manifest_fingerprint,
+            )
+            want = manifest_fingerprint(manifest.paths)
+            if (shard_source.manifest_sha1 is not None
+                    and shard_source.manifest_sha1 != want):
+                raise ValueError(
+                    "shard index was packed from a different manifest "
+                    f"(sha1 {shard_source.manifest_sha1[:12]} != "
+                    f"{want[:12]}) — repack (cli.dataprep --pack)")
         self.batch_size = batch_size
         self.n_per_speaker = nPerSpeaker
         self.random_chunk = random_chunk

@@ -32,6 +32,7 @@ integrity checks and path-based lookup.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 from pathlib import Path
@@ -45,6 +46,17 @@ from speakerverification_tpu.data.wavio import read_wav
 __all__ = ["pack_shards", "ShardedAudioSource"]
 
 INDEX_NAME = "shard_index.json"
+
+
+def manifest_fingerprint(paths: Sequence[str]) -> str:
+    """Order-sensitive digest of the full path list: spot-probing rows
+    0 and N-1 cannot catch a same-length manifest regeneration whose
+    middle membership changed (silent mislabeled training)."""
+    h = hashlib.sha1()
+    for p in paths:
+        h.update(str(p).encode())
+        h.update(b"\n")
+    return h.hexdigest()
 
 
 def pack_shards(manifest, out_dir: Union[str, Path],
@@ -108,6 +120,7 @@ def pack_shards(manifest, out_dir: Union[str, Path],
             cur.close()
 
     index = {"version": 1, "sample_rate": int(sample_rate),
+             "manifest_sha1": manifest_fingerprint(manifest.paths),
              "shards": shards, "utts": utts}
     tmp = out / (INDEX_NAME + ".tmp")
     tmp.write_text(json.dumps(index))
@@ -136,6 +149,7 @@ class ShardedAudioSource:
             raise ValueError(f"unsupported shard index version "
                              f"{index.get('version')!r}")
         self.sample_rate = int(index["sample_rate"])
+        self.manifest_sha1 = index.get("manifest_sha1")
         self.utts = index["utts"]
         self._by_key = None        # lazy: the train loader never needs it
         self._maps = [np.memmap(d / name, dtype="<i2", mode="r")

@@ -364,12 +364,16 @@ class ShardedSpeakerBank(SpeakerBank):
         self._labels = labels
         self._pad_unit = pad_rows_to * self.n_dev
         self._buckets = tuple(sorted(set(int(b) for b in query_buckets)))
-        # per-shard placement: each device pulls only its row slice (with
-        # the dtype cast applied per shard), so no second full-size host
-        # staging array exists next to `bank`
+        # per-shard placement: each device pulls only its row slice, so
+        # no second full-size host staging array exists next to `bank`.
+        # The callback returns a HOST numpy slice (cast via the ml_dtypes
+        # registry for bf16) — returning a jnp array would first commit
+        # every shard to the default device and double-transfer 7 of 8
+        # shards through it (transient 2-shard HBM peak on device 0)
+        np_dtype = np.dtype(dtype)
         self._bank = jax.make_array_from_callback(
             bank.shape, NamedSharding(mesh, P(axis, None)),
-            lambda idx: jnp.asarray(bank[idx], dtype))
+            lambda idx: bank[idx].astype(np_dtype))
         self.shard_rows = self.n_pad // self.n_dev
         self.nbytes = self._bank.nbytes  # aggregate across shards
 

@@ -352,22 +352,35 @@ def make_serving_app(engine, hparams: Mapping,
 
     def _persist_banks():
         """Write the --prepare artifacts atomically (tmp + rename) so a
-        crash mid-save never truncates the enrollment bank. Caller holds
-        banks_lock."""
+        crash mid-save never truncates the enrollment bank. Both tmp
+        files are fully written BEFORE the two back-to-back renames —
+        the slow, failure-prone phase (serializing a possibly-large
+        array) cannot leave embeds.npy and classes.npy from different
+        generations, which would silently misidentify after a restart.
+        Caller holds banks_lock."""
         if not persist_enroll:
             return
         mdir = engine.dirs["model"]
+        pairs = []
         for fname, arr in (("embeds.npy", banks["embeds"]),
                            ("classes.npy", banks["classes"])):
             tmp = mdir / fname.replace(".npy", ".tmp.npy")
             np.save(tmp, arr, allow_pickle=True)
-            os.replace(tmp, mdir / fname)
+            pairs.append((tmp, mdir / fname))
+        for tmp, dst in pairs:
+            os.replace(tmp, dst)
 
     model_name = (h.get("model") or {}).get("name", "?")
 
     class ServingHandler(BaseHTTPRequestHandler):
         server_version = "svtpu-serving/1.0"
         protocol_version = "HTTP/1.1"
+        # socket timeout: keep-alive handlers otherwise block forever in
+        # rfile.readline(), and the drain-on-shutdown join
+        # (daemon_threads=False + server_close) would hang on one idle
+        # persistent connection; on timeout handle_one_request closes
+        # the connection and the thread exits
+        timeout = 30
         # TCP_NODELAY: headers and body go out in separate writes;
         # with Nagle on, the body write stalls behind the client's
         # delayed ACK (~40 ms quantum) — measured loopback /embed p50
@@ -420,6 +433,11 @@ def make_serving_app(engine, hparams: Mapping,
                     e1, e2 = (f.result() for f in futs)
                     return self._reply(200, {"score": _pair_cosine(e1, e2)})
                 if self.path == "/identify":
+                    # validate BEFORE the embedding dispatch: a bad k
+                    # must not consume a batcher slot or device work
+                    k = int(obj.get("k", 1))
+                    if not 1 <= k <= 100:
+                        raise ValueError("k must be in [1, 100]")
                     crops = _decode_audio_spec(obj, spec, num_eval)
                     utt = _utt_embedding(batcher.submit(crops).result())
                     _load_banks()
@@ -428,9 +446,6 @@ def make_serving_app(engine, hparams: Mapping,
                     # concurrent identify would otherwise dispatch on,
                     # and /unenroll swaps the host arrays in place —
                     # but identifies run concurrently with each other
-                    k = int(obj.get("k", 1))
-                    if not 1 <= k <= 100:
-                        raise ValueError("k must be in [1, 100]")
                     # the device lookup compiles one program per k
                     # (lru_cache'd): bucket client k to a tiny grid so
                     # arbitrary values can't trace+compile under the
@@ -534,7 +549,15 @@ def make_serving_app(engine, hparams: Mapping,
                             # the device bank's labels ARE banks['classes']
                             # (same dict, by construction in _load_banks /
                             # /enroll): remove() applies the swap-with-last
-                            # label fix-up exactly once
+                            # label fix-up exactly once. The invariant is
+                            # load-bearing — verify it instead of letting
+                            # a future copy silently desynchronize the
+                            # persisted artifacts from the device bank
+                            if banks["device"]._labels is not \
+                                    banks["classes"]:
+                                raise RuntimeError(
+                                    "device bank labels lost aliasing "
+                                    "with serving classes (bug)")
                             banks["device"].remove(idx)
                         else:
                             if idx != last:

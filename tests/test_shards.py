@@ -125,6 +125,16 @@ def test_loader_shard_mismatch_fails_loudly(corpus, tmp_path):
     with pytest.raises(FileNotFoundError):
         ShardedAudioSource(tmp_path / "nope")
 
+    # SAME length, different middle membership: spot probes would pass;
+    # the full-manifest fingerprint must catch it
+    shuffled = list(manifest.paths)
+    shuffled[3], shuffled[7] = shuffled[7], shuffled[3]
+    remade = Manifest(paths=shuffled, labels=manifest.labels,
+                      speakers=manifest.speakers)
+    with pytest.raises(ValueError, match="different manifest"):
+        TrainDataLoader(manifest=remade, audio_spec=SPEC, batch_size=3,
+                        nPerSpeaker=2, shard_source=src)
+
 
 def test_pack_rejects_sample_rate_mismatch(corpus, tmp_path):
     manifest, _, _ = corpus
