@@ -54,6 +54,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="shard the classifier head's classes over this "
                         "many devices (2-D data x model mesh; needs "
                         "--distributed; no reference equivalent)")
+    p.add_argument("--eval_transport", type=str, default=None,
+                   choices=["float32", "int16"],
+                   help="host->device wire format for inference batches; "
+                        "int16 halves H2D bytes (lossless for 16-bit-PCM "
+                        "sources)")
     p.add_argument("--quant", type=str, default=None, choices=["int8"],
                    help="quantized inference: int8 MXU path for embedding "
                         "extraction (eval/test/prepare/predict)")

@@ -184,10 +184,27 @@ class InferenceEngine:
         # test_normalize=False diverge from the reference
         # (src/model.py:421-424) — so all score_trials calls below pass
         # normalize=False.
+        transport = str(hparams.get("eval_transport", "float32"))
+        if transport not in ("float32", "int16"):
+            raise ValueError(f"eval_transport must be float32|int16, "
+                             f"got {transport!r}")
+        self._transport = transport
 
     def embed_fn(self, waves: np.ndarray):
         # returns a DEVICE array: scoring consumes it without a host
         # round-trip (see extract_embeddings)
+        if self._transport == "int16" and np.asarray(waves).dtype != np.int16:
+            # `eval_transport: int16` puts 16-bit PCM on the host→device
+            # wire — half the float32 bytes for every batch the
+            # evaluate/test/prepare/predict paths dispatch; the embed
+            # program dequantizes in-trace (make_eval_embed_fn /
+            # make_int8_embed_fn), fusing cast+scale into the frontend's
+            # first op. 16-bit-PCM-decoded crops sit exactly on the
+            # 1/32768 grid, so the round-trip is LOSSLESS for WAV-backed
+            # eval; other sources quantize at ≤0.5/32768 (same bound as
+            # serving's transport=int16, serving.py).
+            waves = np.clip(np.round(np.asarray(waves) * 32768.0),
+                            -32768, 32767).astype(np.int16)
         if self._embed is None:        # --quant int8: calibrate once
             from speakerverification_tpu.builder import (
                 compute_dtype_from_hparams,

@@ -196,6 +196,27 @@ def test_cli_infer_eval_int8_quant(workspace):
     assert np.max(np.abs(int8_scores - float_scores)) < 2e-2
 
 
+def test_cli_infer_eval_int16_transport(workspace):
+    """--eval_transport int16 halves the H2D bytes; for 16-bit-PCM WAV
+    sources the 1/32768-grid round-trip is lossless, so trial scores must
+    match the float32 wire exactly (inference.InferenceEngine.embed_fn)."""
+    root, cfg = workspace
+    result_dir = root / "run" / "save" / "ECAPA_TDNN" / "AAmSoftmax" / "result"
+    csv_path = result_dir / "evaluation_results.csv"
+
+    def scores():
+        rows = csv_path.read_text().strip().splitlines()[1:]
+        return np.array([float(r.split(",")[1]) for r in rows])
+
+    assert cli_main(["--do_infer", "--eval", "--config", str(cfg)]) == 0
+    float_scores = scores()
+    assert cli_main(["--do_infer", "--eval", "--config", str(cfg),
+                     "--eval_transport", "int16"]) == 0
+    int16_scores = scores()
+    np.testing.assert_allclose(int16_scores, float_scores,
+                               rtol=0, atol=1e-6)
+
+
 def test_cli_infer_test_mode(workspace):
     root, cfg = workspace
     rc = cli_main(["--do_infer", "--test", "--config", str(cfg),
