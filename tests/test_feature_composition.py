@@ -89,8 +89,12 @@ def _assert_step_advanced(host0, state1, metrics):
     assert d_ema > 0, "EMA must lag the params after one step"
 
 
+@pytest.mark.slow
 def test_everything_on_dp_step():
-    """DP x accum=2 x EMA x device env_corrupt x remat x bf16."""
+    """DP x accum=2 x EMA x device env_corrupt x remat x bf16.
+
+    Slow tier (like its DP×TP sibling below): one ~30 s compile whose
+    constituent features are each default-tier covered."""
     from speakerverification_tpu.parallel import make_dp_train_step
 
     mesh = Mesh(np.array(jax.devices()[:2]), ("data",))

@@ -130,6 +130,7 @@ def _launch(rank: int, nprocs: int, port: int, cfg_path: Path):
                      "--xla_backend_optimization_level=0 "
                      "--xla_llvm_disable_expensive_passes=true",
         "JAX_COMPILATION_CACHE_DIR": "/tmp/svtpu_jax_cache",
+        "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS": "0.0",
         "PYTHONPATH": str(REPO),
     })
     return subprocess.Popen(
@@ -190,13 +191,7 @@ def _single_process_reference_losses(hparams: dict) -> list:
     return epoch_losses
 
 
-def test_two_process_global_batch_and_psum(tmp_path):
-    """Fast smoke: two processes assemble a global batch-sharded array
-    through parallel.global_batch and reduce it with a jitted psum —
-    the cross-process collective plumbing without a model compile."""
-    port = _free_port()
-    script = tmp_path / "probe.py"
-    script.write_text(
+_PROBE_PRELUDE = (
         "import os, sys\n"
         "os.environ['JAX_PLATFORMS'] = 'cpu'\n"
         "import jax\n"
@@ -205,7 +200,50 @@ def test_two_process_global_batch_and_psum(tmp_path):
         "    global_batch, make_mesh, maybe_initialize_distributed,\n"
         "    replicate_global)\n"
         "assert maybe_initialize_distributed({})\n"
-        "import numpy as np, jax.numpy as jnp\n"
+        "import numpy as np, jax.numpy as jnp\n")
+
+
+def _run_probe_pair(tmp_path, body: str, timeout: int = 420):
+    """Write prelude+body as a script, run it as a 2-process pair."""
+    port = _free_port()
+    script = tmp_path / "probe.py"
+    script.write_text(_PROBE_PRELUDE + body)
+    env_base = {
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=4 "
+                     "--xla_backend_optimization_level=0 "
+                     "--xla_llvm_disable_expensive_passes=true",
+        # share the suite's persistent compile cache (conftest) so
+        # repeat runs skip the subprocess model/step compiles
+        "JAX_COMPILATION_CACHE_DIR": "/tmp/svtpu_jax_cache",
+        "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS": "0.0",
+        "PYTHONPATH": str(REPO),
+    }
+    procs = []
+    for r in (0, 1):
+        env = dict(os.environ)
+        env.update(env_base)
+        env.update({"SVTPU_NUM_PROCESSES": "2", "SVTPU_PROCESS_ID": str(r),
+                    "SVTPU_COORDINATOR": f"localhost:{port}"})
+        procs.append(subprocess.Popen(
+            [sys.executable, str(script)], env=env, cwd=str(REPO),
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+    outs = []
+    for r, p in enumerate(procs):
+        out, _ = p.communicate(timeout=timeout)
+        assert p.returncode == 0, f"rank {r} failed:\n{out[-3000:]}"
+        assert "PROBE_OK" in out
+        outs.append(out)
+    return outs
+
+
+def test_two_process_global_batch_and_psum(tmp_path):
+    """Fast smoke: two processes assemble a global batch-sharded array
+    through parallel.global_batch and reduce it with a jitted psum —
+    the cross-process collective plumbing without a model compile.
+    (The DP×TP step + sharded-checkpoint probe over the same pair is the
+    slow-tier test below.)"""
+    outs = _run_probe_pair(tmp_path, (
         "from jax.sharding import NamedSharding, PartitionSpec as P\n"
         "pid = jax.process_index()\n"
         "mesh = make_mesh(('data',))\n"
@@ -235,7 +273,18 @@ def test_two_process_global_batch_and_psum(tmp_path):
         "                                    num_eval=2, batch_size=2))\n"
         "assert g.shape == (5, 2, 8), g.shape\n"
         "assert np.allclose(np.asarray(g), ref)\n"
-        "# --- DP x TP over a (4 data x 2 model) mesh, same processes ---\n"
+        "print('PROBE_OK', pid)\n"))
+    assert len(outs) == 2
+
+
+@pytest.mark.slow
+def test_two_process_dp_tp_probe_and_sharded_checkpoint(tmp_path):
+    """DP×TP step over a (4 data × 2 model) mesh spanning two processes,
+    plus checkpointing a state whose loss weight spans non-addressable
+    devices. Ranks must agree on the loss bit-for-bit."""
+    outs = _run_probe_pair(tmp_path, (
+        "pid = jax.process_index()\n"
+        "import tempfile, os\n"
         "from speakerverification_tpu.parallel import (\n"
         "    make_dp_tp_train_step, shard_state_tp_global)\n"
         "import flax.linen as nn\n"
@@ -274,28 +323,9 @@ def test_two_process_global_batch_and_psum(tmp_path):
         "save_checkpoint(pck, state)\n"
         "assert os.path.getsize(pck) > 1000\n"
         "print('TP_PROBE_OK loss=%.6f' % tp_loss)\n"
-        "print('PROBE_OK', pid)\n")
-    env_base = {
-        "JAX_PLATFORMS": "cpu",
-        "XLA_FLAGS": "--xla_force_host_platform_device_count=4 "
-                     "--xla_backend_optimization_level=0 "
-                     "--xla_llvm_disable_expensive_passes=true",
-        "PYTHONPATH": str(REPO),
-    }
-    procs = []
-    for r in (0, 1):
-        env = dict(os.environ)
-        env.update(env_base)
-        env.update({"SVTPU_NUM_PROCESSES": "2", "SVTPU_PROCESS_ID": str(r),
-                    "SVTPU_COORDINATOR": f"localhost:{port}"})
-        procs.append(subprocess.Popen(
-            [sys.executable, str(script)], env=env, cwd=str(REPO),
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+        "print('PROBE_OK', pid)\n"))
     tp_losses = []
-    for r, p in enumerate(procs):
-        out, _ = p.communicate(timeout=420)
-        assert p.returncode == 0, f"rank {r} failed:\n{out[-3000:]}"
-        assert "PROBE_OK" in out
+    for out in outs:
         assert "TP_PROBE_OK" in out
         tp_losses.append(float(out.split("TP_PROBE_OK loss=")[1].split()[0]))
     assert tp_losses[0] == tp_losses[1]

@@ -380,10 +380,15 @@ def test_resnetse34_forward_parity():
     assert rel < 2e-3, rel
 
 
+@pytest.mark.slow
 def test_checkpoint_converter_cli(tmp_path, reference_ecapa):
     """The torch_port __main__ converts a reference-style .pt (with
     module./__S__. prefixes) into a msgpack that load_params_only
-    consumes, producing the same forward as the direct port."""
+    consumes, producing the same forward as the direct port.
+
+    Slow tier: the converter subprocess re-imports torch+jax and
+    re-compiles the ECAPA forward (~35 s); the porter math itself is
+    default-tier covered by test_forward_parity_with_ported_weights."""
     import subprocess
 
     import torch
