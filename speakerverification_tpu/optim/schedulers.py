@@ -11,10 +11,14 @@ for 'iteration' schedules. The trainer feeds the resulting lr into the
 optimizer's injected ``learning_rate`` hyperparameter each step, so
 data-dependent schedules (plateau) need no special casing.
 
-Documented divergence: the reference's ``cosine_annealinglr_cus`` plugs an
-*absolute* lr value into ``LambdaLR`` (which multiplies it by the base lr,
-yielding lr² scaling — src/callbacks/torch_callbacks.py:5-18); we return
-the absolute annealed value, which is clearly the intent.
+Documented divergences (asserted live against the reference's own torch
+schedulers in tests/test_schedulers_live_parity.py): the reference's
+``cosine_annealinglr_cus`` plugs an *absolute* lr value into ``LambdaLR``
+(which multiplies it by the base lr, yielding lr² scaling —
+src/callbacks/torch_callbacks.py:5-18); we return the absolute annealed
+value, which is clearly the intent. Its unclamped ``cos(t/T_max·π)``
+also swings the lr back up toward lr_max past ``T_max`` (a bug for a
+"total steps" parameter); ours clamps at ``lr_min``.
 """
 
 from __future__ import annotations
