@@ -148,6 +148,35 @@ def test_sampler_exact_parity_rank_shards(ref_dataloader, monkeypatch, world):
     assert len(flat) == len(set(flat))         # disjoint contiguous shards
 
 
+def test_trainloader_label_mapping_parity(ref_dataloader, tmp_path):
+    """Manifest label assignment == reference TrainLoader's dictkeys map.
+
+    The reference maps speaker ids to integer labels by sorted-unique
+    order (src/dataloader.py:82-97); `Manifest.read` must produce the
+    identical (path, label) pairs for the same CSV — including unsorted
+    rows, interleaved speakers, and ids whose lexicographic order
+    differs from numeric order ('id10' < 'id2').
+    """
+    from speakerverification_tpu.data.manifest import Manifest
+
+    rows = [("id10", "a.wav", 1.0, "wav"), ("id2", "b.wav", 1.0, "wav"),
+            ("id10", "c.wav", 1.0, "wav"), ("B", "d.wav", 1.0, "wav"),
+            ("id2", "e.wav", 1.0, "wav"), ("B", "f.wav", 1.0, "wav")]
+    csv_path = tmp_path / "train.csv"
+    Manifest.write(csv_path, rows)
+
+    spec = {"sample_rate": 8000, "channels": 1, "sentence_len": 1.0,
+            "win_len": 0.025, "hop_len": 0.01}
+    ref = ref_dataloader.TrainLoader(
+        str(csv_path), augment=False,
+        augment_options={"augment_paths": {}, "augment_chain": []},
+        audio_spec=spec)
+    ours = Manifest.read(csv_path)
+    assert ours.paths == ref.data_list
+    assert ours.labels == ref.data_label
+    assert ours.num_classes == len(ref.label_dict)
+
+
 def test_sampler_no_same_speaker_invariant(ref_dataloader, monkeypatch):
     """The greedy filter's guarantee, asserted on OUR native-RNG output."""
     labels = _labels()
