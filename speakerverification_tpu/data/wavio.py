@@ -111,17 +111,27 @@ def _parse_wav(raw: bytes, header_only: bool = False):
         size = struct.unpack_from("<I", raw, pos + 4)[0]
         body = pos + 8
         if tag == b"fmt ":
+            if body + 16 > len(raw):
+                raise ValueError("truncated fmt chunk")
             audio_format, channels, sample_rate = struct.unpack_from(
                 "<HHI", raw, body)
             bits = struct.unpack_from("<H", raw, body + 14)[0]
-            if audio_format == 0xFFFE and size >= 40:
+            if audio_format == 0xFFFE and size >= 40 and body + 26 <= len(raw):
                 audio_format = struct.unpack_from("<H", raw, body + 24)[0]
             fmt = (audio_format, channels, sample_rate, bits)
         elif tag == b"data":
             if fmt is None:
                 raise ValueError("data chunk before fmt chunk")
             audio_format, channels, sample_rate, bits = fmt
-            frames = size // (channels * bits // 8)
+            frame_bytes = channels * (bits // 8)
+            if frame_bytes == 0:
+                raise ValueError(
+                    f"invalid WAV format: channels={channels} bits={bits}")
+            # clamp a lying data-chunk size to the bytes actually present,
+            # rounded down to whole frames (libsndfile semantics)
+            size = min(size, len(raw) - body)
+            size -= size % frame_bytes
+            frames = size // frame_bytes
             if header_only:
                 return sample_rate, frames, channels, bits
             return fmt, raw[body:body + size]

@@ -72,7 +72,15 @@ int parse_header(FILE* f, WavFormat* fmt, uint64_t* data_bytes) {
       have_fmt = true;
     } else if (memcmp(tag, "data", 4) == 0) {
       if (!have_fmt) return kErrFormat;
-      *data_bytes = chunk_size;
+      // Clamp to the bytes actually present: a malformed/truncated file
+      // whose data chunk lies about its size must not drive callers into
+      // multi-GB allocations (libsndfile clamps the same way).
+      long pos = ftell(f);
+      if (pos < 0 || fseek(f, 0, SEEK_END) != 0) return kErrFormat;
+      long end = ftell(f);
+      if (end < 0 || fseek(f, pos, SEEK_SET) != 0) return kErrFormat;
+      uint64_t remain = end > pos ? static_cast<uint64_t>(end - pos) : 0;
+      *data_bytes = chunk_size < remain ? chunk_size : remain;
       return kOk;
     } else {
       // skip chunk (padded to even size)
@@ -94,14 +102,18 @@ int decode(FILE* f, const WavFormat& fmt, uint64_t data_bytes,
   if (max_frames >= 0 && total > max_frames) total = max_frames;
 
   const float inv_ch = 1.0f / ch;
-  constexpr size_t kBufFrames = 16384;
-  std::vector<uint8_t> buf(kBufFrames * static_cast<size_t>(frame_bytes));
+  // Byte-bounded staging buffer: a 65535-channel header must not force a
+  // multi-GB allocation (16384 frames × 64-bit × 65535 ch ≈ 8.6 GB).
+  constexpr size_t kBufBytes = 1 << 22;  // 4 MiB
+  size_t buf_frames = kBufBytes / static_cast<size_t>(frame_bytes);
+  if (buf_frames == 0) buf_frames = 1;
+  std::vector<uint8_t> buf(buf_frames * static_cast<size_t>(frame_bytes));
 
   int64_t done = 0;
   while (done < total) {
     size_t want = static_cast<size_t>(
-        total - done < static_cast<int64_t>(kBufFrames) ? total - done
-                                                        : kBufFrames);
+        total - done < static_cast<int64_t>(buf_frames) ? total - done
+                                                        : buf_frames);
     if (!read_exact(f, buf.data(), want * frame_bytes)) return kErrRead;
     const uint8_t* p = buf.data();
     switch (fmt.bits_per_sample) {
@@ -187,9 +199,13 @@ int decode(FILE* f, const WavFormat& fmt, uint64_t data_bytes,
 
 extern "C" {
 
+// NOTE: every entry point catches all C++ exceptions (std::bad_alloc from
+// the decode buffers on pathological inputs) — an exception crossing the
+// ctypes ABI would std::terminate the host Python process.
+
 // Query sample rate / frame count / channels without decoding.
 int sv_wav_info(const char* path, int* sample_rate, int64_t* num_frames,
-                int* channels) {
+                int* channels) try {
   Reader r;
   r.f = fopen(path, "rb");
   if (!r.f) return kErrOpen;
@@ -203,12 +219,14 @@ int sv_wav_info(const char* path, int* sample_rate, int64_t* num_frames,
   *num_frames = static_cast<int64_t>(
       data_bytes / (fmt.channels * (fmt.bits_per_sample / 8)));
   return kOk;
+} catch (...) {
+  return kErrRead;
 }
 
 // Decode whole file (or first max_frames) to mono float32.
 // Returns number of frames decoded, or a negative error code.
 int64_t sv_wav_read(const char* path, float* out, int64_t max_frames,
-                    int* sample_rate) {
+                    int* sample_rate) try {
   Reader r;
   r.f = fopen(path, "rb");
   if (!r.f) return kErrOpen;
@@ -221,6 +239,8 @@ int64_t sv_wav_read(const char* path, float* out, int64_t max_frames,
   rc = decode(r.f, fmt, data_bytes, out, max_frames, &decoded);
   if (rc != kOk) return rc;
   return decoded;
+} catch (...) {
+  return kErrRead;
 }
 
 // Decode + pad-wrap to at least target_len + 1 samples (the reference
@@ -228,7 +248,7 @@ int64_t sv_wav_read(const char* path, float* out, int64_t max_frames,
 // then copy a crop of target_len starting at `start` (start < 0 → the
 // whole padded buffer is not exposed; use sv_wav_read instead).
 int64_t sv_wav_read_crop(const char* path, float* out, int64_t target_len,
-                         int64_t start, int* sample_rate) {
+                         int64_t start, int* sample_rate) try {
   Reader r;
   r.f = fopen(path, "rb");
   if (!r.f) return kErrOpen;
@@ -256,6 +276,8 @@ int64_t sv_wav_read_crop(const char* path, float* out, int64_t target_len,
     out[i] = decoded > 0 ? tmp[static_cast<size_t>(src)] : 0.0f;
   }
   return target_len;
+} catch (...) {
+  return kErrRead;
 }
 
 }  // extern "C"
