@@ -109,9 +109,13 @@ def test_context_window():
     x = jnp.asarray(np.arange(12, dtype=np.float32).reshape(1, 4, 3))
     out = FX.context_window(x, 1, 1)
     assert out.shape == (1, 4, 9)
-    # middle block is the current frame
-    np.testing.assert_array_equal(np.asarray(out[0, 1, 3:6]),
+    # channel-major layout (SpeechBrain conv1d ordering): channel c's
+    # context triplet is out[..., 3c:3c+3]; the middle element is the
+    # current frame, borders are zero-padded
+    np.testing.assert_array_equal(np.asarray(out[0, 1, 1::3]),
                                   np.asarray(x[0, 1]))
+    np.testing.assert_array_equal(np.asarray(out[0, 0, 0::3]),
+                                  np.zeros(3, np.float32))
 
 
 def test_pooling_zoo():
