@@ -70,9 +70,28 @@ def amplitude_to_db(amp: jax.Array, eps: float = 1e-14) -> jax.Array:
 
 
 def convolve1d(waveform: jax.Array, kernel: jax.Array,
-               padding: int | tuple = 0, use_fft: bool = True) -> jax.Array:
+               padding: int | tuple = 0, use_fft: bool = True,
+               rotation_index: int | jax.Array = 0) -> jax.Array:
     """1-D convolution of ``[B, T]`` with ``[K]`` / per-batch ``[B, K]``
-    kernels (signal_processing.py convolve1d; FFT path default)."""
+    kernels (signal_processing.py:157-277).
+
+    Both branches reproduce the reference EXACTLY (they are mutually
+    inconsistent there, and we mirror each):
+
+    * ``use_fft=True``: kernel zero-padded to the (padded) signal
+      length and rotated left by ``rotation_index``; the product is
+      CIRCULAR true convolution at that length (the reference's own
+      docstring warns about the wrap-around; reverberation relies on it
+      for direct-path alignment). ``rotation_index`` may be a scalar or
+      a per-row ``[B]`` array (generalizing the reference, whose tensor
+      slicing only supports one shared kernel).
+    * ``use_fft=False``: torch ``conv1d`` semantics — CROSS-correlation
+      (no kernel flip), valid-size output ``T_padded - K + 1``.
+
+    For symmetric odd kernels (the notch-filter use) the two agree on
+    the overlapping region; the divergence for asymmetric kernels is
+    asserted live in tests/test_signal_live_parity.py.
+    """
     if isinstance(padding, int):
         padding = (padding, padding)
     x = jnp.pad(waveform, ((0, 0), padding))
@@ -80,29 +99,37 @@ def convolve1d(waveform: jax.Array, kernel: jax.Array,
         kernel = jnp.broadcast_to(kernel, (x.shape[0],) + kernel.shape)
 
     if use_fft:
-        n = x.shape[-1] + kernel.shape[-1] - 1
-        nfft = 1 << (n - 1).bit_length()
-        X = jnp.fft.rfft(x, nfft)
-        K = jnp.fft.rfft(kernel, nfft)
-        y = jnp.fft.irfft(X * K, nfft)[..., :x.shape[-1]]
-        return y
-    # direct: grouped conv, one kernel per batch row
-    flipped = jnp.flip(kernel, -1)
-    y = jax.vmap(lambda xi, ki: jnp.convolve(xi, ki, mode="full"))(x, flipped)
-    return y[..., kernel.shape[-1] - 1:kernel.shape[-1] - 1 + x.shape[-1]]
+        T = x.shape[-1]
+        if kernel.shape[-1] > T:        # reference: kernel[..., :T - K] keeps T
+            kernel = kernel[..., :T]
+        ker = jnp.zeros(kernel.shape[:-1] + (T,), kernel.dtype)
+        ker = ker.at[..., :kernel.shape[-1]].set(kernel)
+        y = jnp.fft.irfft(jnp.fft.rfft(x, T) * jnp.fft.rfft(ker, T), T)
+        rot = jnp.asarray(rotation_index)
+        if rot.ndim == 0 and isinstance(rotation_index, int):
+            if rotation_index:
+                y = jnp.roll(y, -rotation_index, axis=-1)
+            return y
+        # traced / per-row rotation: gather-based circular shift
+        idx = (jnp.arange(T)[None, :]
+               + jnp.reshape(rot, (-1, 1))) % T
+        return jnp.take_along_axis(y, jnp.broadcast_to(idx, y.shape), axis=-1)
+    # direct: torch-conv1d semantics (cross-correlation, valid output),
+    # one kernel per batch row
+    return jax.vmap(lambda xi, ki: jnp.correlate(xi, ki, mode="valid")
+                    )(x, kernel)
 
 
 def reverberate(waveform: jax.Array, rir: jax.Array,
                 rescale_amp: str = "avg") -> jax.Array:
-    """RIR convolution with direct-path alignment + level restoration
-    (signal_processing.py reverberate)."""
+    """RIR convolution with direct-path alignment + level restoration —
+    exact signal_processing.py:280-352 semantics (circular FFT
+    convolution rotated to the direct-path index, then rescaled to the
+    dry signal's amplitude)."""
     orig_amp = compute_amplitude(waveform, amp_type=rescale_amp)
     direct = jnp.argmax(jnp.abs(rir), axis=-1)
-    wet = convolve1d(waveform, rir, padding=0, use_fft=True)
-    # shift so the direct path lands at t=0
-    idx = (jnp.arange(waveform.shape[-1])[None, :] + direct[..., None]
-           ) % wet.shape[-1]
-    wet = jnp.take_along_axis(wet, idx, axis=-1)[..., :waveform.shape[-1]]
+    wet = convolve1d(waveform, rir, padding=0, use_fft=True,
+                     rotation_index=jnp.atleast_1d(direct))
     new_amp = compute_amplitude(wet, amp_type=rescale_amp)
     return wet * orig_amp / jnp.clip(new_amp, 1e-14)
 
@@ -117,12 +144,18 @@ def notch_filter(notch_freq: float, filter_width: int = 101,
     def sinc(x):
         return jnp.where(x == 0, 1.0, jnp.sin(x) / jnp.where(x == 0, 1.0, x))
 
+    # torch.blackman_window defaults to PERIODIC (denominator = N, not
+    # N-1 as numpy's symmetric window uses) — match the reference
+    k = jnp.arange(filter_width)
+    blackman = (0.42 - 0.5 * jnp.cos(2 * math.pi * k / filter_width)
+                + 0.08 * jnp.cos(4 * math.pi * k / filter_width))
+
     hlpf = sinc(3.0 * (notch_freq - notch_width) * inputs)
-    hlpf = hlpf * jnp.blackman(filter_width)
+    hlpf = hlpf * blackman
     hlpf = hlpf / jnp.sum(hlpf)
 
     hhpf = sinc(3.0 * (notch_freq + notch_width) * inputs)
-    hhpf = hhpf * jnp.blackman(filter_width)
+    hhpf = hhpf * blackman
     hhpf = -hhpf / jnp.sum(hhpf)
     hhpf = hhpf.at[pad].add(1.0)
 

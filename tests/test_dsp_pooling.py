@@ -31,12 +31,23 @@ def test_db_amplitude_roundtrip():
 
 
 def test_convolve1d_matches_scipy():
+    """FFT path = CIRCULAR convolution at signal length (exact
+    reference semantics, signal_processing.py:229-246): the linear-conv
+    tail wraps onto the head."""
     rng = np.random.default_rng(0)
     x = rng.normal(size=(2, 100)).astype(np.float32)
     k = rng.normal(size=11).astype(np.float32)
     ours = np.asarray(S.convolve1d(jnp.asarray(x), jnp.asarray(k)))
-    ref = np.stack([sps.convolve(xi, k)[:100] for xi in x])
+    lin = np.stack([sps.convolve(xi, k) for xi in x])     # [2, 110]
+    ref = lin[:, :100].copy()
+    ref[:, :10] += lin[:, 100:]
     np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-4)
+    # direct path: torch-conv1d cross-correlation, valid output
+    direct = np.asarray(S.convolve1d(jnp.asarray(x), jnp.asarray(k),
+                                     padding=5, use_fft=False))
+    ref_d = np.stack([sps.correlate(np.pad(xi, 5), k, mode="valid")
+                      for xi in x])
+    np.testing.assert_allclose(direct, ref_d, rtol=1e-3, atol=1e-4)
 
 
 def test_reverberate_preserves_amplitude():
