@@ -22,26 +22,67 @@ from speakerverification_tpu.ops.frontend import hz_to_mel, mel_to_hz
 __all__ = ["TDFbanks"]
 
 
+def _mel_triangle_prototypes(nfilters: int, min_freq: float, max_freq: float,
+                             fs: int, nfft: int) -> np.ndarray:
+    """Triangular mel prototypes on the DFT grid, reproducing the
+    reference's rounded-edge construction (TDFbanks/melfilters.py
+    ``_build_mels``): edges in Hz on an equal-mel grid, snapped with
+    ``round`` to DFT bins, unit height at the (snapped) center."""
+    dfreq = fs / nfft
+    mel_lo, mel_hi = hz_to_mel(min_freq, "htk"), hz_to_mel(max_freq, "htk")
+    edges_hz = mel_to_hz(
+        mel_lo + (mel_hi - mel_lo) / (nfilters + 1)
+        * np.arange(nfilters + 2, dtype=np.float64), "htk")
+    n_bins = nfft // 2 + 1
+    filters = np.zeros((nfilters, n_bins))
+    k = np.arange(n_bins, dtype=np.float64)
+    for i in range(nfilters):
+        lo = min(round(edges_hz[i] / dfreq), nfft // 2)
+        ctr = min(round(edges_hz[i + 1] / dfreq), nfft // 2)
+        hi = min(round(edges_hz[i + 2] / dfreq), nfft // 2)
+        if ctr > lo:
+            rise = (k > lo) & (k < ctr)
+            filters[i, rise] = (k[rise] - lo) / (ctr - lo)
+            filters[i, ctr] = 1.0
+        if hi > ctr:
+            fall = (k > ctr) & (k < hi)
+            filters[i, fall] = (k[fall] - hi) / (ctr - hi)
+    return filters
+
+
 def _gabor_init(nfilters: int, sample_rate: int, window_size: int,
                 min_freq: float = 0.0, max_freq: float | None = None,
-                ) -> np.ndarray:
-    """Mel-spaced complex Gabor kernels → real conv weights [k, 1, 2*n]."""
-    max_freq = max_freq or sample_rate / 2
-    mels = np.linspace(hz_to_mel(min_freq, "htk"), hz_to_mel(max_freq, "htk"),
-                       nfilters + 2)
-    hz = mel_to_hz(mels, "htk")
-    centers = hz[1:-1]
-    fwhms = (hz[2:] - hz[:-2]) / 2.0
-
-    t = np.arange(-(window_size // 2), window_size // 2 + 1)
+                nfft: int = 512) -> np.ndarray:
+    """Complex Gabor kernels → conv weights ``[k, 1, 2*n]``, reproducing
+    the reference's ``initialize()`` exactly (TDFbanks/melfilters.py
+    ``Gabor``): each mel triangle's sqrt is summarized by its argmax
+    center and half-magnitude width, mapped to a Gabor wavelet of
+    center frequency ``argmax·2π/nfft`` rad/sample and
+    ``σ = √(2ln2)·nfft/(π·width)``, then renormalized by
+    ``√(filter_energy · 2√π · σ)``."""
+    max_freq = max_freq if max_freq is not None else sample_rate / 2
+    mels = _mel_triangle_prototypes(nfilters, min_freq, max_freq,
+                                    sample_rate, nfft)
+    half_t = (window_size - 1) // 2
+    t = np.arange(-half_t, half_t + 1, dtype=np.float64)
     kernels = np.zeros((window_size, 1, 2 * nfilters), np.float32)
-    for i, (c, bw) in enumerate(zip(centers, fwhms)):
-        sigma_t = sample_rate / (2.0 * math.pi * max(bw, 1.0))
-        gauss = np.exp(-0.5 * (t / sigma_t) ** 2)
-        gauss /= np.sqrt(2 * math.pi) * sigma_t
-        phase = 2 * math.pi * c / sample_rate * t
-        kernels[:, 0, 2 * i] = (gauss * np.cos(phase)).astype(np.float32)
-        kernels[:, 0, 2 * i + 1] = (gauss * np.sin(phase)).astype(np.float32)
+    for i in range(nfilters):
+        mag = np.sqrt(mels[i])
+        center = int(np.argmax(mag))
+        spread = np.flatnonzero(mag >= mag[center] / 2.0)
+        width = max(spread[-1] - spread[0], 1)
+        eta = center * 2.0 * math.pi / nfft               # rad / sample
+        sigma = math.sqrt(2.0 * math.log(2.0)) * nfft / (math.pi * width)
+        # energy = area under the triangle's magnitude spectrum
+        energy = (0.5 * mels[i].max()
+                  * (np.count_nonzero(mels[i] > 0) + 2) * 2 * math.pi / nfft)
+        gauss = np.exp(-t ** 2 / (2.0 * sigma ** 2)) / (
+            math.sqrt(2.0 * math.pi) * sigma)
+        scale = math.sqrt(energy * 2.0 * math.sqrt(math.pi) * sigma)
+        kernels[:, 0, 2 * i] = (scale * gauss * np.cos(eta * t)
+                                ).astype(np.float32)
+        kernels[:, 0, 2 * i + 1] = (scale * gauss * np.sin(eta * t)
+                                    ).astype(np.float32)
     return kernels
 
 
@@ -62,8 +103,10 @@ class TDFbanks(nn.Module):
         window_stride = self.sample_rate * self.wstride_ms // 1000
 
         if self.preemp:
-            x = jnp.concatenate([x[:, :1], x[:, 1:] - 0.97 * x[:, :-1]],
-                                axis=-1)
+            # conv [-a, 1] with padding 1 (reference tdfbanks.py:36,99):
+            # y[0] = x[0], y[t] = x[t] - a*x[t-1], trailing y[T] = -a*x[T-1]
+            x = jnp.concatenate([x[:, :1], x[:, 1:] - 0.97 * x[:, :-1],
+                                 -0.97 * x[:, -1:]], axis=-1)
 
         init = _gabor_init(self.nfilters, self.sample_rate, window_size)
         if self.mode == "Fixed":
@@ -74,13 +117,15 @@ class TDFbanks(nn.Module):
             x[:, :, None], kernel, (1,), "SAME",
             dimension_numbers=("NWC", "WIO", "NWC"))          # [B, T, 2n]
 
-        # squared modulus: L2 pool over (real, imag) channel pairs
+        # SQUARED modulus over (real, imag) channel pairs — the
+        # reference's avg_pool1d(x², 2)·2 (tdfbanks.py:102-104), no sqrt
         h = h.reshape(h.shape[0], h.shape[1], self.nfilters, 2)
-        h = jnp.sqrt(jnp.sum(h ** 2, axis=-1) + 1e-12)        # [B, T, n]
+        h = jnp.sum(h ** 2, axis=-1)                          # [B, T, n]
 
-        # fixed per-filter lowpass with stride (hanning window)
+        # fixed per-filter lowpass with stride; the reference's hanning
+        # rides a (n-1)-shifted grid (TDFbanks/utils.py:25-26)
         k = np.arange(window_size)
-        win = (0.5 - 0.5 * np.cos(2 * np.pi * k / (window_size - 1))
+        win = (0.5 - 0.5 * np.cos(2 * np.pi * (k - 1) / (window_size - 1))
                ).astype(np.float32)
         lp = jnp.asarray(np.tile(win[:, None, None], (1, 1, self.nfilters)))
         h = jax.lax.conv_general_dilated(
