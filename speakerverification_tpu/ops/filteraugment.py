@@ -28,14 +28,19 @@ def frame_shift(rng: jax.Array, x: jax.Array, sigma: float = 90.0) -> jax.Array:
 
 
 def mixup(rng: jax.Array, x: jax.Array, label=None, alpha: float = 0.2,
-          beta: float = 0.2, mixup_label_type: str = "soft"):
+          beta: float = 0.2, mixup_label_type: str = "soft",
+          permutation=None, c=None):
     """Beta-mix features with a random batch permutation
-    (parity: FilterAugment.py:32-61)."""
+    (parity: FilterAugment.py:32-61). ``permutation`` and ``c`` may be
+    supplied explicitly — the reference API supports the same injection,
+    and it makes mixup reproducible across frameworks."""
     k_perm, k_c = jax.random.split(rng)
-    perm = jax.random.permutation(k_perm, x.shape[0])
-    c = jax.random.beta(k_c, alpha, beta)
-    if mixup_label_type == "hard":
-        c = c * 0.4 + 0.3
+    perm = (jax.random.permutation(k_perm, x.shape[0])
+            if permutation is None else jnp.asarray(permutation))
+    if c is None:
+        c = jax.random.beta(k_c, alpha, beta)
+        if mixup_label_type == "hard":
+            c = c * 0.4 + 0.3
     mixed = c * x + (1 - c) * x[perm]
     if label is None:
         return mixed

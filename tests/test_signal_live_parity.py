@@ -178,6 +178,55 @@ def test_overlap_and_add_parity(sp, frame_len, step):
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
 
 
+# -------------------------------------------- PreEmphasis / mixup
+
+def test_pre_emphasis_live_parity():
+    """src/utils.py:53-71 PreEmphasis (reflect pad + [-c, 1] conv) vs
+    our ops/frontend.py::pre_emphasis, on the live reference class."""
+    from test_torch_parity import _install_asteroid_stub
+
+    _install_asteroid_stub()
+    import utils as ref_utils
+
+    from speakerverification_tpu.ops.frontend import pre_emphasis
+
+    x = _wave((3, 500), seed=9)
+    ref = ref_utils.PreEmphasis(0.97)(torch.from_numpy(x)).numpy()
+    got = np.asarray(pre_emphasis(jnp.asarray(x), 0.97))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-7)
+
+
+@pytest.mark.parametrize("label_type", ["soft", "hard"])
+def test_mixup_live_parity(label_type):
+    """OnStreamAugment mixup with injected (permutation, c) — exact on
+    both features and clamped labels for soft and hard label modes."""
+    path = "/root/reference/src/models/OnStreamAugment"
+    if path not in sys.path:
+        sys.path.insert(0, path)
+    import FilterAugment as ref_fa
+
+    from speakerverification_tpu.ops.filteraugment import mixup
+
+    import jax
+
+    rng = np.random.default_rng(10)
+    feats = rng.normal(0, 1, (6, 30, 12)).astype(np.float32)
+    label = (rng.random((6, 4)) < 0.5).astype(np.float32)
+    perm = np.asarray([3, 0, 5, 1, 4, 2])
+    c = 0.37
+    ref_x, ref_y = ref_fa.mixup(torch.from_numpy(feats.copy()),
+                                torch.from_numpy(label.copy()),
+                                permutation=torch.from_numpy(perm),
+                                c=c, mixup_label_type=label_type)
+    got_x, got_y = mixup(jax.random.PRNGKey(0), jnp.asarray(feats),
+                         jnp.asarray(label), mixup_label_type=label_type,
+                         permutation=perm, c=c)
+    np.testing.assert_allclose(np.asarray(got_x), ref_x.numpy(),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_y), ref_y.numpy(),
+                               rtol=1e-5, atol=1e-6)
+
+
 # ------------------------------------------------------------- gabor
 
 def test_gabor_impulse_response_parity(sp):
