@@ -229,6 +229,22 @@ def test_mixup_live_parity(label_type):
 
 # ------------------------------------------------------------- gabor
 
+def test_twin_dsp_copies_agree(sp):
+    """SURVEY.md lists the DSP library TWICE (signal_processing.py and
+    audio_signal.py). They are functionally identical (numpy coercion +
+    docstrings aside; gabor lives only in signal_processing) — asserted
+    here so our single JAX copy provably covers both."""
+    from processing import audio_signal as sp2
+
+    np.testing.assert_allclose(sp.notch_filter(0.3).numpy(),
+                               sp2.notch_filter(0.3).numpy(), atol=0)
+    x = _wave((1, 1500), seed=11)
+    rir = _wave((1, 200), seed=12, scale=1.0)[0]
+    a = sp.reverberate(torch.from_numpy(x), torch.from_numpy(rir)).numpy()
+    b = sp2.reverberate(torch.from_numpy(x), torch.from_numpy(rir)).numpy()
+    np.testing.assert_allclose(a, b, atol=0)
+
+
 def test_gabor_impulse_response_parity(sp):
     t = np.arange(-200, 201, dtype=np.float32)
     center = np.asarray([0.3, 1.1, 2.6], np.float32)
