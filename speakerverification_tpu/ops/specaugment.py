@@ -41,12 +41,17 @@ class SpecAugmentConfig:
 
 def _mask_along_axis(rng: jax.Array, x: jax.Array, axis_len: int,
                      n_mask: int, width: Tuple[int, int], axis: int,
-                     fill: jax.Array) -> jax.Array:
+                     fill: jax.Array | None) -> jax.Array:
     """Randomly zero ``n_mask`` intervals of width ∈ [w0, w1) along ``axis``.
 
     Math parity with src/models/OnStreamAugment/specaugment.py:131-180:
-    per-example mask lengths then positions in [0, D - max_len).
+    per-example mask lengths then positions in [0, D - max_len);
+    ``fill=None`` replaces with the mean of the CURRENT tensor (the
+    reference recomputes ``x.mean()`` at each mask stage, so a second
+    mask's fill reflects the first mask's effect).
     """
+    if fill is None:
+        fill = jnp.mean(x)
     B = x.shape[0]
     k_len, k_pos = jax.random.split(rng)
     w0, w1 = width
@@ -91,13 +96,24 @@ def spec_augment(rng: jax.Array, x: jax.Array,
                  cfg: SpecAugmentConfig = SpecAugmentConfig()) -> jax.Array:
     """Apply SpecAugment to ``[B, T, F]`` features under a PRNG key."""
     k_warp, k_freq, k_time = jax.random.split(rng, 3)
-    fill = jnp.zeros((), x.dtype) if cfg.replace_with_zero else jnp.mean(x)
+    # replace_with_zero=False recomputes the mean inside each mask stage
+    # (fill=None), matching the reference's per-call x.mean()
+    fill = jnp.zeros((), x.dtype) if cfg.replace_with_zero else None
+    # Stage order mirrors the reference literally: axis 1 (T) is masked
+    # first, then axis 2 (F). NOTE the reference's mask_along_axis reads
+    # [B, T, F] as ``batch, fea, time`` (specaugment.py:139), so its
+    # "freq" stage (dim=1) actually masks TIME and its "time" stage
+    # (dim=2) masks FREQ — invisible there because every reference call
+    # site uses the symmetric default config. We keep the paper-correct
+    # param→axis mapping (freq params mask F) but the reference's axis
+    # ORDER, so at symmetric configs behavior matches draw-for-draw
+    # (incl. the per-stage mean fill; tests/test_specaugment_live_parity.py).
     if cfg.time_warp:
         x = _time_warp(k_warp, x, cfg.time_warp_window)
-    if cfg.freq_mask:
-        x = _mask_along_axis(k_freq, x, x.shape[2], cfg.n_freq_mask,
-                             cfg.freq_mask_width, axis=2, fill=fill)
     if cfg.time_mask:
         x = _mask_along_axis(k_time, x, x.shape[1], cfg.n_time_mask,
                              cfg.time_mask_width, axis=1, fill=fill)
+    if cfg.freq_mask:
+        x = _mask_along_axis(k_freq, x, x.shape[2], cfg.n_freq_mask,
+                             cfg.freq_mask_width, axis=2, fill=fill)
     return x
