@@ -7,10 +7,13 @@ traces into the training step:
 
 * masking builds boolean interval masks from uniform random (pos, len)
   pairs — identical math to the reference's ``mask_along_axis``;
-* time warp uses a piecewise-linear index remap (the reference uses
-  bicubic ``F.interpolate`` of the two segments; linear resampling of
-  coordinates is the standard JAX formulation and is within the same
-  augmentation family).
+* time warp is an EXACT port of the reference's two-segment bicubic
+  ``F.interpolate(align_corners=True)`` (specaugment.py:88-120): since
+  the freq axis is resized to its own length, torch's bicubic reduces
+  to 1-D Keys cubic convolution (a = −0.75) along time, which we
+  evaluate as a static-shape 4-tap gather with traced segment bounds
+  (pivot ``c`` and target ``w`` are traced scalars, per-segment index
+  clamping mirrors torch's ``upsample_get_value_bounded``).
 
 Input layout is ``[B, T, F]`` (channels-last), the frontend's output.
 """
@@ -69,8 +72,36 @@ def _mask_along_axis(rng: jax.Array, x: jax.Array, axis_len: int,
     return jnp.where(mask, fill, x)
 
 
+_CUBIC_A = -0.75
+
+
+def _cubic_coeffs(t: jax.Array):
+    """torch's get_cubic_upsample_coefficients (UpSample.h), A = −0.75.
+
+    Returns the 4 Keys-kernel tap weights for samples at
+    floor−1 … floor+2 given the fractional offset ``t`` ∈ [0, 1).
+    """
+    a = _CUBIC_A
+
+    def c1(x):                                   # |x| ≤ 1
+        return ((a + 2.0) * x - (a + 3.0)) * x * x + 1.0
+
+    def c2(x):                                   # 1 < |x| ≤ 2
+        return ((a * x - 5.0 * a) * x + 8.0 * a) * x - 4.0 * a
+
+    return c2(t + 1.0), c1(t), c1(1.0 - t), c2(2.0 - t)
+
+
 def _time_warp(rng: jax.Array, x: jax.Array, window: int) -> jax.Array:
-    """Piecewise-linear time warp: pivot frame c moves to w (|w−c| ≤ window)."""
+    """Exact reference time warp (specaugment.py:88-120).
+
+    Pivot ``c`` ∈ [window, T−window) moves to ``w`` ∈ [c−window+1,
+    c+window]; segment [0, c) is cubic-resampled to length ``w`` and
+    [c, T) to ``T−w`` with torch ``align_corners=True`` coordinates
+    (source = i·(in−1)/(out−1), 0 when out == 1) and per-segment edge
+    clamping. Evaluated as one static-shape 4-tap gather over traced
+    (c, w) — jit-friendly, no dynamic shapes.
+    """
     B, T, F = x.shape
     if T - window <= window:
         return x
@@ -78,18 +109,25 @@ def _time_warp(rng: jax.Array, x: jax.Array, window: int) -> jax.Array:
     c = jax.random.randint(k_c, (), window, T - window)
     w = jax.random.randint(k_w, (), c - window, c + window) + 1
 
-    t = jnp.arange(T)
-    cf = c.astype(jnp.float32)
-    wf = w.astype(jnp.float32)
-    tf = t.astype(jnp.float32)
-    # output position t < w samples source t*c/w; t >= w samples
-    # c + (t-w) * (T-c)/(T-w)
-    src = jnp.where(tf < wf, tf * cf / jnp.maximum(wf, 1.0),
-                    cf + (tf - wf) * (T - cf) / jnp.maximum(T - wf, 1.0))
-    lo = jnp.clip(jnp.floor(src).astype(jnp.int32), 0, T - 1)
-    hi = jnp.clip(lo + 1, 0, T - 1)
-    frac = (src - lo.astype(jnp.float32))[None, :, None]
-    return x[:, lo, :] * (1 - frac) + x[:, hi, :] * frac
+    xf = x.astype(jnp.float32)
+    cf, wf, Tf = (c.astype(jnp.float32), w.astype(jnp.float32),
+                  jnp.float32(T))
+    t_out = jnp.arange(T, dtype=jnp.float32)
+    left = t_out < wf
+    loc_out = jnp.where(left, t_out, t_out - wf)  # segment-local output idx
+    out_len = jnp.where(left, wf, Tf - wf)
+    in_len = jnp.where(left, cf, Tf - cf)
+    seg0 = jnp.where(left, 0.0, cf)               # segment start (absolute)
+    scale = jnp.where(out_len > 1.0,
+                      (in_len - 1.0) / jnp.maximum(out_len - 1.0, 1.0), 0.0)
+    src = loc_out * scale
+    i0 = jnp.floor(src)
+    w_m1, w_0, w_p1, w_p2 = _cubic_coeffs(src - i0)
+    out = jnp.zeros_like(xf)
+    for k, wt in zip((-1.0, 0.0, 1.0, 2.0), (w_m1, w_0, w_p1, w_p2)):
+        idx = (jnp.clip(i0 + k, 0.0, in_len - 1.0) + seg0).astype(jnp.int32)
+        out = out + wt[None, :, None] * xf[:, idx, :]
+    return out.astype(x.dtype)
 
 
 def spec_augment(rng: jax.Array, x: jax.Array,

@@ -10,10 +10,11 @@ example, time (dim=2) and frequency (dim=1) axes, zero fill and the
 mean fill (which the reference recomputes per mask stage — our
 ``fill=None`` path).
 
-The time-warp stage is an asserted redesign, not compared: the
-reference bicubic-resizes the two segments around a random pivot; ours
-is the piecewise-linear index remap (documented in ops/specaugment.py),
-the standard static-shape JAX formulation.
+The time-warp stage is compared the same way: both (c, w) draws are
+injected, and our static-shape 4-tap Keys-cubic gather must match the
+reference's two-segment ``F.interpolate(mode="bicubic",
+align_corners=True)`` resize exactly (the freq axis is resized to its
+own length, so torch's bicubic reduces to 1-D cubic along time).
 """
 
 from __future__ import annotations
@@ -93,6 +94,57 @@ def test_mask_along_axis_parity(ref_specaugment, monkeypatch, dim,
         n_mask, (0, 12), axis=axis, fill=fill))
     monkeypatch.undo()
     np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-7)
+
+
+@pytest.mark.parametrize("c,w_raw", [(20, 14), (20, 25), (20, 19),
+                                     (5, 0), (44, 44)])
+def test_time_warp_parity(ref_specaugment, monkeypatch, c, w_raw):
+    """Injected (c, w) draws: compress, stretch, identity (w==c), and
+    both edge pivots. w = w_raw + 1 per the reference's +1."""
+    B, T, F = 3, 50, 24
+    window = 5
+    rng = np.random.default_rng(7)
+    feats = rng.normal(0, 1, (B, T, F)).astype(np.float32)
+    draws = [np.array([c], dtype=np.int64), np.array([w_raw], dtype=np.int64)]
+
+    aug = ref_specaugment.SpecAugment(
+        time_warp=True, time_warp_window=window,
+        freq_mask=False, time_mask=False)
+    monkeypatch.setattr(torch, "randint", _TorchQueue([d.copy() for d in draws]))
+    ref = aug(torch.from_numpy(feats.copy())).numpy()
+    monkeypatch.undo()
+
+    monkeypatch.setattr(SA.jax.random, "randint", _JaxQueue(draws))
+    got = np.asarray(SA._time_warp(jax.random.PRNGKey(0),
+                                   jnp.asarray(feats), window))
+    monkeypatch.undo()
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-6)
+
+
+def test_time_warp_random_draw_sweep(ref_specaugment, monkeypatch):
+    """20 random (c, w) pairs through both implementations."""
+    B, T, F = 2, 61, 16
+    window = 5
+    rng = np.random.default_rng(11)
+    feats = rng.normal(0, 1, (B, T, F)).astype(np.float32)
+    aug = ref_specaugment.SpecAugment(
+        time_warp=True, time_warp_window=window,
+        freq_mask=False, time_mask=False)
+    for _ in range(20):
+        c = int(rng.integers(window, T - window))
+        w_raw = int(rng.integers(c - window, c + window))
+        draws = [np.array([c], dtype=np.int64),
+                 np.array([w_raw], dtype=np.int64)]
+        monkeypatch.setattr(torch, "randint",
+                            _TorchQueue([d.copy() for d in draws]))
+        ref = aug(torch.from_numpy(feats.copy())).numpy()
+        monkeypatch.undo()
+        monkeypatch.setattr(SA.jax.random, "randint", _JaxQueue(draws))
+        got = np.asarray(SA._time_warp(jax.random.PRNGKey(0),
+                                       jnp.asarray(feats), window))
+        monkeypatch.undo()
+        np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-6,
+                                   err_msg=f"c={c} w={w_raw + 1}")
 
 
 def test_mean_fill_recomputed_per_stage(ref_specaugment, monkeypatch):
