@@ -163,8 +163,9 @@ def test_filteraugment_ops():
 
     y = FA.add_noise(key, x, snrs=(20.0, 20.0))
     noise = np.asarray(y - x)
-    snr = 10 * np.log10(np.mean(np.asarray(x)**2) / np.mean(noise**2))
-    assert snr == pytest.approx(20.0, abs=1.0)
+    # reference semantics: noise std = unbiased-std(x) / 10**(snr/20)
+    assert np.std(noise) == pytest.approx(np.std(np.asarray(x)) / 10.0,
+                                          rel=0.05)
 
 
 def test_benchmark_dataset(tmp_path):
