@@ -153,6 +153,51 @@ class Trainer:
                   f"(banks: {self._aug_banks.noise.shape[0]} noise crops, "
                   f"{self._aug_banks.rir.shape[0]} RIRs, "
                   "refreshed per epoch)")
+        # device_time_augment: the OnStreamAugment/TimeAugment chain
+        # (ops/timeaugment.py) batched inside the jitted step. Value may
+        # be True (np chain, the reference constructor's default) or the
+        # mode string 'np' / 'torch'. Composes AFTER device env_corrupt
+        # when both are on; shares the same per-epoch noise/RIR banks.
+        tmode = hparams.get("device_time_augment")
+        if tmode:
+            from speakerverification_tpu.ops.timeaugment import time_augment
+            t_mode = tmode if isinstance(tmode, str) else "np"
+            t_sr = int(dict(hparams.get("audio_spec") or {}).get(
+                "sample_rate", 16000))
+            if self._aug_banks is None and self.loader.augmentor is not None:
+                # banks feed the chain's background-noise/IR members;
+                # host env_corrupt (if configured) stays on the host
+                from speakerverification_tpu.ops.device_augment import (
+                    build_banks,
+                )
+                self._aug_source = self.loader.augmentor
+                self._aug_bank_sizes = (
+                    int(hparams.get("device_augment_noise_bank", 256)),
+                    int(hparams.get("device_augment_rir_bank", 64)))
+                self._aug_banks = build_banks(
+                    self._aug_source,
+                    n_noise=self._aug_bank_sizes[0],
+                    n_rir=self._aug_bank_sizes[1])
+            env_fn = self._augment_fn
+            if self._aug_banks is not None:
+                if env_fn is not None:
+                    self._augment_fn = (
+                        lambda w, r, banks: time_augment(
+                            env_fn(w, jax.random.fold_in(r, 0), banks),
+                            jax.random.fold_in(r, 1), banks,
+                            mode=t_mode, sample_rate=t_sr))
+                else:
+                    self._augment_fn = (
+                        lambda w, r, banks: time_augment(
+                            w, r, banks, mode=t_mode, sample_rate=t_sr))
+            else:
+                self._augment_fn = (
+                    lambda w, r: time_augment(
+                        w, r, None, mode=t_mode, sample_rate=t_sr))
+            print(f"[INFO] on-device TimeAugment chain enabled "
+                  f"(mode={t_mode}"
+                  + (", no banks: background-noise/IR members skipped"
+                     if self._aug_banks is None else "") + ")")
         # --distributed: shard_map data parallelism over all local devices
         # (parity: the reference's --distributed DDP flag, src/main.py:68;
         # here one process drives the whole mesh — no mp.spawn/rendezvous)
@@ -213,7 +258,7 @@ class Trainer:
                     self.model, self.tx, self.mesh, donate=True,
                     compute_dtype=compute_dtype,
                     augment_fn=self._augment_fn,
-                    n_aug_args=1 if self._augment_fn else 0,
+                    n_aug_args=1 if self._aug_banks is not None else 0,
                     accum_steps=self.accum_steps)
             print(f"[INFO] data-parallel over {n_dev} devices"
                   + (f" × {mp_} model shards" if mp_ > 1 else "")
@@ -541,7 +586,7 @@ class Trainer:
                     self.model, self.tx, self.mesh, self.state,
                     donate=True, compute_dtype=self._compute_dtype,
                     augment_fn=self._augment_fn,
-                    n_aug_args=1 if self._augment_fn else 0,
+                    n_aug_args=1 if self._aug_banks is not None else 0,
                     accum_steps=self.accum_steps)
             elif self.multiprocess:
                 # every process seeded model init identically, so local
