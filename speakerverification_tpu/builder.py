@@ -75,10 +75,24 @@ def encoder_from_hparams(hparams: Mapping,
         # refers to hybrid raw-waveform models.
         feature_type = "melspectrogram"
 
-    backbone = build_model(name, nOut=n_out,
-                           feature_type=feature_type,
-                           n_mels=int(hparams.get("n_mels", 80)),
-                           **model_cfg)
+    if isinstance(name, (list, tuple)):
+        # list-valued model.name: the reference dispatches this to a
+        # models/Mixed_model.py that does not exist (src/model.py:76-80
+        # — dead path). Here it is a working multi-encoder composition
+        # (models/mixed.py); the encoder passes the waveform through
+        # and the MixedModel computes each branch's frontend in-model.
+        from speakerverification_tpu.models.mixed import build_mixed_model
+        backbone = build_mixed_model(name, nOut=n_out,
+                                     feature_type=feature_type,
+                                     n_mels=int(hparams.get("n_mels", 80)),
+                                     audio_spec=hparams.get("audio_spec"),
+                                     **model_cfg)
+        feature_type = "raw"
+    else:
+        backbone = build_model(name, nOut=n_out,
+                               feature_type=feature_type,
+                               n_mels=int(hparams.get("n_mels", 80)),
+                               **model_cfg)
 
     loss = None
     if with_loss:

@@ -52,6 +52,8 @@ def run_dirs(hparams: Mapping) -> dict:
     (parity: src/main.py:106-122)."""
     base = Path(hparams.get("save_folder", "save"))
     model = hparams.get("model", {}).get("name", "model")
+    if isinstance(model, (list, tuple)):     # mixed multi-encoder config
+        model = "+".join(str(m) for m in model)
     crit = hparams.get("criterion", {}).get("name", "loss")
     root = base / str(model) / str(crit)
     dirs = {"root": root, "model": root / "model", "result": root / "result",
