@@ -35,6 +35,8 @@ __all__ = ["ecapa_from_torch_state_dict", "rawnet3_from_torch_state_dict",
            "tita_ecapa_from_torch_state_dict",
            "raw_tita_from_torch_state_dict",
            "res_ecapa_from_torch_state_dict",
+           "dpn_from_torch_state_dict",
+           "effnetv2_from_torch_state_dict",
            "load_reference_checkpoint"]
 
 
@@ -792,6 +794,98 @@ def efficientnet_from_torch_state_dict(sd: Mapping, width_coeff=1.4,
     fck = "fc" if aggregate == "flatten" else "fc_attn"
     _set(params, "Dense_0/kernel", _np(sd, f"{fck}.weight").T)
     _set(params, "Dense_0/bias", _np(sd, f"{fck}.bias"))
+    return params, stats
+
+
+def dpn_from_torch_state_dict(sd: Mapping, k_sec=(3, 4, 8, 3)):
+    """Port a reference DPN state dict (src/models/DPN.py:90-159).
+
+    Torch layout: ``features.conv1.{0,1}`` stem; per block
+    ``features.conv{s+2}_{i+1}`` with ``c1x1_w.{norm,conv}`` (proj/down
+    only) and ``layers.c1x1_{a,c}/c3x3_b.{norm,conv}``; ``classifier``.
+    Flax @nn.compact ordering inside DualPathBlock: the proj BN/conv
+    declare first, so a/b/c indices shift by one in proj blocks."""
+    params: dict = {}
+    stats: dict = {}
+
+    _conv2d_at(params, sd, "features.conv1.0", "Conv_0")
+    _bn_at(params, stats, sd, "features.conv1.1", "BatchNorm_0")
+
+    blk = 0
+    for stage, n in enumerate(k_sec):
+        for i in range(n):
+            tp = f"features.conv{stage + 2}_{i + 1}"
+            fp = f"DualPathBlock_{blk}"
+            ci = 0
+            if i == 0:                                 # proj / down
+                _bn_at(params, stats, sd, f"{tp}.c1x1_w.norm",
+                       f"{fp}/BatchNorm_0")
+                _conv2d_at(params, sd, f"{tp}.c1x1_w.conv", f"{fp}/Conv_0")
+                ci = 1
+            for j, leg in enumerate(("c1x1_a", "c3x3_b", "c1x1_c")):
+                _bn_at(params, stats, sd, f"{tp}.layers.{leg}.norm",
+                       f"{fp}/BatchNorm_{ci + j}")
+                _conv2d_at(params, sd, f"{tp}.layers.{leg}.conv",
+                           f"{fp}/Conv_{ci + j}")
+            blk += 1
+
+    _set(params, "Dense_0/kernel", _np(sd, "classifier.weight").T)
+    _set(params, "Dense_0/bias", _np(sd, "classifier.bias"))
+    return params, stats
+
+
+def effnetv2_from_torch_state_dict(sd: Mapping, cfgs=None):
+    """Port a reference EffNetV2 state dict (src/models/
+    EfficientNetv2.py:122-170). Torch layout: ``features.0.{0,1}`` stem,
+    then one ``features.{j}.conv.{idx}`` Sequential per block — fused:
+    0 conv/1 bn/3 conv/4 bn; use_se: 0/1 pw, 3/4 dw, 6 SELayer
+    (``fc.{0,2}`` Linears), 7/8 pw-linear — and ``conv.{0,1}`` head +
+    ``classifier``. Flax blocks are numbered per class (FusedMBConv_k /
+    MBConvV2_k)."""
+    if cfgs is None:                                  # effnetv2-s
+        cfgs = [(1, 24, 2, 1, 0), (4, 48, 4, 2, 0), (4, 64, 4, 2, 0),
+                (4, 128, 6, 2, 1), (6, 160, 9, 1, 1), (6, 256, 15, 2, 1)]
+    params: dict = {}
+    stats: dict = {}
+
+    _conv2d_at(params, sd, "features.0.0", "Conv_0")
+    _bn_at(params, stats, sd, "features.0.1", "BatchNorm_0")
+
+    j = 1
+    fused_k = se_k = 0
+    for t, c, n, s, use_se in cfgs:
+        for _ in range(n):
+            tp = f"features.{j}.conv"
+            if use_se:
+                fp = f"MBConvV2_{se_k}"
+                _conv2d_at(params, sd, f"{tp}.0", f"{fp}/Conv_0")
+                _bn_at(params, stats, sd, f"{tp}.1", f"{fp}/BatchNorm_0")
+                _conv2d_at(params, sd, f"{tp}.3", f"{fp}/Conv_1")
+                _bn_at(params, stats, sd, f"{tp}.4", f"{fp}/BatchNorm_1")
+                _set(params, f"{fp}/Dense_0/kernel",
+                     _np(sd, f"{tp}.6.fc.0.weight").T)
+                _set(params, f"{fp}/Dense_0/bias",
+                     _np(sd, f"{tp}.6.fc.0.bias"))
+                _set(params, f"{fp}/Dense_1/kernel",
+                     _np(sd, f"{tp}.6.fc.2.weight").T)
+                _set(params, f"{fp}/Dense_1/bias",
+                     _np(sd, f"{tp}.6.fc.2.bias"))
+                _conv2d_at(params, sd, f"{tp}.7", f"{fp}/Conv_2")
+                _bn_at(params, stats, sd, f"{tp}.8", f"{fp}/BatchNorm_2")
+                se_k += 1
+            else:
+                fp = f"FusedMBConv_{fused_k}"
+                _conv2d_at(params, sd, f"{tp}.0", f"{fp}/Conv_0")
+                _bn_at(params, stats, sd, f"{tp}.1", f"{fp}/BatchNorm_0")
+                _conv2d_at(params, sd, f"{tp}.3", f"{fp}/Conv_1")
+                _bn_at(params, stats, sd, f"{tp}.4", f"{fp}/BatchNorm_1")
+                fused_k += 1
+            j += 1
+
+    _conv2d_at(params, sd, "conv.0", "Conv_1")
+    _bn_at(params, stats, sd, "conv.1", "BatchNorm_1")
+    _set(params, "Dense_0/kernel", _np(sd, "classifier.weight").T)
+    _set(params, "Dense_0/bias", _np(sd, "classifier.bias"))
     return params, stats
 
 

@@ -152,7 +152,19 @@ class EfficientNet(nn.Module):
 # EfficientNet v2 (effnetv2-s)
 # ---------------------------------------------------------------------------
 
-class FusedMBConv(nn.Module):
+def _make_divisible(v: float, divisor: int = 8) -> int:
+    """Channel rounding (parity: src/models/EfficientNetv2.py:17-31)."""
+    new_v = max(divisor, int(v + divisor / 2) // divisor * divisor)
+    if new_v < 0.9 * v:
+        new_v += divisor
+    return new_v
+
+
+class MBConvV2(nn.Module):
+    """v2 MBConv (parity: src/models/EfficientNetv2.py:81-119, use_se):
+    pw 1×1 → hidden=round(inp·t), dw 3×3 stride p1 (torch explicit pad,
+    not SAME), SE squeezed to ``_make_divisible(inp//4, 8)`` — NOT the
+    v1 ``int(inp·0.25)`` — then pw-linear; SiLU activations."""
     out_ch: int
     expand: int
     stride: int
@@ -160,24 +172,57 @@ class FusedMBConv(nn.Module):
     @nn.compact
     def __call__(self, x, train=False):
         in_ch = x.shape[-1]
-        h = nn.Conv(in_ch * self.expand, (3, 3), (self.stride, self.stride),
-                    padding="SAME", use_bias=False)(x)
+        hidden = round(in_ch * self.expand)
+        h = nn.Conv(hidden, (1, 1), use_bias=False)(x)
         h = jax.nn.swish(_bn(train)(h))
-        if self.expand != 1:
-            h = nn.Conv(self.out_ch, (1, 1), use_bias=False)(h)
-            h = _bn(train)(h)
-        elif self.out_ch != h.shape[-1]:
-            h = nn.Conv(self.out_ch, (1, 1), use_bias=False)(h)
-            h = _bn(train)(h)
+        h = nn.Conv(hidden, (3, 3), (self.stride, self.stride),
+                    padding=((1, 1), (1, 1)), feature_group_count=hidden,
+                    use_bias=False)(h)
+        h = jax.nn.swish(_bn(train)(h))
+        s = h.mean(axis=(1, 2))
+        s = jax.nn.swish(nn.Dense(_make_divisible(in_ch // 4, 8))(s))
+        s = jax.nn.sigmoid(nn.Dense(hidden)(s))
+        h = h * s[:, None, None, :]
+        h = nn.Conv(self.out_ch, (1, 1), use_bias=False)(h)
+        h = _bn(train)(h)
+        if self.stride == 1 and in_ch == self.out_ch:
+            h = h + x
+        return h
+
+
+class FusedMBConv(nn.Module):
+    """v2 fused block (parity: src/models/EfficientNetv2.py:103-115):
+    3×3 stride p1 to hidden=round(inp·t) then ALWAYS a pw-linear 1×1 +
+    BN — the reference keeps the projection even at expand==1."""
+    out_ch: int
+    expand: int
+    stride: int
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        in_ch = x.shape[-1]
+        h = nn.Conv(round(in_ch * self.expand), (3, 3),
+                    (self.stride, self.stride), padding=((1, 1), (1, 1)),
+                    use_bias=False)(x)
+        h = jax.nn.swish(_bn(train)(h))
+        h = nn.Conv(self.out_ch, (1, 1), use_bias=False)(h)
+        h = _bn(train)(h)
         if self.stride == 1 and in_ch == self.out_ch:
             h = h + x
         return h
 
 
 class EfficientNetV2(nn.Module):
-    """effnetv2-s config (parity: src/models/EfficientNetv2.py:171-190)."""
+    """effnetv2-s config (parity: src/models/EfficientNetv2.py:122-190).
+
+    Stem 3×3/2 p1 → _make_divisible(24·w); per-cfg blocks (fused for
+    use_se=0, MBConvV2 for use_se=1) with _make_divisible channel
+    rounding; head 1×1 → 1792 (scaled only when width_mult>1), GAP,
+    Dense(nOut) standing in for the ImageNet classifier."""
     nOut: int = 512
     log_input: bool = True
+    width_mult: float = 1.0
+    image_input: bool = False       # feed NHWC images directly (no _prep)
     # (expansion, channels, repeats, stride, use_se)
     cfgs: Sequence[Tuple[int, int, int, int, int]] = (
         (1, 24, 2, 1, 0), (4, 48, 4, 2, 0), (4, 64, 4, 2, 0),
@@ -185,17 +230,22 @@ class EfficientNetV2(nn.Module):
 
     @nn.compact
     def __call__(self, x, train=False):
-        x = _prep(x, self.log_input)
-        h = nn.Conv(24, (3, 3), (2, 2), padding="SAME", use_bias=False)(x)
+        if not self.image_input:
+            x = _prep(x, self.log_input)
+        h = nn.Conv(_make_divisible(24 * self.width_mult, 8), (3, 3), (2, 2),
+                    padding=((1, 1), (1, 1)), use_bias=False)(x)
         h = jax.nn.swish(_bn(train)(h))
         for t, c, n, s, use_se in self.cfgs:
+            out = _make_divisible(c * self.width_mult, 8)
             for i in range(n):
                 stride = s if i == 0 else 1
                 if use_se:
-                    h = MBConv(c, t, 3, stride)(h, train=train)
+                    h = MBConvV2(out, t, stride)(h, train=train)
                 else:
-                    h = FusedMBConv(c, t, stride)(h, train=train)
-        h = nn.Conv(1792, (1, 1), use_bias=False)(h)
+                    h = FusedMBConv(out, t, stride)(h, train=train)
+        head = (_make_divisible(1792 * self.width_mult, 8)
+                if self.width_mult > 1.0 else 1792)
+        h = nn.Conv(head, (1, 1), use_bias=False)(h)
         h = jax.nn.swish(_bn(train)(h))
         return nn.Dense(self.nOut)(h.mean(axis=(1, 2)))
 
@@ -417,6 +467,12 @@ class SCNet(nn.Module):
 # ---------------------------------------------------------------------------
 
 class DualPathBlock(nn.Module):
+    """Pre-activation dual-path block (parity: src/models/DPN.py:37-87).
+
+    Every conv is the reference's ``BN_ReLU_Conv`` (BatchNorm → ReLU →
+    Conv, NO trailing BN — DPN.py:65-71); ``proj``/``down`` blocks run
+    a separate pre-activated 1×1 on the same input and slice it into
+    the residual/dense shortcuts (DPN.py:73-80)."""
     num_1x1_a: int
     num_3x3_b: int
     num_1x1_c: int
@@ -426,27 +482,31 @@ class DualPathBlock(nn.Module):
 
     @nn.compact
     def __call__(self, res_dense, train=False):
-        res, dense = res_dense
-        x = jnp.concatenate([res, dense], axis=-1)
+        if isinstance(res_dense, (tuple, list)):
+            res, dense = res_dense
+            x = jnp.concatenate([res, dense], axis=-1)
+        else:                       # first block gets the plain stem map
+            res = dense = None
+            x = res_dense
         stride = 2 if self.block_type == "down" else 1
         has_proj = self.block_type in ("proj", "down")
 
+        def bn_relu_conv(h, out, k, s=1, groups=1):
+            h = jax.nn.relu(_bn(train)(h))
+            pad = ((k // 2, k // 2),) * 2
+            return nn.Conv(out, (k, k), (s, s), padding=pad,
+                           feature_group_count=groups, use_bias=False)(h)
+
         if has_proj:
-            p = nn.Conv(self.num_1x1_c + 2 * self.inc, (1, 1),
-                        (stride, stride), use_bias=False)(x)
-            p = _bn(train)(p)
+            p = bn_relu_conv(x, self.num_1x1_c + 2 * self.inc, 1, stride)
             res_s = p[..., :self.num_1x1_c]
             dense_s = p[..., self.num_1x1_c:]
         else:
             res_s, dense_s = res, dense
 
-        h = nn.Conv(self.num_1x1_a, (1, 1), use_bias=False)(x)
-        h = jax.nn.relu(_bn(train)(h))
-        h = nn.Conv(self.num_3x3_b, (3, 3), (stride, stride), padding="SAME",
-                    feature_group_count=self.groups, use_bias=False)(h)
-        h = jax.nn.relu(_bn(train)(h))
-        h = nn.Conv(self.num_1x1_c + self.inc, (1, 1), use_bias=False)(h)
-        h = _bn(train)(h)
+        h = bn_relu_conv(x, self.num_1x1_a, 1)
+        h = bn_relu_conv(h, self.num_3x3_b, 3, stride, self.groups)
+        h = bn_relu_conv(h, self.num_1x1_c + self.inc, 1)
 
         res_out = res_s + h[..., :self.num_1x1_c]
         dense_out = jnp.concatenate([dense_s, h[..., self.num_1x1_c:]],
@@ -455,36 +515,45 @@ class DualPathBlock(nn.Module):
 
 
 class DPN(nn.Module):
-    """DPN-92-style config (parity: src/models/DPN.py:90-159)."""
+    """Dual Path Network (parity: src/models/DPN.py:90-159, DPN-92
+    widths). Stem = 7×7/2 p3 conv + BN + ReLU + 3×3/2 p1 maxpool
+    (DPN.py:100-106, torch explicit paddings, not SAME); stage s uses
+    bw=256·2^s, R=k_R·bw/256, first block 'proj' (stride 1) at stage 0
+    and 'down' elsewhere (DPN.py:108-148). Head: residual+dense concat
+    → global mean (≡ the reference's 7×7 avg_pool on its 224-input 7×7
+    map) → Dense(nOut) standing in for its ImageNet classifier.
+    ``k_sec`` default is depth-trimmed vs dpn92's (3,4,20,3) for the
+    speaker workload; pass (3,4,20,3) for the paper config."""
     nOut: int = 512
     k_r: int = 96
     groups: int = 32
     k_sec: Sequence[int] = (3, 4, 8, 3)      # depth trimmed vs (3,4,20,3)
     inc_sec: Sequence[int] = (16, 32, 24, 128)
+    num_init_features: int = 64
     log_input: bool = True
+    image_input: bool = False       # feed NHWC images directly (no _prep)
 
     @nn.compact
     def __call__(self, x, train=False):
-        x = _prep(x, self.log_input)
-        h = nn.Conv(64, (7, 7), (2, 2), padding="SAME", use_bias=False)(x)
+        if not self.image_input:
+            x = _prep(x, self.log_input)
+        h = nn.Conv(self.num_init_features, (7, 7), (2, 2),
+                    padding=((3, 3), (3, 3)), use_bias=False)(x)
         h = jax.nn.relu(_bn(train)(h))
-        h = nn.max_pool(h, (3, 3), (2, 2), padding="SAME")
+        h = nn.max_pool(h, (3, 3), (2, 2), padding=((1, 1), (1, 1)))
 
-        bw = 256
-        res, dense = h[..., :0], h                   # start: all dense
-        res = nn.Conv(bw, (1, 1), use_bias=False)(h)  # seed residual path
-        dense = h
+        data = h                                     # plain tensor in
         for stage, (n, inc) in enumerate(zip(self.k_sec, self.inc_sec)):
             bw = 256 << stage
-            r = int(self.k_r * (bw / 256))
+            r = int(self.k_r * bw / 256)
             for i in range(n):
                 if i == 0:
                     btype = "proj" if stage == 0 else "down"
                 else:
                     btype = "normal"
-                res, dense = DualPathBlock(r, r, bw, inc, self.groups,
-                                           btype)((res, dense), train=train)
-        feats = jnp.concatenate([res, dense], axis=-1)
+                data = DualPathBlock(r, r, bw, inc, self.groups,
+                                     btype)(data, train=train)
+        feats = jnp.concatenate(data, axis=-1)
         return nn.Dense(self.nOut)(feats.mean(axis=(1, 2)))
 
 
@@ -509,8 +578,12 @@ def build_efficientnet(nOut: int = 512, version: str = "b4",
 
 @MODELS.register("EfficientNetv2")
 def build_efficientnetv2(nOut: int = 512, **kwargs) -> EfficientNetV2:
-    """MainModel parity (src/models/EfficientNetv2.py)."""
-    return EfficientNetV2(nOut=nOut, log_input=_feature_flag(kwargs))
+    """MainModel parity (src/models/EfficientNetv2.py; effnetv2-s cfgs
+    by default, overridable via ``cfgs`` / ``width_mult``)."""
+    opts = {k: kwargs[k] for k in ("cfgs", "width_mult") if k in kwargs}
+    if "cfgs" in opts:
+        opts["cfgs"] = tuple(tuple(c) for c in opts["cfgs"])
+    return EfficientNetV2(nOut=nOut, log_input=_feature_flag(kwargs), **opts)
 
 
 @MODELS.register("RepVGG")
@@ -527,5 +600,11 @@ def build_scnet(nOut: int = 256, **kwargs) -> SCNet:
 
 @MODELS.register("DPN")
 def build_dpn(nOut: int = 512, **kwargs) -> DPN:
-    """MainModel parity (src/models/DPN.py)."""
-    return DPN(nOut=nOut, log_input=_feature_flag(kwargs))
+    """MainModel parity (src/models/DPN.py; dpn92-style widths by
+    default, sizable via ``k_sec``/``inc_sec``/``k_r``/``groups``)."""
+    opts = {k: kwargs[k] for k in
+            ("k_r", "groups", "num_init_features") if k in kwargs}
+    for k in ("k_sec", "inc_sec"):
+        if k in kwargs:
+            opts[k] = tuple(kwargs[k])
+    return DPN(nOut=nOut, log_input=_feature_flag(kwargs), **opts)

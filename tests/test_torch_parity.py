@@ -1283,3 +1283,89 @@ def test_resnetse100m2_forward_parity():
         {"params": params, "batch_stats": stats}, jnp.asarray(feats)))
     rel = np.max(np.abs(ref - got)) / (np.max(np.abs(ref)) + 1e-9)
     assert rel < 2e-3, rel
+
+
+@pytest.mark.slow
+def test_dpn_forward_parity():
+    """DPN weight-port parity (src/models/DPN.py:37-159): pre-activation
+    BN→ReLU→Conv legs with NO trailing BN, the proj/down 1×1 sliced into
+    residual+dense shortcuts, torch p3/p1 stem paddings, grouped 3×3.
+    224-input so the reference's fixed 7×7 avg_pool IS the global mean
+    our Dense head consumes. Tiny k_R/G; k_sec covers proj, down and
+    normal block types."""
+    import torch
+
+    from speakerverification_tpu.compat.torch_port import (
+        dpn_from_torch_state_dict,
+    )
+    from speakerverification_tpu.models.image_encoders import DPN
+
+    if "/root/reference/src" not in sys.path:
+        sys.path.insert(0, "/root/reference/src")
+    from models.DPN import DPN as RefDPN
+
+    torch.manual_seed(23)
+    k_sec, inc_sec = (1, 2, 1, 1), (4, 8, 8, 16)
+    net = RefDPN(num_init_features=16, k_R=32, G=8, k_sec=k_sec,
+                 inc_sec=inc_sec, num_classes=12)
+    net.eval()
+
+    params, stats = dpn_from_torch_state_dict(net.state_dict(), k_sec=k_sec)
+    ours = DPN(nOut=12, k_r=32, groups=8, k_sec=k_sec, inc_sec=inc_sec,
+               num_init_features=16, image_input=True)
+    rng = np.random.default_rng(24)
+    img = rng.normal(0, 1, (2, 224, 224, 3)).astype(np.float32)
+    template = ours.init(jax.random.PRNGKey(0), jnp.asarray(img))
+    _assert_trees_match(template, params, stats)
+
+    with torch.no_grad():
+        ref = net(torch.from_numpy(img.transpose(0, 3, 1, 2).copy())).numpy()
+    got = np.asarray(jax.jit(lambda v, x: ours.apply(v, x, train=False))(
+        {"params": params, "batch_stats": stats}, jnp.asarray(img)))
+    assert got.shape == ref.shape
+    rel = np.max(np.abs(got - ref)) / (np.max(np.abs(ref)) + 1e-9)
+    assert rel < 2e-3, rel
+
+
+@pytest.mark.slow
+def test_effnetv2_forward_parity():
+    """EffNetV2 weight-port parity (src/models/EfficientNetv2.py:81-170):
+    fused blocks keep their pw-linear even at expand==1, SE squeeze is
+    _make_divisible(inp//4, 8) on SiLU (not v1's int(inp·0.25)), torch
+    p1 paddings. Tiny cfgs cover fused expand-1/expand-4 and SE blocks
+    at both strides."""
+    import torch
+
+    from speakerverification_tpu.compat.torch_port import (
+        effnetv2_from_torch_state_dict,
+    )
+    from speakerverification_tpu.models.image_encoders import EfficientNetV2
+
+    if "/root/reference/src" not in sys.path:
+        sys.path.insert(0, "/root/reference/src")
+    from models.EfficientNetv2 import EffNetV2 as RefEff
+
+    torch.manual_seed(25)
+    cfgs = [(1, 8, 1, 1, 0), (4, 16, 2, 2, 0), (4, 24, 2, 2, 1),
+            (6, 32, 1, 1, 1)]
+    net = RefEff([list(c) for c in cfgs], num_classes=12)
+    # the reference inits Linear weights at sigma=1e-3; rescale so the
+    # parity ratio isn't dominated by a near-zero denominator
+    net.classifier.weight.data.normal_(0, 0.05)
+    net.eval()
+
+    params, stats = effnetv2_from_torch_state_dict(net.state_dict(),
+                                                   cfgs=cfgs)
+    ours = EfficientNetV2(nOut=12, cfgs=cfgs, image_input=True)
+    rng = np.random.default_rng(26)
+    img = rng.normal(0, 1, (2, 64, 64, 3)).astype(np.float32)
+    template = ours.init(jax.random.PRNGKey(0), jnp.asarray(img))
+    _assert_trees_match(template, params, stats)
+
+    with torch.no_grad():
+        ref = net(torch.from_numpy(img.transpose(0, 3, 1, 2).copy())).numpy()
+    got = np.asarray(jax.jit(lambda v, x: ours.apply(v, x, train=False))(
+        {"params": params, "batch_stats": stats}, jnp.asarray(img)))
+    assert got.shape == ref.shape
+    rel = np.max(np.abs(got - ref)) / (np.max(np.abs(ref)) + 1e-9)
+    assert rel < 2e-3, rel
