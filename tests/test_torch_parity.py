@@ -1369,3 +1369,83 @@ def test_effnetv2_forward_parity():
     assert got.shape == ref.shape
     rel = np.max(np.abs(got - ref)) / (np.max(np.abs(ref)) + 1e-9)
     assert rel < 2e-3, rel
+
+
+@pytest.mark.slow
+def test_resnetse101_forward_parity():
+    """ResNetSE101 port (src/models/ResNetSE101.py:5-10): the wide
+    bottleneck plan ([64,128,256,512] → 2048 final channels, layers
+    [3,4,23,3]) the 34/50/100m2 tests never reach, at full registered
+    size."""
+    import torch
+
+    from speakerverification_tpu.compat.torch_port import (
+        resnetse_from_torch_state_dict,
+    )
+
+    for name in ("torchaudio", "nnAudio", "nnAudio.features"):
+        sys.modules.setdefault(name, types.ModuleType(name))
+    if "/root/reference/src" not in sys.path:
+        sys.path.insert(0, "/root/reference/src")
+    from models import ResNetSE101 as RefR
+
+    torch.manual_seed(51)
+    kwargs = dict(n_mels=40, augment=False,
+                  augment_options={"augment_chain": []}, features="raw")
+    net = RefR.MainModel(nOut=32, **kwargs)
+    net.eval()
+
+    params, stats = resnetse_from_torch_state_dict(
+        net.state_dict(), layers=(3, 4, 23, 3), block="bottleneck")
+    ours = build_model("ResNetSE101", nOut=32, n_mels=40,
+                       feature_type="raw")
+    template = ours.init(jax.random.PRNGKey(0), jnp.zeros((1, 48, 40)))
+    _assert_trees_match(template, params, stats)
+
+    rng = np.random.default_rng(52)
+    feats = (rng.normal(0.5, 0.2, (2, 48, 40)) ** 2).astype(np.float32)
+    with torch.no_grad():
+        ref = net(torch.from_numpy(feats.transpose(0, 2, 1).copy())).numpy()
+    got = np.asarray(jax.jit(lambda v, x: ours.apply(v, x, train=False))(
+        {"params": params, "batch_stats": stats}, jnp.asarray(feats)))
+    rel = np.max(np.abs(ref - got)) / (np.max(np.abs(ref)) + 1e-9)
+    assert rel < 2e-3, rel
+
+
+def test_resnetse152_structural_parity():
+    """ResNetSE152 structural port (src/models/ResNetSE152.py:5-10):
+    the reference's full [3,8,36,3]×[64,128,256,512] state dict maps
+    1:1 onto our registered model with EXACTLY matching shapes —
+    `jax.eval_shape` makes this a zero-compute whole-graph check (the
+    block math itself is forward-proven by the 34/50/100m2/101
+    tests)."""
+    import torch
+
+    from speakerverification_tpu.compat.torch_port import (
+        resnetse_from_torch_state_dict,
+    )
+
+    for name in ("torchaudio", "nnAudio", "nnAudio.features"):
+        sys.modules.setdefault(name, types.ModuleType(name))
+    if "/root/reference/src" not in sys.path:
+        sys.path.insert(0, "/root/reference/src")
+    from models import ResNetSE152 as RefR
+
+    torch.manual_seed(53)
+    kwargs = dict(n_mels=40, augment=False,
+                  augment_options={"augment_chain": []}, features="raw")
+    net = RefR.MainModel(nOut=32, **kwargs)
+
+    params, stats = resnetse_from_torch_state_dict(
+        net.state_dict(), layers=(3, 8, 36, 3), block="bottleneck")
+    ours = build_model("ResNetSE152", nOut=32, n_mels=40,
+                       feature_type="raw")
+    template = jax.eval_shape(
+        lambda: ours.init(jax.random.PRNGKey(0), jnp.zeros((1, 48, 40))))
+    _assert_trees_match(template, params, stats)
+
+    shapes = {"/".join(str(k.key) for k in p): v.shape for p, v in
+              jax.tree_util.tree_flatten_with_path(template["params"])[0]}
+    for p, v in jax.tree_util.tree_flatten_with_path(params)[0]:
+        key = "/".join(str(k.key) for k in p)
+        assert shapes[key] == np.shape(v), (key, shapes[key], np.shape(v))
