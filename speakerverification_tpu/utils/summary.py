@@ -12,7 +12,8 @@ from typing import Mapping
 import jax
 import numpy as np
 
-__all__ = ["count_params", "summarize_params", "mel_frames_for_spec"]
+__all__ = ["count_params", "summarize_params", "mel_frames_for_spec",
+           "forward_flops"]
 
 
 def count_params(params) -> int:
@@ -49,6 +50,24 @@ def mel_frames_for_spec(audio_spec: Mapping, center: bool = True) -> int:
     return 1 + (samples - win) // hop
 
 
+def forward_flops(model, variables, x) -> float:
+    """XLA-counted FLOPs of one eval forward (the compiler's own cost
+    analysis of the optimized program — exact where the reference's
+    torchsummary Mult-Adds at src/model.py:806 are a per-layer
+    estimate). Returns NaN when the backend reports no cost model."""
+    import jax.numpy as jnp
+
+    compiled = (jax.jit(lambda v, y: model.apply(v, y, train=False))
+                .lower(variables, jnp.asarray(x)).compile())
+    try:
+        cost = compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost.get("flops", float("nan")))
+    except Exception:                                # pragma: no cover
+        return float("nan")
+
+
 def _main() -> None:
     """Model-plot CLI (parity: the reference's ``python src/model.py``
     __main__ block, src/model.py:797-833: build the model from
@@ -73,8 +92,11 @@ def _main() -> None:
     t = int(float(spec.get("sentence_len", 2.0)) * sr)
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, t)))
     print(summarize_params(variables["params"], max_depth=args.max_depth))
+    flops = forward_flops(model, variables, jnp.zeros((1, t)))
     print(f"\ninput: {t} samples @ {sr} Hz -> "
           f"{mel_frames_for_spec(spec)} mel frames")
+    if flops == flops:                               # not NaN
+        print(f"forward: {flops / 1e9:.2f} GFLOPs/utt (XLA cost analysis)")
 
 
 if __name__ == "__main__":

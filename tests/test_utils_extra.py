@@ -53,3 +53,26 @@ def test_resample_file(tmp_path):
     spec = np.abs(np.fft.rfft(y * np.hanning(len(y))))
     peak_hz = np.argmax(spec) * 8000 / len(y)
     assert peak_hz == pytest.approx(440, abs=5)
+
+
+def test_forward_flops_counts_the_dense():
+    """forward_flops (parity upgrade over the reference's torchsummary
+    Mult-Adds, src/model.py:806): the XLA cost analysis of a bare Dense
+    must be ~2·B·in·out FLOPs."""
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+
+    from speakerverification_tpu.utils.summary import forward_flops
+
+    class M(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            return nn.Dense(32, use_bias=False)(x)
+
+    m = M()
+    x = jnp.zeros((4, 64))
+    v = m.init(jax.random.PRNGKey(0), x)
+    f = forward_flops(m, v, x)
+    assert f == f                       # backend reported a cost model
+    assert abs(f - 2 * 4 * 64 * 32) / (2 * 4 * 64 * 32) < 0.5, f
