@@ -80,10 +80,13 @@ def encoder_from_hparams(hparams: Mapping,
         # models/Mixed_model.py that does not exist (src/model.py:76-80
         # — dead path). Here it is a working multi-encoder composition
         # (models/mixed.py); the encoder passes the waveform through
-        # and the MixedModel computes each branch's frontend in-model.
+        # and the MixedModel computes each branch's frontend in-model
+        # (from the same frontend_from_hparams config as everyone else,
+        # so top-level n_fft/win/hop/fmin/fmax overrides apply).
         from speakerverification_tpu.models.mixed import build_mixed_model
         backbone = build_mixed_model(name, nOut=n_out,
                                      feature_type=feature_type,
+                                     frontend=frontend_from_hparams(hparams),
                                      n_mels=int(hparams.get("n_mels", 80)),
                                      audio_spec=hparams.get("audio_spec"),
                                      **model_cfg)
@@ -117,6 +120,19 @@ def encoder_from_hparams(hparams: Mapping,
             aug_opts.get("augment_chain", []) or []):
         spec_aug = SpecAugmentConfig()
 
+    # Raw-passthrough backbones with in-model feature branches
+    # (MixedModel, the Raw*_ECAPA / *_tita hybrids) never see the
+    # encoder's post-frontend SpecAugment or compute-dtype cast — thread
+    # both into the module so their feature branches are masked and
+    # their conv branches run at the configured dtype (parity: the
+    # reference hybrids' internal ECAPA gets the SpecAugment hook via
+    # **kwargs, src/models/Raw3_ECAPA.py:21-24, and its featurizer runs
+    # under autocast(False), :44-46).
+    compute_dtype = compute_dtype_from_hparams(hparams)
+    if hasattr(backbone, "spec_augment") and hasattr(backbone, "frontend"):
+        backbone = backbone.clone(spec_augment=spec_aug,
+                                  compute_dtype=compute_dtype)
+
     # Under --distributed, metric-learning losses can see the global batch
     # via an in-step all_gather (improvement over the reference's per-rank
     # DDP metric losses, SURVEY.md §7.7). On by default when distributed;
@@ -133,7 +149,7 @@ def encoder_from_hparams(hparams: Mapping,
                           feature_type=feature_type,
                           frontend=frontend_from_hparams(hparams),
                           spec_augment=spec_aug,
-                          compute_dtype=compute_dtype_from_hparams(hparams),
+                          compute_dtype=compute_dtype,
                           gather_axis=gather_axis)
 
 

@@ -1156,6 +1156,8 @@ _PORTERS = {
     "Tita_ECAPA": lambda sd, a: tita_ecapa_from_torch_state_dict(sd),
     "Raw_tita": lambda sd, a: raw_tita_from_torch_state_dict(sd),
     "Res_ECAPA": lambda sd, a: res_ecapa_from_torch_state_dict(sd),
+    "DPN": lambda sd, a: dpn_from_torch_state_dict(sd),
+    "EfficientNetv2": lambda sd, a: effnetv2_from_torch_state_dict(sd),
 }
 
 

@@ -62,6 +62,12 @@ class SpeakerEncoder(nn.Module):
         return make_frontend(self.frontend, self.feature_type)
 
     def _embed(self, wave: jax.Array, train: bool) -> jax.Array:
+        if self.feature_type == "raw" and hasattr(self.backbone, "frontend"):
+            # hybrid/mixed backbones featurize in-model: hand them the
+            # UNCAST fp32 wave — their featurizers pin fp32 and they
+            # cast each branch to the compute dtype themselves
+            # (models/hybrids.py::hybrid_featurize / hybrid_cast)
+            return self.backbone(wave.astype(jnp.float32), train=train)
         feats = self._frontend_fn()(wave.astype(jnp.float32))
         if train and self.spec_augment is not None and feats.ndim == 3:
             feats = spec_augment(self.make_rng("specaug"), feats,

@@ -28,22 +28,58 @@ from speakerverification_tpu.models.ecapa_tdnn import ECAPA_TDNN
 from speakerverification_tpu.models.rawnet2_custom import RawNet2Custom
 from speakerverification_tpu.models.rawnet3 import RawNet3
 from speakerverification_tpu.ops.frontend import FrontendConfig, make_frontend
+from speakerverification_tpu.ops.specaugment import (
+    SpecAugmentConfig,
+    spec_augment,
+)
 from speakerverification_tpu.registry import MODELS
 
-__all__ = ["RawECAPAHybrid"]
+__all__ = ["RawECAPAHybrid", "hybrid_featurize", "hybrid_cast"]
+
+
+def hybrid_featurize(module: nn.Module, x: jax.Array, kind: str,
+                     frontend: FrontendConfig,
+                     spec_cfg: Optional[SpecAugmentConfig],
+                     compute_dtype, train: bool) -> jax.Array:
+    """In-model featurization for hybrid/mixed backbones: frontend
+    pinned to fp32 (parity with the reference's autocast(False) block,
+    src/models/Raw3_ECAPA.py:44-46), SpecAugment applied when the
+    builder threaded a config (the reference hybrids' internal ECAPA
+    gets the hook via **kwargs, Raw3_ECAPA.py:21-24 →
+    ECAPA_TDNN.py:404,471), features cast to the compute dtype so the
+    branch convs run on the MXU in bf16."""
+    f = make_frontend(frontend, kind)(x.astype(jnp.float32))
+    if train and spec_cfg is not None:
+        f = spec_augment(module.make_rng("specaug"), f, spec_cfg)
+    return f if compute_dtype is None else f.astype(compute_dtype)
+
+
+def hybrid_cast(x: jax.Array, compute_dtype) -> jax.Array:
+    """Cast the raw-wave branch input to the compute dtype (the encoder
+    hands in-model-frontend backbones the UNCAST fp32 wave so their
+    featurizers don't lose precision; the wave branches still want
+    bf16)."""
+    return x if compute_dtype is None else x.astype(compute_dtype)
 
 
 class RawECAPAHybrid(nn.Module):
     raw_branch: nn.Module
     ecapa: nn.Module
     frontend: FrontendConfig = FrontendConfig()
+    # threaded by the builder (encoder_from_hparams) — see
+    # hybrid_featurize
+    spec_augment: Optional[SpecAugmentConfig] = None
+    compute_dtype: Optional[object] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         """``x``: raw waveform [B, T] → concat embeddings [B, nOut]."""
-        mel = make_frontend(self.frontend, "melspectrogram")(x)
+        mel = hybrid_featurize(self, x, "melspectrogram", self.frontend,
+                               self.spec_augment, self.compute_dtype,
+                               train)
         out1 = self.ecapa(mel, train=train)
-        out2 = self.raw_branch(x, train=train)
+        out2 = self.raw_branch(hybrid_cast(x, self.compute_dtype),
+                               train=train)
         return jnp.concatenate([out1, out2], axis=-1)
 
 

@@ -14,19 +14,25 @@ Parity targets:
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
 from speakerverification_tpu.models.ecapa_tdnn import ECAPA_TDNN
-from speakerverification_tpu.models.hybrids import RawECAPAHybrid, _frontend_cfg
+from speakerverification_tpu.models.hybrids import (
+    RawECAPAHybrid,
+    _frontend_cfg,
+    hybrid_cast,
+    hybrid_featurize,
+)
 from speakerverification_tpu.models.rawnet2_custom import RawNet2Custom
 from speakerverification_tpu.models.resnetse import SELayer, _bn
 from speakerverification_tpu.models.titanet import (TitaNet, _SIZES,
     find_n_mega_blocks)
-from speakerverification_tpu.ops.frontend import FrontendConfig, make_frontend
+from speakerverification_tpu.ops.frontend import FrontendConfig
+from speakerverification_tpu.ops.specaugment import SpecAugmentConfig
 from speakerverification_tpu.registry import MODELS
 
 __all__ = ["TitaECAPA", "ResECAPA"]
@@ -37,10 +43,14 @@ class TitaECAPA(nn.Module):
     ecapa: nn.Module
     titanet: nn.Module
     frontend: FrontendConfig = FrontendConfig()
+    spec_augment: Optional[SpecAugmentConfig] = None
+    compute_dtype: Optional[object] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        mel = make_frontend(self.frontend, "melspectrogram")(x)
+        mel = hybrid_featurize(self, x, "melspectrogram", self.frontend,
+                               self.spec_augment, self.compute_dtype,
+                               train)
         out1 = self.ecapa(mel, train=train)
         out2 = self.titanet(mel, train=train)
         return jnp.concatenate([out1, out2], axis=-1)
@@ -68,12 +78,17 @@ class RawTita(nn.Module):
     titanet: nn.Module
     raw_branch: nn.Module
     frontend: FrontendConfig = FrontendConfig()
+    spec_augment: Optional[SpecAugmentConfig] = None
+    compute_dtype: Optional[object] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        mel = make_frontend(self.frontend, "melspectrogram")(x)
+        mel = hybrid_featurize(self, x, "melspectrogram", self.frontend,
+                               self.spec_augment, self.compute_dtype,
+                               train)
         out1 = self.titanet(mel, train=train)
-        out2 = self.raw_branch(x, train=train)
+        out2 = self.raw_branch(hybrid_cast(x, self.compute_dtype),
+                               train=train)
         return jnp.concatenate([out1, out2], axis=-1)
 
 

@@ -28,13 +28,15 @@ cheaper than the reference hybrids' one-frontend-per-branch pattern).
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+import dataclasses
+from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from speakerverification_tpu.ops.frontend import FrontendConfig, make_frontend
+from speakerverification_tpu.ops.frontend import FrontendConfig
+from speakerverification_tpu.ops.specaugment import SpecAugmentConfig
 from speakerverification_tpu.registry import MODELS
 
 __all__ = ["MixedModel", "build_mixed_model"]
@@ -52,24 +54,40 @@ class MixedModel(nn.Module):
     branches: Tuple[nn.Module, ...]
     input_kinds: Tuple[str, ...]          # 'raw' | 'melspectrogram' | 'mfcc'
     frontend: FrontendConfig = FrontendConfig()
+    # threaded by the builder when the config's augment_chain includes
+    # 'spec_domain' — the reference's hybrids spec-augment their
+    # in-model feature branch too (ECAPA_TDNN.py:404,471 hook built
+    # with the full config kwargs at Raw3_ECAPA.py:21-24)
+    spec_augment: Optional[SpecAugmentConfig] = None
+    compute_dtype: Optional[object] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         """``x``: raw waveform [B, T] → concat embeddings [B, nOut]."""
+        from speakerverification_tpu.models.hybrids import (
+            hybrid_cast,
+            hybrid_featurize,
+        )
         feats = {}
         outs = []
         for mod, kind in zip(self.branches, self.input_kinds):
             if kind == "raw":
-                inp = x
+                inp = hybrid_cast(x, self.compute_dtype)
             else:
                 if kind not in feats:
-                    feats[kind] = make_frontend(self.frontend, kind)(x)
+                    # frontend pinned fp32, SpecAugment when threaded,
+                    # features to the compute dtype (hybrids.py)
+                    feats[kind] = hybrid_featurize(
+                        self, x, kind, self.frontend, self.spec_augment,
+                        self.compute_dtype, train)
                 inp = feats[kind]
             outs.append(mod(inp, train=train))
         return jnp.concatenate(outs, axis=-1)
 
 
-def build_mixed_model(names: Sequence[str], nOut: int, **kwargs) -> MixedModel:
+def build_mixed_model(names: Sequence[str], nOut: int,
+                      frontend: Optional[FrontendConfig] = None,
+                      **kwargs) -> MixedModel:
     """Build the multi-encoder model the reference configured but never
     shipped (src/model.py:76-80 → missing models/Mixed_model.py)."""
     names = list(names)
@@ -90,6 +108,11 @@ def build_mixed_model(names: Sequence[str], nOut: int, **kwargs) -> MixedModel:
 
     shared_ft = kwargs.pop("feature_type",
                            kwargs.pop("features", "melspectrogram"))
+    if shared_ft == "raw":
+        # 'features: raw' in reference configs marks hybrid raw-wave
+        # MODELS, not a feature kind the mel-consuming branches could
+        # eat (same coercion the builder applies to a lone ECAPA_TDNN)
+        shared_ft = "melspectrogram"
     feature_types = kwargs.pop("feature_types", None)
     if feature_types is None:
         feature_types = ["raw" if n in _WAVE_INPUT else shared_ft
@@ -115,19 +138,14 @@ def build_mixed_model(names: Sequence[str], nOut: int, **kwargs) -> MixedModel:
         branches.append(build_model(name, nOut=n_o, feature_type=ft,
                                     **{**kwargs, **dict(opts)}))
 
-    spec = dict(kwargs.get("audio_spec") or {})
-    sr = int(kwargs.get("sample_rate", spec.get("sample_rate", 8000)))
-    cfg = FrontendConfig(
-        sample_rate=sr,
-        n_fft=int(kwargs.get("n_fft", 512)),
-        win_length=int(kwargs.get("win_length",
-                                  round(spec.get("win_len", 0.025) * sr))),
-        hop_length=int(kwargs.get("hop_length",
-                                  round(spec.get("hop_len", 0.01) * sr))),
-        n_mels=int(kwargs.get("n_mels", 80)),
-        n_mfcc=int(kwargs.get("n_mfcc", kwargs.get("n_mels", 80))),
-        fmin=float(kwargs.get("fmin", 10.0)),
-        fmax=kwargs.get("fmax", min(4000.0, sr / 2)),
-    )
+    if frontend is None:
+        # standalone API fallback; the builder passes its
+        # frontend_from_hparams config so top-level n_fft/win/hop/fmin/
+        # fmax/n_mfcc overrides reach mixed models like everyone else
+        from speakerverification_tpu.models.hybrids import _frontend_cfg
+        frontend = _frontend_cfg(kwargs)
+        if "n_mfcc" in kwargs:
+            frontend = dataclasses.replace(
+                frontend, n_mfcc=int(kwargs["n_mfcc"]))
     return MixedModel(branches=tuple(branches),
-                      input_kinds=tuple(feature_types), frontend=cfg)
+                      input_kinds=tuple(feature_types), frontend=frontend)

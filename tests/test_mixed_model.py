@@ -93,3 +93,118 @@ def test_mixed_run_dirs_join(tmp_path):
                      "criterion": {"name": "AAmSoftmax"}})
     assert dirs["root"].name == "AAmSoftmax"
     assert dirs["root"].parent.name == "RawNet3+ECAPA_TDNN"
+
+
+def test_mixed_raw_shared_feature_type_coerces_to_mel():
+    """'features: raw' (the reference's standard hybrid setting) must
+    not feed the 2-D waveform to mel-consuming branches — non-wave
+    branches coerce to melspectrogram like the builder does for a lone
+    ECAPA_TDNN (review finding r3)."""
+    hp = _hparams({
+        "name": ["RawNet3", "ECAPA_TDNN"], "nOut": 48, "nOuts": [32, 16],
+        "branch_options": [_TINY_RAW3, _TINY_ECAPA],
+    })
+    hp["features"] = "raw"
+    enc = encoder_from_hparams(hp, num_devices=1)
+    assert enc.backbone.input_kinds == ("raw", "melspectrogram")
+    wave = jnp.asarray(np.random.default_rng(3).normal(
+        0, 0.1, (2, SR)).astype(np.float32))
+    v = enc.init(jax.random.PRNGKey(0), wave, train=False)
+    out = enc.apply(v, wave, train=False)
+    assert out.shape == (2, 48) and np.isfinite(np.asarray(out)).all()
+
+
+def test_mixed_honors_toplevel_frontend_overrides():
+    """Top-level n_fft/win_length/hop_length/fmax reach the mixed
+    model's in-model frontend exactly like frontend_from_hparams does
+    for single models (review finding r3)."""
+    hp = _hparams({
+        "name": ["RawNet3", "ECAPA_TDNN"], "nOut": 48, "nOuts": [32, 16],
+        "branch_options": [_TINY_RAW3, _TINY_ECAPA],
+    })
+    hp.update(n_fft=256, win_length=160, hop_length=64, fmax=3500.0)
+    enc = encoder_from_hparams(hp, num_devices=1)
+    fe = enc.backbone.frontend
+    assert (fe.n_fft, fe.win_length, fe.hop_length, fe.fmax) == (
+        256, 160, 64, 3500.0)
+
+
+def test_mixed_specaugment_reaches_inmodel_features():
+    """With augment_chain ['spec_domain'] the builder threads the
+    SpecAugment config into the raw-passthrough MixedModel (the
+    encoder-level hook only sees 2-D waves): train-mode forwards with
+    different specaug rngs must differ; eval must be deterministic and
+    unmasked (review finding r3; parity: the reference hybrids'
+    internal ECAPA gets the hook via **kwargs, Raw3_ECAPA.py:21-24)."""
+    hp = _hparams({
+        "name": ["RawNet3", "ECAPA_TDNN"], "nOut": 48, "nOuts": [32, 16],
+        "branch_options": [_TINY_RAW3, _TINY_ECAPA],
+    })
+    hp.update(augment=True,
+              augment_options={"augment_chain": ["spec_domain"]})
+    enc = encoder_from_hparams(hp, num_devices=1)
+    assert enc.backbone.spec_augment is not None
+    wave = jnp.asarray(np.random.default_rng(4).normal(
+        0, 0.1, (2, SR)).astype(np.float32))
+    v = enc.init(jax.random.PRNGKey(0), wave, train=False)
+
+    def fwd(seed, train):
+        out = enc.apply(v, wave, train=train,
+                        mutable=["batch_stats"] if train else False,
+                        rngs={"specaug": jax.random.PRNGKey(seed),
+                              "dropout": jax.random.PRNGKey(9)})
+        return np.asarray(out[0] if train else out)
+
+    a, b = fwd(1, True), fwd(2, True)
+    assert not np.allclose(a, b), "specaug rng had no effect on train fwd"
+    e1, e2 = fwd(1, False), fwd(2, False)
+    np.testing.assert_array_equal(e1, e2)
+
+
+@pytest.mark.slow
+def test_mixed_bf16_train_step_runs():
+    """mixedprec: the builder clones compute_dtype into the mixed
+    backbone — frontend stays fp32 on the uncast wave, branches run
+    bf16 (review finding r3). One grad step must be finite."""
+    hp = _hparams({
+        "name": ["RawNet3", "ECAPA_TDNN"], "nOut": 48, "nOuts": [32, 16],
+        "branch_options": [_TINY_RAW3, _TINY_ECAPA],
+    })
+    hp["mixedprec"] = True
+    enc = encoder_from_hparams(hp, num_devices=1)
+    assert enc.backbone.compute_dtype is not None
+    wave = jnp.asarray(np.random.default_rng(5).normal(
+        0, 0.1, (4, SR)).astype(np.float32))
+    label = jnp.asarray([0, 1, 2, 3])
+    v = enc.init(jax.random.PRNGKey(0), wave, label, train=False)
+
+    def loss_fn(p):
+        (loss, _), _ = enc.apply(
+            {"params": p, "batch_stats": v.get("batch_stats", {})},
+            wave, label, train=True, mutable=["batch_stats"],
+            rngs={"specaug": jax.random.PRNGKey(1),
+                  "dropout": jax.random.PRNGKey(2)})
+        return loss
+
+    loss, grads = jax.value_and_grad(loss_fn)(v["params"])
+    gsum = sum(float(jnp.abs(g).sum())
+               for g in jax.tree_util.tree_leaves(grads))
+    assert np.isfinite(float(loss)) and np.isfinite(gsum) and gsum > 0
+
+
+def test_hybrid_backbones_get_specaug_and_dtype_threaded():
+    """The builder clones spec_augment/compute_dtype into EVERY
+    raw-passthrough backbone with an in-model frontend — the Raw*_ECAPA
+    / *_tita hybrids, not just MixedModel (construction only, no
+    forward)."""
+    for name in ("Raw3_ECAPA", "Raw_ECAPA", "Tita_ECAPA", "Raw_tita"):
+        hp = _hparams({"name": name, "nOut": 256})
+        hp.update(features="raw", mixedprec=True, augment=True,
+                  augment_options={"augment_chain": ["spec_domain"]})
+        enc = encoder_from_hparams(hp, num_devices=1)
+        assert enc.backbone.spec_augment is not None, name
+        assert enc.backbone.compute_dtype is not None, name
+        # and without the chain, the module stays unaugmented
+        hp["augment"] = False
+        enc = encoder_from_hparams(hp, num_devices=1)
+        assert enc.backbone.spec_augment is None, name
