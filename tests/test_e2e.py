@@ -324,3 +324,103 @@ def test_settings_artifact_written(workspace):
     assert settings.exists()
     text = settings.read_text()
     assert "batch_size" in text and "criterion" in text
+
+
+@pytest.mark.slow
+def test_cli_train_and_eval_mixed_model(tmp_path):
+    """Full CLI train → infer --eval on a LIST-valued model.name (the
+    reference's dead Mixed_model path, working here): RawNet3+ECAPA
+    branches, checkpoints under save/<A+B>/<loss>/, trial eval runs on
+    the raw-passthrough encoder."""
+    rng = np.random.default_rng(11)
+    data = tmp_path / "data"
+    for spk in range(N_SPK):
+        for utt in range(6):
+            t = np.arange(int(1.2 * SR)) / SR
+            f0 = 130 + 85 * spk
+            sig = sum(0.25 / (h + 1) * np.sin(2 * np.pi * f0 * (h + 1) * t
+                                              + rng.uniform(0, 6))
+                      for h in range(3)) + rng.normal(0, 0.01, len(t))
+            write_wav(data / f"spk{spk}" / f"u{utt}.wav",
+                      sig.astype(np.float32), SR)
+    trials = tmp_path / "trials.txt"
+    files = {s: [str(data / f"spk{s}" / f"u{u}.wav") for u in range(6)]
+             for s in range(N_SPK)}
+    lines = [f"1 {files[0][0]} {files[0][1]}", f"0 {files[0][0]} {files[1][0]}",
+             f"1 {files[2][0]} {files[2][1]}", f"0 {files[2][0]} {files[3][0]}"]
+    trials.write_text("\n".join(lines) + "\n")
+
+    cfg = tmp_path / "config.yaml"
+    cfg.write_text(textwrap.dedent(f"""\
+        device: cpu
+        seed: 7
+        output_folder: {tmp_path}/run
+        save_folder: !ref <output_folder>/save
+        skip_prep: False
+        data_folder: {data}
+        train_annotation: !ref <save_folder>/metadata/train.csv
+        valid_annotation: !ref <save_folder>/metadata/dev.csv
+        evaluation_file: {trials}
+        number_of_epochs: 1
+        batch_size: 4
+        lr: 0.005
+        base_lr: 0.000001
+        nClasses: {N_SPK}
+        save_model_last: True
+        ckpt_interval_minutes: -1
+        dataloader_options:
+          batch_size: !ref <batch_size>
+          num_workers: 2
+          max_seg_per_spk: 100
+          nPerSpeaker: 2
+          split_ratio: -1
+        audio_spec:
+          sample_rate: {SR}
+          channels: 1
+          sentence_len: 1.0
+          win_len: 0.025
+          hop_len: 0.01
+        n_mels: 24
+        features: raw
+        model:
+          name: [RawNet3, ECAPA_TDNN]
+          nOut: 48
+          nOuts: [32, 16]
+          branch_options:
+            - {{C: 16, model_scale: 8}}
+            - {{channels: [16, 16, 16, 16, 48], attention_channels: 4,
+                res2net_scale: 4, se_channels: 4}}
+        criterion:
+          name: AAmSoftmax
+          margin: 0.2
+          scale: 30
+        optimizer:
+          name: adam
+          weight_decay: 0.0
+          lr_decay: 0.95
+        callbacks:
+          name: steplr
+        early_stopping: False
+        augment: False
+        augment_options:
+          augment_chain: []
+        test_interval: -1
+        num_eval: 2
+        dcf:
+          dcf_p_target: 0.05
+          dcf_c_miss: 1
+          dcf_c_fa: 1
+        test_threshold: 0
+        scoring_mode: cosine
+        pretrained:
+          use: False
+          path: ""
+        initial_model_infer: null
+        """))
+    rc = cli_main(["--do_train", "--config", str(cfg)])
+    assert rc == 0
+    run = tmp_path / "run" / "save" / "RawNet3+ECAPA_TDNN" / "AAmSoftmax"
+    assert (run / "model" / "best_state.msgpack").exists()
+    rc = cli_main(["--do_infer", "--eval", "--config", str(cfg)])
+    assert rc == 0
+    assert (run / "result" / "evaluation_results.csv").exists()
