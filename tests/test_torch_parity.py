@@ -1412,6 +1412,7 @@ def test_resnetse101_forward_parity():
     assert rel < 2e-3, rel
 
 
+@pytest.mark.slow
 def test_resnetse152_structural_parity():
     """ResNetSE152 structural port (src/models/ResNetSE152.py:5-10):
     the reference's full [3,8,36,3]×[64,128,256,512] state dict maps
