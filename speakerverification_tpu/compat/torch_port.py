@@ -1169,9 +1169,11 @@ def _main() -> None:
 
     Reads a reference torch checkpoint (full SpeakerEncoder state dict
     with ``module.``/``__S__.`` prefixes, or a bare MainModel dict),
-    maps the backbone onto our Flax tree, and writes a msgpack file
-    that ``initial_model_infer:`` / ``load_params_only`` consume
-    directly (training/checkpoint.py)."""
+    maps the backbone (and the margin-family loss head's class centers,
+    ``__L__.weight``/``__L__.W``) onto our Flax tree, and writes a
+    msgpack file that ``initial_model_infer:`` / ``load_params_only``
+    consume directly (training/checkpoint.py) — so both inference AND
+    training resume keep the reference's trained weights."""
     import argparse
 
     from flax import serialization as fser
@@ -1190,16 +1192,33 @@ def _main() -> None:
     sd = torch.load(args.input, map_location="cpu", weights_only=True)
     if isinstance(sd, dict) and "state_dict" in sd:
         sd = sd["state_dict"]
+    # keep the loss-head entries before stripping: margin heads store
+    # their class centers as __L__.weight ([nClasses, nOut], AAmSoftmax)
+    # or __L__.W ([nOut, nClasses], AmSoftmax) — same names our heads
+    # use, so resuming training keeps the trained class centers
+    loss_params = {
+        k.removeprefix("module.").removeprefix("__L__."): _np(sd, k)
+        for k in sd
+        if k.removeprefix("module.").startswith("__L__.")}
     sd = _strip_reference_prefixes(sd)
     params, stats = _PORTERS[args.arch](sd, args)
+    tree = {"params": {"backbone": params}, "batch_stats":
+            {"backbone": stats}}
+    ported_head = {k: v for k, v in loss_params.items()
+                   if k in ("weight", "W")}
+    if ported_head:
+        tree["params"]["loss"] = ported_head
+    if set(loss_params) - set(ported_head):
+        print(f"note: loss-head entries not ported (unknown layout): "
+              f"{sorted(set(loss_params) - set(ported_head))[:5]}")
     from pathlib import Path
     out = Path(args.output)
     out.parent.mkdir(parents=True, exist_ok=True)
-    out.write_bytes(fser.msgpack_serialize(
-        {"params": params, "batch_stats": stats}))
+    out.write_bytes(fser.msgpack_serialize(tree))
     from speakerverification_tpu.utils.summary import count_params
-    n = count_params(params)
-    print(f"wrote {out} ({n:,} params, arch {args.arch})")
+    n = count_params(tree["params"])
+    print(f"wrote {out} ({n:,} params, arch {args.arch}"
+          f"{', loss head ported' if ported_head else ''})")
 
 
 if __name__ == "__main__":

@@ -130,11 +130,32 @@ def load_params_only(path: str | Path, state) -> Any:
             ckpt.close()
     else:
         raw = fser.msgpack_restore(Path(path).read_bytes())
-    new = state.replace(
-        params=fser.from_state_dict(state.params, raw["params"]))
+
+    def tolerant(cur, saved, what):
+        """Name/shape-forgiving merge (the reference's loadParameters
+        tolerance, src/model.py:718-746): converter artifacts may carry
+        only the backbone (no loss head / no optimizer provenance), and
+        pre-r3 converter msgpacks stored the backbone tree bare."""
+        if (isinstance(cur, dict) and "backbone" in cur
+                and isinstance(saved, dict) and "backbone" not in saved):
+            saved = {"backbone": saved}
+        merged, skipped = restore_into(cur, saved)
+        total = len(jax.tree_util.tree_leaves(cur))
+        if total and len(skipped) >= total:
+            raise ValueError(
+                f"{path}: no {what} leaf matched the model "
+                f"(first misses: {skipped[:3]}) — wrong architecture?")
+        if skipped:
+            print(f"[load_params_only] {len(skipped)} {what} leaves kept "
+                  f"from init (not in checkpoint or shape-mismatched), "
+                  f"e.g. {skipped[:3]}")
+        return merged
+
+    new = state.replace(params=tolerant(state.params, raw["params"],
+                                        "param"))
     if "batch_stats" in raw and raw["batch_stats"]:
-        new = new.replace(batch_stats=fser.from_state_dict(
-            state.batch_stats, raw["batch_stats"]))
+        new = new.replace(batch_stats=tolerant(
+            state.batch_stats, raw["batch_stats"], "batch_stats"))
     return new
 
 

@@ -395,7 +395,9 @@ def test_checkpoint_converter_cli(tmp_path, reference_ecapa):
 
     net = reference_ecapa
     sd = {"module.__S__." + k: v for k, v in net.state_dict().items()}
-    sd["module.__L__.weight"] = torch.zeros(4, 4)       # ignored loss head
+    torch.manual_seed(77)
+    head = torch.randn(4, 64)                 # AAmSoftmax [nClasses, nOut]
+    sd["module.__L__.weight"] = head
     pt = tmp_path / "best_state.pt"
     torch.save(sd, pt)
 
@@ -416,10 +418,38 @@ def test_checkpoint_converter_cli(tmp_path, reference_ecapa):
     direct_params, direct_stats = ecapa_from_torch_state_dict(
         net.state_dict(), n_blocks=4, res2net_scale=4)
     for (p1, a), (p2, b) in zip(
-            jax.tree_util.tree_flatten_with_path(raw["params"])[0],
+            jax.tree_util.tree_flatten_with_path(
+                raw["params"]["backbone"])[0],
             jax.tree_util.tree_flatten_with_path(direct_params)[0]):
         assert jax.tree_util.keystr(p1) == jax.tree_util.keystr(p2)
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # the artifact must ACTUALLY load through the documented consumer
+    # (load_params_only / initial_model_infer), loss head included
+    import optax
+
+    from speakerverification_tpu.encoder import SpeakerEncoder
+    from speakerverification_tpu.losses import build_loss
+    from speakerverification_tpu.training.checkpoint import load_params_only
+    from speakerverification_tpu.training.state import create_train_state
+
+    enc = SpeakerEncoder(
+        backbone=build_model("ECAPA_TDNN", nOut=64, n_mels=80,
+                             feature_type="raw",
+                             channels=(64, 64, 64, 64, 192),
+                             attention_channels=16, res2net_scale=4,
+                             se_channels=16),
+        loss=build_loss("AAmSoftmax", nOut=64, nClasses=4),
+        feature_type="melspectrogram")
+    state = create_train_state(enc, optax.adam(1e-3), jax.random.PRNGKey(1),
+                               jnp.zeros((2, 8000)),
+                               jnp.zeros((2,), dtype=jnp.int32))
+    loaded = load_params_only(out, state)
+    np.testing.assert_array_equal(
+        np.asarray(loaded.params["loss"]["weight"]), head.numpy())
+    got_direct = np.asarray(
+        jax.tree_util.tree_leaves(loaded.params["backbone"])[0])
+    assert np.isfinite(got_direct).all()
 
 
 @pytest.mark.slow
