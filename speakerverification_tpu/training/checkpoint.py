@@ -307,17 +307,28 @@ def restore_into(params, saved_params) -> tuple[Any, list[str]]:
     """
     skipped: list[str] = []
 
+    def skip_all(path: str, cur) -> None:
+        """Record every LEAF under ``cur`` — leaf granularity keeps
+        ``len(skipped)`` comparable to the model's leaf count (the
+        wrong-architecture guard in load_params_only) and the printed
+        count honest about how much stays at init."""
+        if isinstance(cur, dict):
+            for k, v in cur.items():
+                skip_all(f"{path}/{k}", v)
+        else:
+            skipped.append(path or "<root>")
+
     def merge(path: str, cur, saved):
         if isinstance(cur, dict):
             if not isinstance(saved, dict):
-                skipped.append(path or "<root>")
+                skip_all(path, cur)
                 return cur
             out = {}
             for k, v in cur.items():
                 if k in saved:
                     out[k] = merge(f"{path}/{k}", v, saved[k])
                 else:
-                    skipped.append(f"{path}/{k}")
+                    skip_all(f"{path}/{k}", v)
                     out[k] = v
             return out
         if saved is None or getattr(saved, "shape", None) != getattr(cur, "shape", None):

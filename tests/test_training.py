@@ -125,6 +125,36 @@ def test_restore_into_tolerates_mismatch():
     assert any("b" in s for s in skipped)
 
 
+def test_restore_into_skips_are_leaf_granular():
+    """A missing SUBTREE must be reported leaf-by-leaf: the
+    wrong-architecture guard in load_params_only compares len(skipped)
+    to the model's leaf count (review finding r3)."""
+    params = {"blk": {"w": jnp.zeros((2,)), "b": jnp.zeros((2,)),
+                      "inner": {"k": jnp.zeros((2,))}},
+              "top": jnp.zeros((2,))}
+    merged, skipped = restore_into(params, {"nothing": jnp.ones(1)})
+    assert len(skipped) == 4                      # every leaf, not 2 keys
+    merged, skipped = restore_into(params, "not-a-dict")
+    assert len(skipped) == 4
+
+
+def test_load_params_only_raises_on_wrong_architecture(tmp_path, setup):
+    """initial_model_infer pointed at a checkpoint that matches NOTHING
+    must raise, not silently serve random init (review finding r3;
+    MIGRATION.md documents the raise)."""
+    import flax.serialization as fser
+
+    from speakerverification_tpu.training.checkpoint import load_params_only
+
+    model, tx, state, wave, label = setup
+    bogus = {"params": {"backbone": {"SomethingElse_0":
+                                     {"kernel": np.zeros((3, 3))}}}}
+    p = tmp_path / "wrong.msgpack"
+    p.write_bytes(fser.msgpack_serialize(bogus))
+    with pytest.raises(ValueError, match="no param leaf matched"):
+        load_params_only(p, state)
+
+
 def test_checkpoint_manager_policy(tmp_path, setup):
     model, tx, state, wave, label = setup
     mgr = CheckpointManager(tmp_path, top_k=3)
