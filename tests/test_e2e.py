@@ -424,3 +424,38 @@ def test_cli_train_and_eval_mixed_model(tmp_path):
     rc = cli_main(["--do_infer", "--eval", "--config", str(cfg)])
     assert rc == 0
     assert (run / "result" / "evaluation_results.csv").exists()
+
+
+@pytest.mark.slow
+def test_cli_train_from_pretrained_params_only(workspace, tmp_path, capsys):
+    """pretrained.use with a CONVERTER-STYLE params-only artifact (the
+    fine-tune-a-reference-checkpoint-on-TPU flow): load_checkpoint's
+    strict restore fails over to the tolerant load_params_only, training
+    proceeds from the ported weights (parity: src/trainer.py:349-365
+    pretrained > previous > scratch)."""
+    import flax.serialization as fser
+
+    root, cfg = workspace
+    best = (root / "run" / "save" / "ECAPA_TDNN" / "AAmSoftmax" / "model"
+            / "best_state.msgpack")
+    assert best.exists()          # produced by test_cli_train
+    raw = fser.msgpack_restore(best.read_bytes())
+    art = tmp_path / "pretrained_params_only.msgpack"
+    art.write_bytes(fser.msgpack_serialize(
+        {"params": raw["params"], "batch_stats": raw.get("batch_stats", {})}))
+
+    cfg2 = tmp_path / "config_finetune.yaml"
+    text = cfg.read_text().replace(
+        f"output_folder: {root}/run", f"output_folder: {tmp_path}/run2")
+    text = text.replace("number_of_epochs: 3", "number_of_epochs: 1")
+    text = text.replace(
+        "pretrained:\n  use: False\n  path: \"\"",
+        f"pretrained:\n  use: True\n  path: {art}")
+    assert "use: True" in text
+    cfg2.write_text(text)
+    rc = cli_main(["--do_train", "--config", str(cfg2)])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "restored weights only" in out      # params-only fallback fired
+    assert (tmp_path / "run2" / "save" / "ECAPA_TDNN" / "AAmSoftmax"
+            / "model" / "best_state.msgpack").exists()
