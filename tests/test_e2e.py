@@ -438,7 +438,9 @@ def test_cli_train_from_pretrained_params_only(workspace, tmp_path, capsys):
     root, cfg = workspace
     best = (root / "run" / "save" / "ECAPA_TDNN" / "AAmSoftmax" / "model"
             / "best_state.msgpack")
-    assert best.exists()          # produced by test_cli_train
+    if not best.exists():         # self-sufficient under -m slow / -k
+        assert cli_main(["--do_train", "--config", str(cfg)]) == 0
+        capsys.readouterr()
     raw = fser.msgpack_restore(best.read_bytes())
     art = tmp_path / "pretrained_params_only.msgpack"
     art.write_bytes(fser.msgpack_serialize(
