@@ -170,6 +170,10 @@ def evaluate_from_list(embed_fn: Callable, listfile: str | Path,
     if scoring_mode in ("norm", "zt_norm") and cohorts is None:
         raise ValueError("scoring_mode='norm' requires a cohort bank "
                          "(run prepare_cohorts first)")
+    # ≈ the reference IGNORES scoring_mode entirely when no cohorts file
+    # is configured and silently scores by −distance (src/model.py:426-431);
+    # here an explicit cosine/pnorm request is honored cohort-free, and
+    # only the unset/default case falls back to the −distance path
     mode = scoring_mode if cohorts is not None or scoring_mode in (
         "cosine", "pnorm") else "distance"
     scores = score_trials(emb, ridx, cidx, mode=mode, cohorts=cohorts,
