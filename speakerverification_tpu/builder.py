@@ -129,9 +129,20 @@ def encoder_from_hparams(hparams: Mapping,
     # **kwargs, src/models/Raw3_ECAPA.py:21-24, and its featurizer runs
     # under autocast(False), :44-46).
     compute_dtype = compute_dtype_from_hparams(hparams)
-    if hasattr(backbone, "spec_augment") and hasattr(backbone, "frontend"):
-        backbone = backbone.clone(spec_augment=spec_aug,
-                                  compute_dtype=compute_dtype)
+
+    def _threadable(m) -> bool:
+        return hasattr(m, "spec_augment") and hasattr(m, "frontend")
+
+    if _threadable(backbone):
+        kw = dict(spec_augment=spec_aug, compute_dtype=compute_dtype)
+        if hasattr(backbone, "branches"):
+            # a MixedModel may nest hybrids that featurize in-model —
+            # they need the same treatment (their branch of the wave
+            # arrives uncast, models/mixed.py)
+            kw["branches"] = tuple(
+                b.clone(spec_augment=spec_aug, compute_dtype=compute_dtype)
+                if _threadable(b) else b for b in backbone.branches)
+        backbone = backbone.clone(**kw)
 
     # Under --distributed, metric-learning losses can see the global batch
     # via an in-step all_gather (improvement over the reference's per-rank

@@ -47,8 +47,17 @@ def hybrid_featurize(module: nn.Module, x: jax.Array, kind: str,
     builder threaded a config (the reference hybrids' internal ECAPA
     gets the hook via **kwargs, Raw3_ECAPA.py:21-24 →
     ECAPA_TDNN.py:404,471), features cast to the compute dtype so the
-    branch convs run on the MXU in bf16."""
-    f = make_frontend(frontend, kind)(x.astype(jnp.float32))
+    branch convs run on the MXU in bf16. On TPU the mel path uses the
+    same VMEM-fused Pallas kernel the encoder-level frontend dispatches
+    to (ops/pallas_frontend.py, exact-match tested)."""
+    if kind == "melspectrogram" and jax.default_backend() == "tpu":
+        from speakerverification_tpu.ops.pallas_frontend import (
+            make_pallas_mel_frontend,
+        )
+        fe = make_pallas_mel_frontend(frontend)
+    else:
+        fe = make_frontend(frontend, kind)
+    f = fe(x.astype(jnp.float32))
     if train and spec_cfg is not None:
         f = spec_augment(module.make_rng("specaug"), f, spec_cfg)
     return f if compute_dtype is None else f.astype(compute_dtype)
@@ -172,12 +181,18 @@ class RawECAPAHype(nn.Module):
     nOut: int = 512
     att_size: int = 128
     frontend: FrontendConfig = FrontendConfig()
+    spec_augment: Optional[SpecAugmentConfig] = None
+    compute_dtype: Optional[object] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        mel = make_frontend(self.frontend, "melspectrogram")(x)
+        mel = hybrid_featurize(self, x, "melspectrogram", self.frontend,
+                               self.spec_augment, self.compute_dtype,
+                               train)
         out = jnp.concatenate([self.ecapa(mel, train=train),
-                               self.raw_branch(x, train=train)], axis=-1)
+                               self.raw_branch(
+                                   hybrid_cast(x, self.compute_dtype),
+                                   train=train)], axis=-1)
         out = nn.BatchNorm(use_running_average=not train, momentum=0.9)(out)
         out = jax.nn.leaky_relu(out, 0.3)
 

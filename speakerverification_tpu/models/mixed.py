@@ -72,7 +72,12 @@ class MixedModel(nn.Module):
         outs = []
         for mod, kind in zip(self.branches, self.input_kinds):
             if kind == "raw":
-                inp = hybrid_cast(x, self.compute_dtype)
+                # nested hybrids (Tita_ECAPA, Raw3_ECAPA, …) own an
+                # in-model frontend that must see the UNCAST wave —
+                # they cast per-branch themselves (same contract the
+                # encoder honors for this module)
+                inp = x if hasattr(mod, "frontend") else \
+                    hybrid_cast(x, self.compute_dtype)
             else:
                 if kind not in feats:
                     # frontend pinned fp32, SpecAugment when threaded,

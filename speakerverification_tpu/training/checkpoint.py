@@ -84,6 +84,15 @@ def load_checkpoint(path: str | Path, target) -> Any:
     return fser.from_bytes(target, Path(path).read_bytes())
 
 
+def _collect_leaf_paths(node, path: str, out: list) -> None:
+    """Leaf paths in the same format restore_into's skip list uses."""
+    if isinstance(node, dict):
+        for k, v in node.items():
+            _collect_leaf_paths(v, f"{path}/{k}", out)
+    else:
+        out.append(path or "<root>")
+
+
 def load_params_only(path: str | Path, state) -> Any:
     """Restore only params/batch_stats from a checkpoint into ``state``.
 
@@ -140,8 +149,25 @@ def load_params_only(path: str | Path, state) -> Any:
                 and isinstance(saved, dict) and "backbone" not in saved):
             saved = {"backbone": saved}
         merged, skipped = restore_into(cur, saved)
-        total = len(jax.tree_util.tree_leaves(cur))
-        if total and len(skipped) >= total:
+        # wrong-architecture guard, per top-level subtree PRESENT in the
+        # artifact: a partial artifact may legitimately omit a subtree
+        # (converter artifacts carry no optimizer/loss), but a subtree
+        # it DOES carry that matches none of the model's leaves means
+        # the checkpoint belongs to a different architecture — raising
+        # beats silently serving random init
+        if isinstance(cur, dict) and isinstance(saved, dict):
+            skipset = set(skipped)
+            for key in set(cur) & set(saved):
+                leaves = []
+                _collect_leaf_paths(cur[key], f"/{key}", leaves)
+                if leaves and all(p in skipset for p in leaves):
+                    raise ValueError(
+                        f"{path}: the checkpoint's {what} '{key}' subtree "
+                        f"matched none of the model's "
+                        f"{len(leaves)} leaves (first misses: "
+                        f"{leaves[:3]}) — wrong architecture?")
+        elif skipped and len(skipped) >= len(
+                jax.tree_util.tree_leaves(cur)):
             raise ValueError(
                 f"{path}: no {what} leaf matched the model "
                 f"(first misses: {skipped[:3]}) — wrong architecture?")

@@ -195,7 +195,8 @@ def test_hybrid_backbones_get_specaug_and_dtype_threaded():
     raw-passthrough backbone with an in-model frontend — the Raw*_ECAPA
     / *_tita hybrids, not just MixedModel (construction only, no
     forward)."""
-    for name in ("Raw3_ECAPA", "Raw_ECAPA", "Tita_ECAPA", "Raw_tita"):
+    for name in ("Raw3_ECAPA", "Raw_ECAPA", "Tita_ECAPA", "Raw_tita",
+                 "Raw_ECAPA_hype"):
         hp = _hparams({"name": name, "nOut": 256})
         hp.update(features="raw", mixedprec=True, augment=True,
                   augment_options={"augment_chain": ["spec_domain"]})
@@ -206,3 +207,25 @@ def test_hybrid_backbones_get_specaug_and_dtype_threaded():
         hp["augment"] = False
         enc = encoder_from_hparams(hp, num_devices=1)
         assert enc.backbone.spec_augment is None, name
+
+
+def test_mixed_threads_into_nested_hybrid_branches():
+    """A hybrid nested as a MixedModel branch owns its own in-model
+    frontend: the builder must thread spec_augment/compute_dtype into
+    THAT module too, and MixedModel must hand it the uncast wave
+    (review finding r3)."""
+    hp = _hparams({
+        "name": ["RawNet3", "Tita_ECAPA"], "nOut": 96, "nOuts": [32, 64],
+        "branch_options": [_TINY_RAW3, {}],
+    })
+    hp.update(mixedprec=True, augment=True,
+              augment_options={"augment_chain": ["spec_domain"]})
+    enc = encoder_from_hparams(hp, num_devices=1)
+    mixed = enc.backbone
+    assert mixed.spec_augment is not None and mixed.compute_dtype is not None
+    tita = mixed.branches[1]
+    assert tita.__class__.__name__ == "TitaECAPA"
+    assert tita.spec_augment is not None, "nested hybrid not threaded"
+    assert tita.compute_dtype is not None, "nested hybrid not threaded"
+    # the raw RawNet3 branch has no in-model frontend — left untouched
+    assert not hasattr(mixed.branches[0], "spec_augment")

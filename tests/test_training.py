@@ -151,8 +151,28 @@ def test_load_params_only_raises_on_wrong_architecture(tmp_path, setup):
                                      {"kernel": np.zeros((3, 3))}}}}
     p = tmp_path / "wrong.msgpack"
     p.write_bytes(fser.msgpack_serialize(bogus))
-    with pytest.raises(ValueError, match="no param leaf matched"):
+    with pytest.raises(ValueError, match="wrong architecture"):
         load_params_only(p, state)
+
+    # a coincidentally matching LOSS head must not green-light a
+    # wrong-architecture backbone (review finding r3): the guard is
+    # per present top-level subtree, not all-leaves-missed
+    loss_tree = jax.device_get(state.params)["loss"]
+    half = {"params": {"backbone": {"Nope_0": {"kernel": np.zeros((2, 2))}},
+                       "loss": loss_tree}}
+    p2 = tmp_path / "half.msgpack"
+    p2.write_bytes(fser.msgpack_serialize(half))
+    with pytest.raises(ValueError, match="backbone.*wrong architecture"):
+        load_params_only(p2, state)
+
+    # while a PARTIAL artifact that simply omits subtrees still loads
+    # (converter artifacts carry no loss head)
+    backbone_tree = jax.device_get(state.params)["backbone"]
+    part = {"params": {"backbone": backbone_tree}}
+    p3 = tmp_path / "partial.msgpack"
+    p3.write_bytes(fser.msgpack_serialize(part))
+    loaded = load_params_only(p3, state)
+    assert loaded is not None
 
 
 def test_checkpoint_manager_policy(tmp_path, setup):
