@@ -225,7 +225,7 @@ class ConformerSpeaker(nn.Module):
     @nn.compact
     def __call__(self, x, lengths=None, train=False):
         if self.feature_type == "melspectrogram":
-            x = jnp.log(x + 1e-6)
+            x = jnp.log(jnp.maximum(x, 0.0) + 1e-6)  # clamp: the reference NaNs here when SpecAugment's bicubic warp overshoots negative
             x = x - jnp.mean(x, axis=1, keepdims=True)
         # affine instance norm over time (Conformer.py:35-37)
         w = self.param("inorm_scale", nn.initializers.ones, (x.shape[-1],))
@@ -267,7 +267,7 @@ class ECAPAConformer(nn.Module):
     @nn.compact
     def __call__(self, x, lengths=None, train=False):
         if self.feature_type == "melspectrogram":
-            x = jnp.log(x + 1e-6)
+            x = jnp.log(jnp.maximum(x, 0.0) + 1e-6)  # clamp: the reference NaNs here when SpecAugment's bicubic warp overshoots negative
             x = x - jnp.mean(x, axis=1, keepdims=True)
         w = self.param("inorm_scale", nn.initializers.ones, (x.shape[-1],))
         b = self.param("inorm_bias", nn.initializers.zeros, (x.shape[-1],))

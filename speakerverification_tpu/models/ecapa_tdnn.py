@@ -73,7 +73,7 @@ class ECAPA_TDNN(nn.Module):
             # log-compression + cepstral mean subtraction over time
             # (parity: src/models/ECAPA_TDNN.py:473-476, stop-gradient there
             # via no_grad; the frontend carries no gradient anyway).
-            x = jnp.log(x + 1e-6)
+            x = jnp.log(jnp.maximum(x, 0.0) + 1e-6)  # clamp: the reference NaNs here when SpecAugment's bicubic warp overshoots negative
             x = x - jnp.mean(x, axis=1, keepdims=True)
         if self.input_norm:
             # per-utterance instance norm over time with per-mel affine

@@ -147,7 +147,7 @@ class ResECAPA(nn.Module):
                  ) -> jax.Array:
         """``x``: features [B, T, n_mels] → embeddings [B, nOut]."""
         if self.feature_type == "melspectrogram":
-            x = jnp.log(x + 1e-6)
+            x = jnp.log(jnp.maximum(x, 0.0) + 1e-6)  # clamp: the reference NaNs here when SpecAugment's bicubic warp overshoots negative
             x = x - jnp.mean(x, axis=1, keepdims=True)
         w = self.param("inorm_scale", nn.initializers.ones, (x.shape[-1],))
         b = self.param("inorm_bias", nn.initializers.zeros, (x.shape[-1],))

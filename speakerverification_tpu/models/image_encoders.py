@@ -44,7 +44,7 @@ def _prep(x: jax.Array, log_input: bool,
     RepVGG is the one reference image encoder with NO instance norm
     (src/models/RepVGG.py:186-198); the rest normalize per-channel."""
     if log_input:
-        x = jnp.log(x + 1e-6)
+        x = jnp.log(jnp.maximum(x, 0.0) + 1e-6)  # clamp: the reference NaNs here when SpecAugment's bicubic warp overshoots negative
         x = x - jnp.mean(x, axis=1, keepdims=True)
     if instance_norm:
         x = (x - jnp.mean(x, axis=1, keepdims=True)) / jnp.sqrt(

@@ -157,7 +157,7 @@ class ResNetSE(nn.Module):
         block_cls = _BLOCKS[self.block]
 
         if self.log_input:
-            x = jnp.log(x + 1e-6)
+            x = jnp.log(jnp.maximum(x, 0.0) + 1e-6)  # clamp: the reference NaNs here when SpecAugment's bicubic warp overshoots negative
             x = x - jnp.mean(x, axis=1, keepdims=True)
         # non-affine instance norm per mel channel over time
         # (parity: ResNetBaseline.py:185,251 InstanceNorm1d(n_mels))

@@ -154,6 +154,9 @@ def test_mixed_specaugment_reaches_inmodel_features():
         return np.asarray(out[0] if train else out)
 
     a, b = fwd(1, True), fwd(2, True)
+    # finiteness FIRST: NaN != NaN would satisfy "not allclose" and mask
+    # the log-of-warp-overshoot NaN this suite once shipped
+    assert np.isfinite(a).all() and np.isfinite(b).all()
     assert not np.allclose(a, b), "specaug rng had no effect on train fwd"
     e1, e2 = fwd(1, False), fwd(2, False)
     np.testing.assert_array_equal(e1, e2)

@@ -130,3 +130,31 @@ def test_ecapa_remat_matches_exactly(ecapa_small):
             jax.tree_util.tree_leaves(variables["batch_stats"]),
             jax.tree_util.tree_leaves(mutated["batch_stats"])))
     assert changed, "remat blocked the batch_stats update"
+
+
+def test_log_input_clamps_warp_overshoot_negatives():
+    """SpecAugment's exact-port bicubic time warp can overshoot linear
+    power mel NEGATIVE; the reference then NaNs in x.log() (its own
+    comment at src/models/ECAPA_TDNN.py:475 admits the hazard). Our
+    in-model logs clamp at 0 — identical for all legal (non-negative)
+    inputs, finite where the reference NaNs."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from speakerverification_tpu.models import build_model
+
+    m = build_model("ECAPA_TDNN", nOut=16, n_mels=24,
+                    channels=(8, 8, 8, 8, 24), attention_channels=4,
+                    res2net_scale=4, se_channels=4)
+    feats = np.abs(np.random.default_rng(0).normal(
+        0.5, 0.2, (2, 32, 24))).astype(np.float32)
+    feats[0, 3, 5] = -1e-4                     # warp-overshoot artifact
+    v = m.init(jax.random.PRNGKey(0), jnp.asarray(np.abs(feats)))
+    out = m.apply(v, jnp.asarray(feats), train=False)
+    assert np.isfinite(np.asarray(out)).all()
+    # and clean inputs are bit-identical to the unclamped formula
+    clean = jnp.asarray(np.abs(feats))
+    np.testing.assert_array_equal(
+        np.asarray(jnp.log(jnp.maximum(clean, 0.0) + 1e-6)),
+        np.asarray(jnp.log(clean + 1e-6)))
