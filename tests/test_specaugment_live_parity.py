@@ -177,3 +177,37 @@ def test_mean_fill_recomputed_per_stage(ref_specaugment, monkeypatch):
                                      jnp.asarray(feats), cfg))
     monkeypatch.undo()
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_warp_overshoot_nans_reference_log_not_ours(ref_specaugment,
+                                                    monkeypatch):
+    """ASSERTED DIVERGENCE (bug-fix direction): the bicubic time warp
+    overshoots LINEAR-power mel negative; the reference's subsequent
+    ``(x + 1e-6).log()`` (src/models/ECAPA_TDNN.py:473-475 — its own
+    comment admits the NaN hazard) then poisons the whole run. Our
+    in-model logs clamp at 0 and stay finite, bit-identical whenever
+    the input is non-negative."""
+    B, T, F = 1, 50, 8
+    # sharp power spike next to near-silence → strong cubic overshoot
+    feats = np.full((B, T, F), 1e-7, dtype=np.float32)
+    feats[:, 20, :] = 1.0
+    feats[:, 22, :] = 1.0
+    draws = [np.array([20], dtype=np.int64), np.array([15], dtype=np.int64)]
+
+    aug = ref_specaugment.SpecAugment(
+        time_warp=True, time_warp_window=5,
+        freq_mask=False, time_mask=False)
+    monkeypatch.setattr(torch, "randint",
+                        _TorchQueue([d.copy() for d in draws]))
+    warped = aug(torch.from_numpy(feats.copy()))
+    monkeypatch.undo()
+    assert float(warped.min()) < -1e-6, "input no longer overshoots"
+    ref_log = (warped + 1e-6).log().numpy()        # the reference's line
+    assert np.isnan(ref_log).any(), "reference log should NaN here"
+
+    monkeypatch.setattr(SA.jax.random, "randint", _JaxQueue(draws))
+    got = np.asarray(SA._time_warp(jax.random.PRNGKey(0),
+                                   jnp.asarray(feats), 5))
+    monkeypatch.undo()
+    ours_log = np.log(np.maximum(got, 0.0) + 1e-6)  # our in-model line
+    assert np.isfinite(ours_log).all()
