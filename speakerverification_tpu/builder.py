@@ -75,6 +75,17 @@ def encoder_from_hparams(hparams: Mapping,
         # refers to hybrid raw-waveform models.
         feature_type = "melspectrogram"
 
+    # audio/frontend parameters reach EVERY model build: hybrids and raw
+    # models size their in-model featurizers and sinc banks from these
+    # (models/hybrids.py::_frontend_cfg), and without the passthrough a
+    # 16 kHz audio_spec would silently build 8 kHz-default frontends
+    # (the reference hands its MainModels the full config kwargs,
+    # src/model.py:70-73 — same reach). Model-level keys win.
+    for k in ("audio_spec", "sample_rate", "n_fft", "win_length",
+              "hop_length", "fmin", "fmax"):
+        if k in hparams and k not in model_cfg:
+            model_cfg[k] = hparams[k]
+
     if isinstance(name, (list, tuple)):
         # list-valued model.name: the reference dispatches this to a
         # models/Mixed_model.py that does not exist (src/model.py:76-80
@@ -88,7 +99,6 @@ def encoder_from_hparams(hparams: Mapping,
                                      feature_type=feature_type,
                                      frontend=frontend_from_hparams(hparams),
                                      n_mels=int(hparams.get("n_mels", 80)),
-                                     audio_spec=hparams.get("audio_spec"),
                                      **model_cfg)
         feature_type = "raw"
     else:
@@ -133,14 +143,17 @@ def encoder_from_hparams(hparams: Mapping,
     def _threadable(m) -> bool:
         return hasattr(m, "spec_augment") and hasattr(m, "frontend")
 
+    fe_backend = str(hparams.get("frontend_backend", "auto"))
     if _threadable(backbone):
-        kw = dict(spec_augment=spec_aug, compute_dtype=compute_dtype)
+        kw = dict(spec_augment=spec_aug, compute_dtype=compute_dtype,
+                  frontend_backend=fe_backend)
         if hasattr(backbone, "branches"):
             # a MixedModel may nest hybrids that featurize in-model —
             # they need the same treatment (their branch of the wave
             # arrives uncast, models/mixed.py)
             kw["branches"] = tuple(
-                b.clone(spec_augment=spec_aug, compute_dtype=compute_dtype)
+                b.clone(spec_augment=spec_aug, compute_dtype=compute_dtype,
+                        frontend_backend=fe_backend)
                 if _threadable(b) else b for b in backbone.branches)
         backbone = backbone.clone(**kw)
 
@@ -160,6 +173,7 @@ def encoder_from_hparams(hparams: Mapping,
                           feature_type=feature_type,
                           frontend=frontend_from_hparams(hparams),
                           spec_augment=spec_aug,
+                          frontend_backend=fe_backend,
                           compute_dtype=compute_dtype,
                           gather_axis=gather_axis)
 

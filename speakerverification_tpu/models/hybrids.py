@@ -40,7 +40,8 @@ __all__ = ["RawECAPAHybrid", "hybrid_featurize", "hybrid_cast"]
 def hybrid_featurize(module: nn.Module, x: jax.Array, kind: str,
                      frontend: FrontendConfig,
                      spec_cfg: Optional[SpecAugmentConfig],
-                     compute_dtype, train: bool) -> jax.Array:
+                     compute_dtype, train: bool,
+                     backend: str = "auto") -> jax.Array:
     """In-model featurization for hybrid/mixed backbones: frontend
     pinned to fp32 (parity with the reference's autocast(False) block,
     src/models/Raw3_ECAPA.py:44-46), SpecAugment applied when the
@@ -50,7 +51,9 @@ def hybrid_featurize(module: nn.Module, x: jax.Array, kind: str,
     branch convs run on the MXU in bf16. On TPU the mel path uses the
     same VMEM-fused Pallas kernel the encoder-level frontend dispatches
     to (ops/pallas_frontend.py, exact-match tested)."""
-    if kind == "melspectrogram" and jax.default_backend() == "tpu":
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if kind == "melspectrogram" and backend == "pallas":
         from speakerverification_tpu.ops.pallas_frontend import (
             make_pallas_mel_frontend,
         )
@@ -79,13 +82,14 @@ class RawECAPAHybrid(nn.Module):
     # hybrid_featurize
     spec_augment: Optional[SpecAugmentConfig] = None
     compute_dtype: Optional[object] = None
+    frontend_backend: str = "auto"   # 'xla' | 'pallas' | 'auto'
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         """``x``: raw waveform [B, T] → concat embeddings [B, nOut]."""
         mel = hybrid_featurize(self, x, "melspectrogram", self.frontend,
                                self.spec_augment, self.compute_dtype,
-                               train)
+                               train, self.frontend_backend)
         out1 = self.ecapa(mel, train=train)
         out2 = self.raw_branch(hybrid_cast(x, self.compute_dtype),
                                train=train)
@@ -183,12 +187,13 @@ class RawECAPAHype(nn.Module):
     frontend: FrontendConfig = FrontendConfig()
     spec_augment: Optional[SpecAugmentConfig] = None
     compute_dtype: Optional[object] = None
+    frontend_backend: str = "auto"   # 'xla' | 'pallas' | 'auto'
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         mel = hybrid_featurize(self, x, "melspectrogram", self.frontend,
                                self.spec_augment, self.compute_dtype,
-                               train)
+                               train, self.frontend_backend)
         out = jnp.concatenate([self.ecapa(mel, train=train),
                                self.raw_branch(
                                    hybrid_cast(x, self.compute_dtype),

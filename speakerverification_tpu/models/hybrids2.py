@@ -45,12 +45,13 @@ class TitaECAPA(nn.Module):
     frontend: FrontendConfig = FrontendConfig()
     spec_augment: Optional[SpecAugmentConfig] = None
     compute_dtype: Optional[object] = None
+    frontend_backend: str = "auto"   # 'xla' | 'pallas' | 'auto'
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         mel = hybrid_featurize(self, x, "melspectrogram", self.frontend,
                                self.spec_augment, self.compute_dtype,
-                               train)
+                               train, self.frontend_backend)
         out1 = self.ecapa(mel, train=train)
         out2 = self.titanet(mel, train=train)
         return jnp.concatenate([out1, out2], axis=-1)
@@ -80,12 +81,13 @@ class RawTita(nn.Module):
     frontend: FrontendConfig = FrontendConfig()
     spec_augment: Optional[SpecAugmentConfig] = None
     compute_dtype: Optional[object] = None
+    frontend_backend: str = "auto"   # 'xla' | 'pallas' | 'auto'
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         mel = hybrid_featurize(self, x, "melspectrogram", self.frontend,
                                self.spec_augment, self.compute_dtype,
-                               train)
+                               train, self.frontend_backend)
         out1 = self.titanet(mel, train=train)
         out2 = self.raw_branch(hybrid_cast(x, self.compute_dtype),
                                train=train)

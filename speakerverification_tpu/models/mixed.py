@@ -24,6 +24,10 @@ Config surface (all under ``model:``):
 Each distinct non-raw feature kind is computed ONCE per forward and
 shared across branches (a single GEMM-native frontend dispatch —
 cheaper than the reference hybrids' one-frontend-per-branch pattern).
+Exception: a HYBRID nested as a branch (Tita_ECAPA, Raw3_ECAPA, …)
+receives the raw wave and runs its own in-model featurize — its
+frontend semantics (fp32 pinning, per-branch SpecAugment draw) belong
+to that module, so its mel is not shared with sibling branches.
 """
 
 from __future__ import annotations
@@ -60,6 +64,7 @@ class MixedModel(nn.Module):
     # with the full config kwargs at Raw3_ECAPA.py:21-24)
     spec_augment: Optional[SpecAugmentConfig] = None
     compute_dtype: Optional[object] = None
+    frontend_backend: str = "auto"   # 'xla' | 'pallas' | 'auto'
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -84,7 +89,7 @@ class MixedModel(nn.Module):
                     # features to the compute dtype (hybrids.py)
                     feats[kind] = hybrid_featurize(
                         self, x, kind, self.frontend, self.spec_augment,
-                        self.compute_dtype, train)
+                        self.compute_dtype, train, self.frontend_backend)
                 inp = feats[kind]
             outs.append(mod(inp, train=train))
         return jnp.concatenate(outs, axis=-1)

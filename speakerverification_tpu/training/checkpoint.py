@@ -7,7 +7,11 @@ per-epoch ``model_state_%06d.pt``, time-based keep-3 checkpoints, and a
 ``model_state_log.txt`` resume record) with flax msgpack bytes plus a
 JSON sidecar of training metadata. Load tolerates missing/extra keys the
 way the reference's ``loadParameters`` tolerates name/shape mismatches
-(src/model.py:718-746) — unmatched entries are reported, not fatal.
+(src/model.py:718-746) — unmatched entries are reported, not fatal,
+with ONE exception: a subtree the artifact carries that shares no leaf
+NAMES with the model's (a wrong-architecture checkpoint) raises rather
+than silently serving random init. Shape mismatches (a head with a new
+nClasses) stay tolerant.
 """
 
 from __future__ import annotations
@@ -151,21 +155,26 @@ def load_params_only(path: str | Path, state) -> Any:
         merged, skipped = restore_into(cur, saved)
         # wrong-architecture guard, per top-level subtree PRESENT in the
         # artifact: a partial artifact may legitimately omit a subtree
-        # (converter artifacts carry no optimizer/loss), but a subtree
-        # it DOES carry that matches none of the model's leaves means
-        # the checkpoint belongs to a different architecture — raising
-        # beats silently serving random init
+        # (converter artifacts carry no optimizer/loss), and a PRESENT
+        # subtree whose names line up but whose shapes differ is the
+        # legitimate fine-tune case (e.g. a head with a new nClasses —
+        # kept at init, reported). Only a present subtree whose leaf
+        # NAMES share nothing with the model's means the checkpoint
+        # belongs to a different architecture — there raising beats
+        # silently serving random init.
         if isinstance(cur, dict) and isinstance(saved, dict):
-            skipset = set(skipped)
             for key in set(cur) & set(saved):
-                leaves = []
-                _collect_leaf_paths(cur[key], f"/{key}", leaves)
-                if leaves and all(p in skipset for p in leaves):
+                cur_paths: list = []
+                _collect_leaf_paths(cur[key], f"/{key}", cur_paths)
+                saved_paths: list = []
+                _collect_leaf_paths(saved[key], f"/{key}", saved_paths)
+                if (cur_paths and saved_paths
+                        and not set(cur_paths) & set(saved_paths)):
                     raise ValueError(
                         f"{path}: the checkpoint's {what} '{key}' subtree "
-                        f"matched none of the model's "
-                        f"{len(leaves)} leaves (first misses: "
-                        f"{leaves[:3]}) — wrong architecture?")
+                        f"shares no leaf names with the model's "
+                        f"{len(cur_paths)} (first model leaves: "
+                        f"{cur_paths[:3]}) — wrong architecture?")
         elif skipped and len(skipped) >= len(
                 jax.tree_util.tree_leaves(cur)):
             raise ValueError(
@@ -338,11 +347,7 @@ def restore_into(params, saved_params) -> tuple[Any, list[str]]:
         ``len(skipped)`` comparable to the model's leaf count (the
         wrong-architecture guard in load_params_only) and the printed
         count honest about how much stays at init."""
-        if isinstance(cur, dict):
-            for k, v in cur.items():
-                skip_all(f"{path}/{k}", v)
-        else:
-            skipped.append(path or "<root>")
+        _collect_leaf_paths(cur, path, skipped)
 
     def merge(path: str, cur, saved):
         if isinstance(cur, dict):

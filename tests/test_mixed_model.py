@@ -126,6 +126,37 @@ def test_mixed_honors_toplevel_frontend_overrides():
         256, 160, 64, 3500.0)
 
 
+def test_builder_threads_audio_and_frontend_params_into_models():
+    """audio_spec and top-level frontend overrides reach MainModel
+    builds (the reference hands its models the full config kwargs,
+    src/model.py:70-73): a 16 kHz hybrid must NOT silently build
+    8 kHz-default in-model mel and sinc banks; overrides must reach a
+    hybrid nested inside a MixedModel too (review findings r3)."""
+    hp = _hparams({"name": "Raw3_ECAPA", "nOut": 256})
+    hp["features"] = "raw"
+    hp["audio_spec"] = {"sample_rate": 16000, "sentence_len": 2.0,
+                        "win_len": 0.025, "hop_len": 0.01}
+    enc = encoder_from_hparams(hp, num_devices=1)
+    assert enc.backbone.frontend.sample_rate == 16000
+    assert enc.backbone.frontend.win_length == 400     # 0.025 * 16k
+    assert enc.backbone.raw_branch.sample_rate == 16000
+
+    hp2 = _hparams({"name": ["RawNet3", "Tita_ECAPA"], "nOut": 96,
+                    "nOuts": [32, 64],
+                    "branch_options": [_TINY_RAW3, {}]})
+    hp2.update(n_fft=256, win_length=160, hop_length=64)
+    enc2 = encoder_from_hparams(hp2, num_devices=1)
+    nested = enc2.backbone.branches[1]
+    assert (nested.frontend.n_fft, nested.frontend.win_length,
+            nested.frontend.hop_length) == (256, 160, 64)
+    # and the frontend_backend knob threads all the way down
+    hp2["frontend_backend"] = "xla"
+    enc3 = encoder_from_hparams(hp2, num_devices=1)
+    assert enc3.frontend_backend == "xla"
+    assert enc3.backbone.frontend_backend == "xla"
+    assert enc3.backbone.branches[1].frontend_backend == "xla"
+
+
 @pytest.mark.slow
 def test_mixed_specaugment_reaches_inmodel_features():
     """With augment_chain ['spec_domain'] the builder threads the

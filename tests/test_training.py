@@ -174,6 +174,19 @@ def test_load_params_only_raises_on_wrong_architecture(tmp_path, setup):
     loaded = load_params_only(p3, state)
     assert loaded is not None
 
+    # and the FINE-TUNE case stays tolerant: leaf names line up but the
+    # head's shape differs (new nClasses) → kept at init with a note,
+    # NOT a wrong-architecture raise (review finding r3)
+    loss_tree2 = {k: np.zeros((7,) + np.shape(v)[1:], np.float32)
+                  for k, v in jax.device_get(state.params)["loss"].items()}
+    ft = {"params": {"backbone": backbone_tree, "loss": loss_tree2}}
+    p4 = tmp_path / "finetune.msgpack"
+    p4.write_bytes(fser.msgpack_serialize(ft))
+    loaded = load_params_only(p4, state)
+    np.testing.assert_array_equal(          # head untouched (shape skip)
+        np.asarray(loaded.params["loss"]["weight"]),
+        np.asarray(state.params["loss"]["weight"]))
+
 
 def test_checkpoint_manager_policy(tmp_path, setup):
     model, tx, state, wave, label = setup
