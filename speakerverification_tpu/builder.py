@@ -38,7 +38,10 @@ def compute_dtype_from_hparams(hparams: Mapping):
 
 def frontend_from_hparams(hparams: Mapping) -> FrontendConfig:
     spec = hparams.get("audio_spec", {}) or {}
-    sr = int(spec.get("sample_rate", 8000))
+    # top-level sample_rate is honored like the other frontend overrides
+    # so the encoder-level frontend and the in-model featurizers (which
+    # read the same key via _frontend_cfg) can never disagree
+    sr = int(hparams.get("sample_rate", spec.get("sample_rate", 8000)))
     return FrontendConfig(
         sample_rate=sr,
         n_fft=int(hparams.get("n_fft", 512)),
@@ -144,6 +147,10 @@ def encoder_from_hparams(hparams: Mapping,
         return hasattr(m, "spec_augment") and hasattr(m, "frontend")
 
     fe_backend = str(hparams.get("frontend_backend", "auto"))
+    if fe_backend not in ("auto", "xla", "pallas"):
+        raise ValueError(
+            f"frontend_backend must be 'auto', 'xla' or 'pallas', got "
+            f"{fe_backend!r}")
     if _threadable(backbone):
         kw = dict(spec_augment=spec_aug, compute_dtype=compute_dtype,
                   frontend_backend=fe_backend)

@@ -175,11 +175,18 @@ def load_params_only(path: str | Path, state) -> Any:
                         f"shares no leaf names with the model's "
                         f"{len(cur_paths)} (first model leaves: "
                         f"{cur_paths[:3]}) — wrong architecture?")
-        elif skipped and len(skipped) >= len(
-                jax.tree_util.tree_leaves(cur)):
+        # and regardless of name overlap: if NOTHING in a non-empty
+        # artifact restored (e.g. same layer names but every shape
+        # differs — a different channels config), the load would serve
+        # 100 % random init; raise. A fine-tune load stays fine: its
+        # backbone restores, only the reshaped head is kept at init.
+        total = len(jax.tree_util.tree_leaves(cur))
+        if (total and len(skipped) >= total
+                and jax.tree_util.tree_leaves(saved)):
             raise ValueError(
-                f"{path}: no {what} leaf matched the model "
-                f"(first misses: {skipped[:3]}) — wrong architecture?")
+                f"{path}: no {what} leaf restored — every entry is "
+                f"missing or shape-mismatched (first: {skipped[:3]}) — "
+                f"wrong architecture or config?")
         if skipped:
             print(f"[load_params_only] {len(skipped)} {what} leaves kept "
                   f"from init (not in checkpoint or shape-mismatched), "

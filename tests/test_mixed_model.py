@@ -155,6 +155,21 @@ def test_builder_threads_audio_and_frontend_params_into_models():
     assert enc3.frontend_backend == "xla"
     assert enc3.backbone.frontend_backend == "xla"
     assert enc3.backbone.branches[1].frontend_backend == "xla"
+    # typos are rejected, not silently mapped to the slow path
+    hp2["frontend_backend"] = "palas"
+    with pytest.raises(ValueError, match="frontend_backend"):
+        encoder_from_hparams(hp2, num_devices=1)
+
+    # a bare top-level sample_rate (no audio_spec) keeps the encoder
+    # frontend and the in-model featurizers at the SAME rate
+    hp3 = _hparams({"name": "Raw3_ECAPA", "nOut": 256})
+    hp3["features"] = "raw"
+    hp3.pop("audio_spec", None)
+    hp3["sample_rate"] = 16000
+    enc4 = encoder_from_hparams(hp3, num_devices=1)
+    assert enc4.frontend.sample_rate == 16000
+    assert enc4.backbone.frontend.sample_rate == 16000
+    assert enc4.backbone.raw_branch.sample_rate == 16000
 
 
 @pytest.mark.slow

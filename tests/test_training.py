@@ -187,6 +187,16 @@ def test_load_params_only_raises_on_wrong_architecture(tmp_path, setup):
         np.asarray(loaded.params["loss"]["weight"]),
         np.asarray(state.params["loss"]["weight"]))
 
+    # matching names but EVERY shape mismatched (a different channels
+    # config) must raise, not silently serve 100% random init
+    allwrong = jax.tree_util.tree_map(
+        lambda a: np.zeros(np.shape(a) + (2,), np.float32),
+        jax.device_get(state.params))
+    p5 = tmp_path / "allwrong.msgpack"
+    p5.write_bytes(fser.msgpack_serialize({"params": allwrong}))
+    with pytest.raises(ValueError, match="no param leaf restored"):
+        load_params_only(p5, state)
+
 
 def test_checkpoint_manager_policy(tmp_path, setup):
     model, tx, state, wave, label = setup
