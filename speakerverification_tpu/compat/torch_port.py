@@ -1185,6 +1185,9 @@ def _main() -> None:
     p.add_argument("--n_blocks", type=int, default=4)
     p.add_argument("--res2net_scale", type=int, default=8)
     p.add_argument("--model_scale", type=int, default=8)
+    p.add_argument("--n_mega_blocks", type=int, default=None,
+                   help="TitaNet only; default auto-detects from the "
+                        "state dict's mega-block depth")
     args = p.parse_args()
 
     import torch
