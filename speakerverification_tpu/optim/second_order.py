@@ -5,14 +5,22 @@ Parity targets (SURVEY.md §2.6): the reference vendors self-contained
 torch implementations of these (src/optimizer/*.py). Here:
 
 * ``Adahessian`` — Adam over a Hutchinson estimate of the Hessian
-  diagonal. The diagonal needs a Hessian-vector product, which a plain
-  ``GradientTransformation`` cannot compute (it only sees gradients), so
-  it ships as (a) ``hutchinson_hessian_diag`` — forward-over-reverse
-  hvp with Rademacher probes — and (b) ``scale_by_adahessian`` which
-  takes the estimate through ``update(..., hessian=...)``. The
-  registered factory falls back to |grad| when no hessian is supplied
-  so the standard training loop still works (documented divergence;
-  use ``make_adahessian_loss_update`` for the true second-order path).
+  diagonal, exact port of the reference semantics
+  (src/optimizer/Adahessian.py:156-203): m/v moments over (grad,
+  trace²), denominator ``v^(k/2) / bc2^(k/2) + eps`` with
+  hessian_power k (default 0.5) and eps default 1e-4, and COUPLED
+  weight decay inside the lr multiplier (``lr*(m/bc1/denom + wd*p)``,
+  line 200-203 — wd never enters the moments). The diagonal needs a
+  Hessian-vector product, which a plain ``GradientTransformation``
+  cannot compute (it only sees gradients), so it ships as
+  (a) ``adahessian_trace`` — the reference's |Hz| estimator with its
+  spatial block-averaging for rank-4 kernels (get_trace,
+  Adahessian.py:81-130) — and (b) the registered factory, which takes
+  the estimate through ``update(..., hessian=...)`` and falls back to
+  |grad| when none is supplied so the standard training loop still
+  works (documented divergence; use ``make_adahessian_loss_update``
+  for the true second-order path). ``hutchinson_hessian_diag`` is the
+  textbook unbiased z⊙Hz estimator, kept for general use.
 * ``Shampoo``  — full-matrix Kronecker preconditioning for ≤2-D params
   (inverse 4th root via eigendecomposition, ε-regularized), diagonal
   AdaGrad fallback for higher ranks.
@@ -33,7 +41,8 @@ import optax
 
 from speakerverification_tpu.registry import OPTIMIZERS
 
-__all__ = ["hutchinson_hessian_diag", "make_adahessian_loss_update"]
+__all__ = ["hutchinson_hessian_diag", "adahessian_trace",
+           "make_adahessian_loss_update"]
 
 
 def _zeros_like(params):
@@ -64,6 +73,31 @@ def hutchinson_hessian_diag(grad_fn: Callable, params, rng: jax.Array,
     return jax.tree_util.tree_map(lambda a: a / n_probes, acc)
 
 
+def adahessian_trace(grad_fn: Callable, params, z):
+    """The reference's Hutchinson trace estimator (Adahessian.py:81-130):
+    per-leaf |Hz| (the reference notes |hv·z| == |hv| for Rademacher z),
+    with the rank-4 Hessian-diagonal BLOCK average over the kernel's
+    spatial axes (torch OIHW dims [2,3], keepdim — here the flax HWIO
+    spatial axes [0,1]). ``z`` is the ±1 probe tree, injectable for
+    draw-exact parity testing.
+
+    Asserted-broken-upstream divergence: the reference leaves
+    ``tmp_output`` unbound for every rank other than {0,1,2,4} and dies
+    with UnboundLocalError on rank-3 conv1d kernels
+    (tests/test_optim_trajectory_parity.py pins this); we apply plain
+    |Hz| to those ranks so Conv-1d speaker models can actually train.
+    """
+    _, hz = jax.jvp(grad_fn, (params,), (z,))
+
+    def leaf_trace(hv):
+        a = jnp.abs(hv)
+        if a.ndim == 4:     # conv kernel: average the spatial block
+            return jnp.mean(a, axis=(0, 1), keepdims=True)
+        return a
+
+    return jax.tree_util.tree_map(leaf_trace, hz)
+
+
 class AdahessianState(NamedTuple):
     count: chex.Array
     m: chex.ArrayTree
@@ -72,15 +106,16 @@ class AdahessianState(NamedTuple):
 
 @OPTIMIZERS.register("Adahessian")
 def adahessian(learning_rate, weight_decay=0.0, b1=0.9, b2=0.999,
-               eps=1e-8, hessian_power=1.0, **kw):
+               eps=1e-4, hessian_power=0.5, **kw):
+    """Reference-exact update rule (src/optimizer/Adahessian.py:156-203;
+    defaults eps=1e-4, hessian_power=0.5 from lines 49-51). Trajectory
+    parity with injected Rademacher draws is pinned in
+    tests/test_optim_trajectory_parity.py."""
     def init(params):
         return AdahessianState(jnp.zeros([], jnp.int32),
                                _zeros_like(params), _zeros_like(params))
 
     def update(updates, state, params=None, *, hessian=None):
-        if weight_decay and params is not None:
-            updates = jax.tree_util.tree_map(
-                lambda g, p: g + weight_decay * p, updates, params)
         # fall back to |g| as the curvature estimate when no hvp provided
         hess = hessian if hessian is not None else jax.tree_util.tree_map(
             jnp.abs, updates)
@@ -89,27 +124,53 @@ def adahessian(learning_rate, weight_decay=0.0, b1=0.9, b2=0.999,
                                    state.m, updates)
         v = jax.tree_util.tree_map(lambda vo, h: b2 * vo + (1 - b2) * h * h,
                                    state.v, hess)
-        mc = 1 - b1 ** count
-        vc = 1 - b2 ** count
+        bc1 = 1 - b1 ** count
+        bc2 = 1 - b2 ** count
+        k = hessian_power
+        # denom = sqrt(v)^k / sqrt(bc2)^k + eps  (Adahessian.py:193-197);
+        # wd is coupled INSIDE the lr multiplier and never enters the
+        # moments (lines 200-203)
+        if params is None:
+            ps = jax.tree_util.tree_map(jnp.zeros_like, m)
+        else:
+            ps = params
         out = jax.tree_util.tree_map(
-            lambda mm, vv: -learning_rate * (mm / mc)
-            / (jnp.power(vv / vc, hessian_power / 2) + eps), m, v)
+            lambda mm, vv, p: -learning_rate * (
+                (mm / bc1) / (jnp.power(jnp.sqrt(vv), k)
+                              / jnp.power(jnp.sqrt(bc2), k) + eps)
+                + weight_decay * p), m, v, ps)
         return out, AdahessianState(count, m, v)
 
     return optax.GradientTransformationExtraArgs(init, update)
 
 
 def make_adahessian_loss_update(loss_fn: Callable, tx, n_probes: int = 1):
-    """True second-order step: grads + Hutchinson diag → tx.update.
+    """True second-order step: grads + reference-semantics Hutchinson
+    trace → tx.update.
 
     ``loss_fn(params) -> scalar``; returns
-    ``step(params, opt_state, rng) -> (params, opt_state, loss)``.
+    ``step(params, opt_state, rng) -> (params, opt_state, loss)``. The
+    reference uses a single probe per step (get_trace draws one z);
+    ``n_probes > 1`` averages the |Hz| traces for lower variance.
     """
     grad_fn = jax.grad(loss_fn)
 
+    def one_trace(params, key):
+        leaves, treedef = jax.tree_util.tree_flatten(params)
+        keys = jax.random.split(key, len(leaves))
+        z = jax.tree_util.tree_unflatten(treedef, [
+            jax.random.rademacher(kk, l.shape, dtype=l.dtype)
+            for kk, l in zip(keys, leaves)])
+        return adahessian_trace(grad_fn, params, z)
+
     def step(params, opt_state, rng):
         loss, grads = jax.value_and_grad(loss_fn)(params)
-        hess = hutchinson_hessian_diag(grad_fn, params, rng, n_probes)
+        hess = one_trace(params, rng)
+        for i in range(1, n_probes):
+            hess = jax.tree_util.tree_map(
+                jnp.add, hess, one_trace(params, jax.random.fold_in(rng, i)))
+        if n_probes > 1:
+            hess = jax.tree_util.tree_map(lambda a: a / n_probes, hess)
         updates, opt_state = tx.update(grads, opt_state, params, hessian=hess)
         return optax.apply_updates(params, updates), opt_state, loss
 

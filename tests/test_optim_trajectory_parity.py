@@ -210,6 +210,131 @@ def test_reference_optimizer_config_path_is_broken(ref_path):
         cls([p], lr=1e-3, weight_decay=0.0, lr_decay=0.95)   # absorbs it
 
 
+def _rademacher01(rng, shape):
+    return rng.integers(0, 2, shape).astype(np.float32)
+
+
+def test_adahessian_trajectory_parity(ref_path, monkeypatch):
+    """Adahessian with INJECTED Rademacher draws (VERDICT r3 item #4):
+    the reference's get_trace draws z via ``2*torch.randint_like(p,
+    high=2)-1`` (Adahessian.py:100-107); we patch torch.randint_like to
+    pop the same pre-generated {0,1} draws the JAX side receives, so the
+    full 8-step trajectory — |Hz| trace, m/v moments, the
+    ``sqrt(v)^k/sqrt(bc2)^k + eps`` denominator and the coupled
+    ``lr*(m/bc1/denom + wd*p)`` update — must coincide step by step."""
+    import torch
+    from optimizer.Adahessian import Adahessian
+    from speakerverification_tpu.optim.second_order import adahessian_trace
+
+    wd = 0.01
+    drng = np.random.default_rng(7)
+    draws = [[_rademacher01(drng, B0.shape), _rademacher01(drng, W0.shape)]
+             for _ in range(STEPS)]
+
+    # --- torch side: queue feeds randint_like in [b, w] step order ---
+    queue = [a for step in draws for a in step]
+    monkeypatch.setattr(
+        torch, "randint_like",
+        lambda p, high=2, **kw: torch.from_numpy(queue.pop(0).copy()))
+    b = torch.nn.Parameter(torch.from_numpy(B0.copy()))
+    w = torch.nn.Parameter(torch.from_numpy(W0.copy()))
+    opt = Adahessian([b, w], lr=LR, weight_decay=wd)
+    xs, ys = torch.from_numpy(X), torch.from_numpy(Y)
+    ref = []
+    for _ in range(STEPS):
+        opt.zero_grad()
+        loss = 0.5 * ((xs @ w + b - ys) ** 2).mean()
+        loss.backward(create_graph=True)     # get_trace needs grad_fn
+        opt.step()
+        ref.append((b.detach().numpy().copy(), w.detach().numpy().copy()))
+    assert not queue                         # every draw was consumed
+
+    # --- jax side: same draws through adahessian_trace ---
+    tx = build_optimizer("Adahessian", LR, weight_decay=wd)
+    params = {"b": jnp.asarray(B0), "w": jnp.asarray(W0)}
+    state = tx.init(params)
+    xsj, ysj = jnp.asarray(X), jnp.asarray(Y)
+
+    def loss_fn(p):
+        return 0.5 * jnp.mean((xsj @ p["w"] + p["b"] - ysj) ** 2)
+
+    grad_fn = jax.grad(loss_fn)
+    ours = []
+    for db, dw in draws:
+        z = {"b": jnp.asarray(2 * db - 1), "w": jnp.asarray(2 * dw - 1)}
+        g = grad_fn(params)
+        hess = adahessian_trace(grad_fn, params, z)
+        updates, state = tx.update(g, state, params, hessian=hess)
+        params = optax.apply_updates(params, updates)
+        ours.append((np.asarray(params["b"]), np.asarray(params["w"])))
+    _assert_traj_close(ours, ref)
+
+
+def test_adahessian_conv_trace_parity(ref_path, monkeypatch):
+    """The rank-4 spatial block average of get_trace (Adahessian.py:
+    123-127, torch OIHW mean over dims [2,3]) vs our HWIO mean over
+    axes (0,1), on a non-diagonal quadratic Hessian with an injected
+    draw."""
+    import torch
+    from optimizer.Adahessian import Adahessian
+    from speakerverification_tpu.optim.second_order import adahessian_trace
+
+    rng = np.random.default_rng(5)
+    P = rng.normal(0, 1, (2, 3, 4, 5)).astype(np.float32)    # OIHW
+    A = rng.normal(0, 1, (2, 3, 4, 5)).astype(np.float32)
+    B = rng.uniform(0.5, 2.0, (2, 3, 4, 5)).astype(np.float32)
+    draw = _rademacher01(rng, (2, 3, 4, 5))
+
+    pt = torch.nn.Parameter(torch.from_numpy(P.copy()))
+    At, Bt = torch.from_numpy(A), torch.from_numpy(B)
+    loss_t = 0.5 * (pt * At).sum() ** 2 + 0.5 * (pt ** 2 * Bt).sum()
+    (g_t,) = torch.autograd.grad(loss_t, [pt], create_graph=True)
+    monkeypatch.setattr(
+        torch, "randint_like",
+        lambda p, high=2, **kw: torch.from_numpy(draw.copy()))
+    opt = Adahessian([torch.nn.Parameter(torch.zeros(1))], lr=1e-3)
+    (ref_trace,) = opt.get_trace([pt], [g_t])
+    assert ref_trace.shape == (2, 3, 1, 1)   # spatial block collapsed
+
+    tr = (2, 3, 1, 0)                        # OIHW -> HWIO
+    t = lambda a: jnp.asarray(np.ascontiguousarray(a.transpose(tr)))
+    pj, Aj, Bj = t(P), t(A), t(B)
+
+    def loss_j(p):
+        return 0.5 * jnp.sum(p * Aj) ** 2 + 0.5 * jnp.sum(p ** 2 * Bj)
+
+    ours = adahessian_trace(jax.grad(loss_j), pj,
+                            t(2 * draw - 1).astype(jnp.float32))
+    assert ours.shape == (1, 1, 3, 2)
+    np.testing.assert_allclose(
+        np.asarray(ours), ref_trace.detach().numpy().transpose(tr),
+        atol=1e-5, rtol=1e-5)
+
+
+def test_reference_adahessian_rank3_crashes(ref_path):
+    """Asserted-broken-upstream: get_trace leaves tmp_output unbound for
+    rank-3 tensors (Adahessian.py:115-128 only handles ndim<=2 and
+    ndim==4), so the reference optimizer dies with UnboundLocalError on
+    any Conv1d kernel — i.e. on every speaker model it ships. We apply
+    plain |Hz| to those ranks instead."""
+    import torch
+    from optimizer.Adahessian import Adahessian
+    from speakerverification_tpu.optim.second_order import adahessian_trace
+
+    p3 = torch.nn.Parameter(torch.ones(2, 3, 4))
+    loss = 0.5 * (p3 ** 2).sum()
+    (g,) = torch.autograd.grad(loss, [p3], create_graph=True)
+    opt = Adahessian([torch.nn.Parameter(torch.zeros(1))], lr=1e-3)
+    with pytest.raises(UnboundLocalError):
+        opt.get_trace([p3], [g])
+
+    ours = adahessian_trace(
+        jax.grad(lambda p: 0.5 * jnp.sum(p ** 2)), jnp.ones((2, 3, 4)),
+        jnp.ones((2, 3, 4)))
+    assert ours.shape == (2, 3, 4)           # rank-3 handled, not crashed
+    np.testing.assert_allclose(np.asarray(ours), np.ones((2, 3, 4)))
+
+
 def test_lookahead_trajectory_parity(ref_path):
     """Our self-contained Lookahead vs the reference's wrapper around
     torch Adam (src/optimizer/Lookahead.py): sync fires when the counter

@@ -88,7 +88,10 @@ def test_adahessian_true_second_order_path():
     tx = build_optimizer("Adahessian", learning_rate=0.3)
     st = tx.init(params)
     step = jax.jit(make_adahessian_loss_update(loss, tx))
-    for i in range(40):
+    # 80 steps: the reference-exact hessian_power=0.5 denominator
+    # (trajectory parity, test_optim_trajectory_parity.py) converges
+    # slower near the optimum than the old k=1 variant did in 40
+    for i in range(80):
         params, st, l = step(params, st, jax.random.PRNGKey(i))
     assert float(l) < 0.05
 
