@@ -39,18 +39,28 @@ class RawNet3(nn.Module):
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         """``x``: raw waveform [B, T] → embeddings [B, nOut]."""
         # preprocess: pre-emphasis + per-utterance instance norm
-        # (parity: RawNet3.py:32-34, InstanceNorm1d(1, eps=1e-4, affine))
-        x = pre_emphasis(x)
+        # (parity: RawNet3.py:32-34, InstanceNorm1d(1, eps=1e-4, affine)).
+        # Pinned fp32: torch AMP autocasts InstanceNorm1d to fp32, and a
+        # bf16 mean/var over 16k samples loses real precision.
+        wave_dtype = x.dtype
+        x = pre_emphasis(x.astype(jnp.float32))
         mean = x.mean(axis=-1, keepdims=True)
         var = x.var(axis=-1, keepdims=True)
         w = self.param("inorm_scale", nn.initializers.ones, (1,))
         b = self.param("inorm_bias", nn.initializers.zeros, (1,))
-        x = (x - mean) / jnp.sqrt(var + 1e-4) * w + b
+        x = ((x - mean) / jnp.sqrt(var + 1e-4) * w.astype(jnp.float32)
+             + b.astype(jnp.float32))
+        x = x.astype(wave_dtype)
 
-        # sinc filterbank frontend (|·|, log, mean-norm over time)
+        # sinc filterbank frontend (|·|, log, mean-norm over time). The
+        # conv runs in the wave's dtype (bf16 under mixedprec — torch
+        # AMP also halves this conv, Raw3_ECAPA.py:50); log + the norm
+        # reductions run fp32, exactly the ops torch autocast promotes
+        # to fp32, then the features drop back to the compute dtype.
+        in_dtype = x.dtype
         x = SincConv(self.C // 4, kernel_size=251, stride=self.sinc_stride,
                      sample_rate=self.sample_rate)(x)       # [B, F, C/4]
-        x = jnp.abs(x)
+        x = jnp.abs(x).astype(jnp.float32)
         if self.log_sinc:
             x = jnp.log(x + 1e-6)
         if self.norm_sinc == "mean":
@@ -60,6 +70,7 @@ class RawNet3(nn.Module):
             # torch.std defaults to the unbiased estimator (RawNet3.py:95)
             s = jnp.maximum(jnp.std(x, axis=1, keepdims=True, ddof=1), 1e-3)
             x = (x - m) / s
+        x = x.astype(in_dtype)
 
         x1 = Bottle2neckRaw(self.C, 3, 2, self.model_scale, pool=5)(
             x, train=train)

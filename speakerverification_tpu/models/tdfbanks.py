@@ -98,7 +98,16 @@ class TDFbanks(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        """``x``: raw waveform [B, T] → features [B, frames, nfilters]."""
+        """``x``: raw waveform [B, T] → features [B, frames, nfilters].
+
+        The whole learnable filterbank is a FEATURIZER and runs pinned
+        fp32 (repo policy — the reference excludes feature extraction
+        from autocast); under a bf16 step the wave and the cast-down
+        gabor params are upcast here and the features drop back to the
+        incoming dtype at the end, so the downstream encoder still runs
+        on the MXU in bf16."""
+        in_dtype = x.dtype
+        x = x.astype(jnp.float32)
         window_size = self.sample_rate * self.wlen_ms // 1000 + 1
         window_stride = self.sample_rate * self.wstride_ms // 1000
 
@@ -113,6 +122,7 @@ class TDFbanks(nn.Module):
             kernel = jnp.asarray(init)
         else:
             kernel = self.param("gabor_kernel", lambda rng: jnp.asarray(init))
+        kernel = kernel.astype(jnp.float32)
         h = jax.lax.conv_general_dilated(
             x[:, :, None], kernel, (1,), "SAME",
             dimension_numbers=("NWC", "WIO", "NWC"))          # [B, T, 2n]
@@ -138,4 +148,4 @@ class TDFbanks(nn.Module):
         if self.mvn:
             h = (h - h.mean(axis=1, keepdims=True)) / jnp.sqrt(
                 h.var(axis=1, keepdims=True) + 1e-5)
-        return h
+        return h.astype(in_dtype)

@@ -69,6 +69,13 @@ class SincConv(nn.Module):
             self.min_low_hz, self.min_band_hz, low_hz=self.init_low_hz)
         low_hz = self.param("low_hz", lambda rng: jnp.asarray(low_init))
         band_hz = self.param("band_hz", lambda rng: jnp.asarray(band_init))
+        # filter CONSTRUCTION always runs fp32 — under a bf16 step the
+        # params arrive cast down, and Hz-scale frequencies lose real
+        # precision in bf16; the conv itself then runs in the wave's
+        # dtype (under mixedprec the reference's torch AMP also runs
+        # this conv1d in half precision, src/models/Raw3_ECAPA.py:50)
+        low_hz = low_hz.astype(jnp.float32)
+        band_hz = band_hz.astype(jnp.float32)
 
         low = self.min_low_hz + jnp.abs(low_hz)                       # [C]
         high = jnp.clip(low + self.min_band_hz + jnp.abs(band_hz),
@@ -95,7 +102,7 @@ class SincConv(nn.Module):
             [left, center, jnp.flip(left, axis=1)], axis=1)           # [C, k]
         filters = filters / (2.0 * band)
 
-        kernel = filters.T[:, None, :]                                # [k, 1, C]
+        kernel = filters.T[:, None, :].astype(x.dtype)                # [k, 1, C]
         return jax.lax.conv_general_dilated(
             x[:, :, None], kernel, window_strides=(self.stride,),
             padding=self.padding,

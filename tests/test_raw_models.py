@@ -149,3 +149,50 @@ def test_raw_model_differentiable():
     # sinc params must receive gradients
     gsinc = g["SincConv_0"]
     assert float(jnp.abs(gsinc["low_hz"]).sum()) > 0
+
+
+def test_raw_models_bf16_step():
+    """mixedprec regression (r4): a bf16 step casts PARAMS down and the
+    encoder casts the wave, so the sinc front used to die in
+    lax.conv_general_dilated on (bf16 wave, fp32 filters) — the
+    reference's DEFAULT model Raw3_ECAPA crashed on both eval and train.
+    SincConv now constructs filters in fp32 and runs the conv in the
+    wave's dtype (torch AMP halves this conv too, Raw3_ECAPA.py:50);
+    log/instance-norm segments pin fp32 like torch autocast does."""
+    from speakerverification_tpu.builder import encoder_from_hparams
+    from speakerverification_tpu.optim import build_optimizer
+    from speakerverification_tpu.training.state import create_train_state
+    from speakerverification_tpu.training.train_step import (
+        make_eval_embed_fn,
+        make_train_step,
+    )
+
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.normal(0, .1, (2, 8000)).astype(np.float32))
+    tw = jnp.asarray(rng.normal(0, .1, (2, 2, 8000)).astype(np.float32))
+    tl = jnp.asarray([0, 1])
+    # Raw3_ECAPA (the crash) gets eval AND train; RawNet2 eval-only
+    # covers the second SincConv call site without a third train-step
+    # compile (cold-suite budget) — standalone RawNet3 rides inside the
+    # hybrid already.
+    for name, extra, with_train in [("Raw3_ECAPA", {"nOut": 256}, True),
+                                    ("RawNet2", {}, False)]:
+        hp = {"model": {"name": name, "nOut": 64, **extra},
+              "features": "raw", "nClasses": 8, "mixedprec": True,
+              "audio_spec": {"sample_rate": 8000},
+              "criterion": {"name": "AAmSoftmax"}}
+        enc = encoder_from_hparams(hp)
+        v = jax.jit(enc.init)(jax.random.PRNGKey(0), tw, tl)
+        embed = make_eval_embed_fn(enc, normalize=True,
+                                   compute_dtype=jnp.bfloat16)
+        e = np.asarray(embed(v["params"], v.get("batch_stats", {}), w))
+        assert np.isfinite(e).all(), name
+
+        if with_train:
+            tx = build_optimizer("adam", learning_rate=1e-3)
+            state = create_train_state(enc, tx, jax.random.PRNGKey(0),
+                                       tw, tl)
+            step = make_train_step(enc, tx, compute_dtype=jnp.bfloat16)
+            _, m = jax.jit(step)(state, tw, tl, jax.random.PRNGKey(1),
+                                 jnp.float32(1e-3))
+            assert np.isfinite(float(m["loss"])), name
