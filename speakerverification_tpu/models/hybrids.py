@@ -107,8 +107,12 @@ def _frontend_cfg(kwargs) -> FrontendConfig:
         hop_length=int(kwargs.get("hop_length",
                                   round(spec.get("hop_len", 0.01) * sr))),
         n_mels=int(kwargs.get("n_mels", 80)),
-        fmin=float(kwargs.get("fmin", 10.0)),
-        fmax=kwargs.get("fmax", min(4000.0, sr / 2)),
+        # the hybrids' in-model branch is always 'melspectrogram'
+        # (src/models/Raw3_ECAPA.py:33), whose factory defaults are
+        # fmin=0, fmax=None (feature.py:71-72) — NOT the mfcc factory's
+        # 10/4000. Explicit config keys win (threaded by the builder).
+        fmin=float(kwargs.get("fmin", 0.0)),
+        fmax=kwargs.get("fmax", None),
     )
 
 

@@ -213,9 +213,19 @@ class FrontendConfig:
     top_db: Optional[float] = 80.0
 
     @classmethod
-    def from_hparams(cls, hparams: dict) -> "FrontendConfig":
-        """Build from the reference YAML schema keys."""
+    def from_hparams(cls, hparams: dict,
+                     feature_type: str = "melspectrogram") -> "FrontendConfig":
+        """Build from the reference YAML schema keys.
+
+        fmin/fmax defaults follow the reference factory for the given
+        ``feature_type`` (feature.py — mfcc: 10/4000 at :37;
+        melspectrogram: 0/None at :71-72); explicit keys win.
+        """
         spec = hparams.get("audio_spec", {}) or {}
+        if feature_type == "mfcc":
+            default_fmin, default_fmax = 10.0, 4000.0
+        else:
+            default_fmin, default_fmax = 0.0, None
         return cls(
             sample_rate=int(spec.get("sample_rate", 8000)),
             n_fft=int(hparams.get("n_fft", 512)),
@@ -223,8 +233,8 @@ class FrontendConfig:
             hop_length=int(hparams.get("hop_length", 80)),
             n_mels=int(hparams.get("n_mels", 80)),
             n_mfcc=int(hparams.get("n_mfcc", 80)),
-            fmin=float(hparams.get("fmin", 10.0)),
-            fmax=hparams.get("fmax", 4000.0),
+            fmin=float(hparams.get("fmin", default_fmin)),
+            fmax=hparams.get("fmax", default_fmax),
             pre_emphasis=0.97 if hparams.get("pre_emphasis", True) else None,
         )
 
