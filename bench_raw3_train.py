@@ -48,7 +48,12 @@ def flops_of(c):
 
 def matmul_instr_count(c):
     """Count dot/convolution instructions in the optimized HLO (the ops
-    that pay the chip's ~60 us per-instruction issue floor)."""
+    that pay the chip's ~60 us per-instruction issue floor).
+
+    Must be called on a SINGLE-PASS compile: a chained lax.scan lowers to
+    a while loop whose body instructions appear ONCE in the HLO text
+    regardless of trip count, so dividing a chained compile's count by
+    ITERS undercounts by ~ITERS x (advisor finding, round 4)."""
     txt = c.as_text()
     return len(re.findall(r" = \S+ (?:dot|convolution)\(", txt))
 
@@ -119,7 +124,13 @@ def main():
                     return carry + 0.0 * out.mean().astype(carry.dtype), out
                 _, outs = jax.lax.scan(body, x, None, length=ITERS)
                 return outs
-            return run.lower(x, vars_).compile(), (x, vars_)
+            # timing on the chained compile; FLOPs + instruction counts on a
+            # separate single-pass compile (the scan lowers to a while loop
+            # whose body appears once in HLO — counting on the chained text
+            # and dividing by ITERS undercounts ~ITERS x)
+            single = jax.jit(lambda x, v: apply_fn(v, x))
+            return (run.lower(x, vars_).compile(),
+                    single.lower(x, vars_).compile(), (x, vars_))
 
         stages = {}
 
@@ -158,15 +169,16 @@ def main():
             lambda v, x: sc.apply(v, x.astype(jnp.bfloat16)), wave, sc_vars)
 
         out = {"variant": "prof", "batch": B, "stages": {}}
-        for name, (c, cargs) in stages.items():
+        for name, (c, c1, cargs) in stages.items():
             log(f"run {name}")
             best = bench_chained(c, cargs, ITERS, B)
+            fl1 = flops_of(c1)          # per-pass FLOPs, single-pass compile
             out["stages"][name] = {
                 "ms_per_pass": round(best / ITERS * 1e3, 2),
                 "utts_per_s": round(B * ITERS / best, 1),
-                "gflops_per_pass": round(flops_of(c) / ITERS / 1e9, 2),
-                "tflops_per_s": round(flops_of(c) / best / 1e12, 2),
-                "matmul_instrs": matmul_instr_count(c) // ITERS,
+                "gflops_per_pass": round(fl1 / 1e9, 2),
+                "tflops_per_s": round(fl1 * ITERS / best / 1e12, 2),
+                "matmul_instrs": matmul_instr_count(c1),
             }
         print(json.dumps(out))
         return
@@ -190,13 +202,16 @@ def main():
             return outs
         log(f"compile {variant}")
         c = chained.lower(wave, variables).compile()
+        c1 = jax.jit(lambda x, v: model.apply(v, x, train=False)) \
+            .lower(wave, variables).compile()
         best = bench_chained(c, (wave, variables), ITERS, tb)
+        fl1 = flops_of(c1)
         print(json.dumps({
             "variant": variant,
             "utts_per_s": round(tb * ITERS / best, 1),
-            "tflops_per_s": round(flops_of(c) / best / 1e12, 1),
+            "tflops_per_s": round(fl1 * ITERS / best / 1e12, 1),
             "pass_ms": round(best / ITERS * 1e3, 1),
-            "matmul_instrs": matmul_instr_count(c) // ITERS}))
+            "matmul_instrs": matmul_instr_count(c1)}))
         return
 
     twave = jnp.asarray(rng.normal(0, .1, (tb, 2, T)).astype(np.float32))
@@ -217,15 +232,17 @@ def main():
 
     log(f"compile {variant}")
     c = chained.lower(state).compile()
-    fl = flops_of(c)
+    c1 = jax.jit(lambda s: step_fn(s, twave, tlabel, key, lr)[1]["loss"]) \
+        .lower(state).compile()
+    fl1 = flops_of(c1)
     best = bench_chained(c, (state,), ITERS, tb * 2)
     print(json.dumps({
         "variant": variant,
         "utts_per_s": round(tb * 2 * ITERS / best, 1),
-        "tflops_per_s": round(fl / best / 1e12, 1),
+        "tflops_per_s": round(fl1 * ITERS / best / 1e12, 1),
         "step_ms": round(best / ITERS * 1e3, 1),
-        "gflops_per_step": round(fl / ITERS / 1e9, 1),
-        "matmul_instrs": matmul_instr_count(c) // ITERS}))
+        "gflops_per_step": round(fl1 / 1e9, 1),
+        "matmul_instrs": matmul_instr_count(c1)}))
 
 
 if __name__ == "__main__":
