@@ -97,7 +97,7 @@ def encoder_from_hparams(hparams: Mapping,
     # (the reference hands its MainModels the full config kwargs,
     # src/model.py:70-73 — same reach). Model-level keys win.
     for k in ("audio_spec", "sample_rate", "n_fft", "win_length",
-              "hop_length", "fmin", "fmax"):
+              "hop_length", "fmin", "fmax", "n_mfcc"):
         if k in hparams and k not in model_cfg:
             model_cfg[k] = hparams[k]
 

@@ -32,7 +32,6 @@ to that module, so its mel is not shared with sibling branches.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
@@ -58,6 +57,12 @@ class MixedModel(nn.Module):
     branches: Tuple[nn.Module, ...]
     input_kinds: Tuple[str, ...]          # 'raw' | 'melspectrogram' | 'mfcc'
     frontend: FrontendConfig = FrontendConfig()
+    # per-kind overrides (kind → config pairs; tuple keeps the module
+    # hashable). The reference's two feature factories default fmin/fmax
+    # DIFFERENTLY (feature.py — mfcc: 10/4000 at :37; melspectrogram:
+    # 0/None at :71-72), so an mfcc branch must not inherit a mel-keyed
+    # shared config's band edges. build_mixed_model fills this.
+    frontends: Tuple[Tuple[str, FrontendConfig], ...] = ()
     # threaded by the builder when the config's augment_chain includes
     # 'spec_domain' — the reference's hybrids spec-augment their
     # in-model feature branch too (ECAPA_TDNN.py:404,471 hook built
@@ -73,6 +78,7 @@ class MixedModel(nn.Module):
             hybrid_cast,
             hybrid_featurize,
         )
+        cfg_by_kind = dict(self.frontends)
         feats = {}
         outs = []
         for mod, kind in zip(self.branches, self.input_kinds):
@@ -88,8 +94,9 @@ class MixedModel(nn.Module):
                     # frontend pinned fp32, SpecAugment when threaded,
                     # features to the compute dtype (hybrids.py)
                     feats[kind] = hybrid_featurize(
-                        self, x, kind, self.frontend, self.spec_augment,
-                        self.compute_dtype, train, self.frontend_backend)
+                        self, x, kind, cfg_by_kind.get(kind, self.frontend),
+                        self.spec_augment, self.compute_dtype, train,
+                        self.frontend_backend)
                 inp = feats[kind]
             outs.append(mod(inp, train=train))
         return jnp.concatenate(outs, axis=-1)
@@ -148,14 +155,23 @@ def build_mixed_model(names: Sequence[str], nOut: int,
         branches.append(build_model(name, nOut=n_o, feature_type=ft,
                                     **{**kwargs, **dict(opts)}))
 
+    # Per-kind frontend configs: each non-raw branch kind gets the
+    # reference factory defaults FOR THAT KIND (explicit config keys
+    # still win inside frontend_from_hparams) — a shared config keyed
+    # on one kind must not leak its fmin/fmax defaults into another's
+    # band edges. A caller-passed ``frontend`` wins for the shared kind.
+    from speakerverification_tpu.builder import frontend_from_hparams
+    fe_pairs = []
+    for kind in dict.fromkeys(feature_types):       # ordered, unique
+        if kind == "raw":
+            continue
+        if frontend is not None and kind == shared_ft:
+            cfg = frontend
+        else:
+            cfg = frontend_from_hparams(kwargs, kind)
+        fe_pairs.append((kind, cfg))
     if frontend is None:
-        # standalone API fallback; the builder passes its
-        # frontend_from_hparams config so top-level n_fft/win/hop/fmin/
-        # fmax/n_mfcc overrides reach mixed models like everyone else
-        from speakerverification_tpu.models.hybrids import _frontend_cfg
-        frontend = _frontend_cfg(kwargs)
-        if "n_mfcc" in kwargs:
-            frontend = dataclasses.replace(
-                frontend, n_mfcc=int(kwargs["n_mfcc"]))
+        frontend = fe_pairs[0][1] if fe_pairs else FrontendConfig()
     return MixedModel(branches=tuple(branches),
-                      input_kinds=tuple(feature_types), frontend=frontend)
+                      input_kinds=tuple(feature_types), frontend=frontend,
+                      frontends=tuple(fe_pairs))

@@ -20,7 +20,12 @@ padding, periodic window padded to n_fft, power spectrum, slaney mel scale
 and slaney filterbank area-normalization) — the golden target chosen in
 SURVEY.md §7 hard-part (a). Defaults match the reference YAML
 (yaml/configuration.yaml:62-73: sr=8000, n_fft=512, win=200, hop=80,
-hamming, 80 mels, fmin=10, fmax=4000).
+hamming, 80 mels). fmin/fmax defaults are FEATURE-TYPE-DEPENDENT in the
+reference (feature.py mfcc factory: 10/4000 at :37; melspectrogram
+factory: 0/None at :71-72); ``FrontendConfig.from_hparams`` and the
+builder key them on the feature type, and the bare dataclass defaults
+follow the mel factory (the kind every bare-default consumer — the
+hybrids' in-model branch, MixedModel — actually computes).
 """
 
 from __future__ import annotations
@@ -195,15 +200,22 @@ def power_to_db(power: jax.Array, top_db: Optional[float] = 80.0,
 
 @dataclasses.dataclass(frozen=True)
 class FrontendConfig:
-    """Defaults mirror yaml/configuration.yaml:62-73 of the reference."""
+    """Defaults mirror yaml/configuration.yaml:62-73 of the reference.
+
+    fmin/fmax default to the reference's MELSPECTROGRAM factory values
+    (0 / None→sr/2, feature.py:71-72) — every bare-default consumer
+    (RawECAPAHybrid.frontend, MixedModel.frontend) computes mel. MFCC
+    consumers get the mfcc factory's 10/4000 via ``from_hparams``/the
+    builder, which key the defaults on the feature type.
+    """
     sample_rate: int = 8000
     n_fft: int = 512
     win_length: int = 200
     hop_length: int = 80
     n_mels: int = 80
     n_mfcc: int = 80
-    fmin: float = 10.0
-    fmax: Optional[float] = 4000.0
+    fmin: float = 0.0
+    fmax: Optional[float] = None
     window: str = "hamming"
     mel_scale: str = "slaney"
     mel_norm: Optional[str] = "slaney"

@@ -126,6 +126,32 @@ def test_mixed_honors_toplevel_frontend_overrides():
         256, 160, 64, 3500.0)
 
 
+def test_mixed_mfcc_branch_gets_mfcc_band_edge_defaults():
+    """An mfcc branch under a mel-shared mixed config must use the
+    reference mfcc factory's fmin=10/fmax=4000 defaults (feature.py:37),
+    not the mel factory's 0/None leaked from the shared config (advisor
+    finding r4). Explicit top-level fmin/fmax still win for every kind."""
+    hp = _hparams({
+        "name": ["ECAPA_TDNN", "ECAPA_TDNN"], "nOut": 32, "nOuts": [16, 16],
+        "feature_types": ["melspectrogram", "mfcc"],
+        "branch_options": [_TINY_ECAPA, _TINY_ECAPA],
+    })
+    enc = encoder_from_hparams(hp, num_devices=1)
+    cfgs = dict(enc.backbone.frontends)
+    assert (cfgs["melspectrogram"].fmin, cfgs["melspectrogram"].fmax) == \
+        (0.0, None)
+    assert (cfgs["mfcc"].fmin, cfgs["mfcc"].fmax) == (10.0, 4000.0)
+    # the mixed forward actually consumes the per-kind configs
+    vars_ = enc.backbone.init(jax.random.PRNGKey(0), jnp.zeros((1, SR)))
+    out = enc.backbone.apply(vars_, jnp.zeros((2, SR)))
+    assert out.shape == (2, 32)
+    # explicit keys override for all kinds
+    hp2 = dict(hp, fmin=25.0, fmax=3000.0)
+    enc2 = encoder_from_hparams(hp2, num_devices=1)
+    for cfg in dict(enc2.backbone.frontends).values():
+        assert (cfg.fmin, cfg.fmax) == (25.0, 3000.0)
+
+
 def test_builder_threads_audio_and_frontend_params_into_models():
     """audio_spec and top-level frontend overrides reach MainModel
     builds (the reference hands its models the full config kwargs,
