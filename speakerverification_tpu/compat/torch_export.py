@@ -1,0 +1,248 @@
+"""Reverse weight port: our Flax msgpack tree → a torch ``state_dict``.
+
+The forward converter (``compat/torch_port.py``) maps a reference torch
+checkpoint onto our tree with pure LAYOUT operations (transposes,
+reshapes, slices — no arithmetic). This module inverts any registered
+porter mechanically, without per-family inverse code, by *id tracing*:
+
+1. build a probe state dict with the torch-side key/shape manifest where
+   every element holds a globally unique float64 integer id,
+2. run the forward porter on the probe — each Flax leaf now carries the
+   ids of exactly the torch elements it was built from,
+3. scatter the real checkpoint's leaf values back through those ids.
+
+Because porters are value-permutations, the reconstruction is exact (and
+is verified by re-running the forward porter on the result). Torch keys
+a porter never consumes (``num_batches_tracked``) are synthesized.
+
+Why this exists (MIGRATION.md "ONNX consumers"): the reference's ONNX
+export is ``torch.onnx.export`` on its torch modules
+(src/model.py:748-781). Our programs are StableHLO, and no validated
+jaxpr→ONNX path exists in the target image — so ONNX-needing consumers
+round-trip weights back into the reference's torch model with this tool
+and run ``torch.onnx.export`` there.
+
+The torch-side shape manifest comes from ``--like`` (any reference
+checkpoint of the family) or a ``--shapes`` JSON (the forward converter
+CLI writes one next to its output).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from types import SimpleNamespace
+from typing import Mapping, Sequence, Tuple
+
+import numpy as np
+
+from speakerverification_tpu.compat.torch_port import (
+    _PORTERS,
+    _strip_reference_prefixes,
+)
+
+__all__ = ["reverse_port", "shapes_of_state_dict", "porter_args"]
+
+
+def porter_args(**overrides) -> SimpleNamespace:
+    """Family kwargs with the forward CLI's defaults."""
+    base = dict(n_blocks=4, res2net_scale=8, model_scale=8,
+                n_mega_blocks=None)
+    base.update(overrides)
+    return SimpleNamespace(**base)
+
+
+def shapes_of_state_dict(sd: Mapping) -> dict:
+    """``key -> list(shape)`` manifest from a (prefixed or bare) torch
+    state dict; strips the reference's wrapper prefixes first."""
+    return {k: list(np.asarray(
+        v.detach().cpu().numpy() if hasattr(v, "detach") else v).shape)
+        for k, v in _strip_reference_prefixes(sd).items()}
+
+
+def _leaves(tree, prefix="") -> list:
+    out = []
+    for k in sorted(tree):
+        v = tree[k]
+        path = f"{prefix}/{k}" if prefix else str(k)
+        if isinstance(v, Mapping):
+            out.extend(_leaves(v, path))
+        else:
+            out.append((path, np.asarray(v)))
+    return out
+
+
+def reverse_port(tree: Mapping, torch_shapes: Mapping[str, Sequence[int]],
+                 arch: str, args: SimpleNamespace | None = None,
+                 verify: bool = True,
+                 fill_from: Mapping | None = None) -> dict:
+    """Invert the ``arch`` porter: Flax ``tree`` (the converter's
+    ``{"params": {"backbone": ...}, "batch_stats": {"backbone": ...}}``
+    layout, loss head optional) → bare torch-key ``state_dict`` of
+    float32 numpy arrays (wrap in torch tensors to ``load_state_dict``).
+
+    ``fill_from``: source for torch keys the porter never consumes —
+    constant buffers (PreEmphasis ``flipped_filter``, precomputed
+    filterbanks) and dead modules. With the CLI's ``--like`` checkpoint
+    these inherit the reference values; otherwise they are zero-filled
+    with a printed note.
+    """
+    if arch not in _PORTERS:
+        raise KeyError(f"unknown arch {arch!r}; known: {sorted(_PORTERS)}")
+    args = args or porter_args()
+
+    # 1. probe: unique global ids per torch element (float64 is exact
+    #    far beyond any checkpoint's element count)
+    keys = [k for k in torch_shapes if not k.endswith("num_batches_tracked")]
+    sizes = np.array([int(np.prod(torch_shapes[k])) for k in keys],
+                     dtype=np.int64)
+    offsets = np.concatenate([[0], np.cumsum(sizes)])
+    total = int(offsets[-1])
+    probe = {k: np.arange(offsets[i], offsets[i] + sizes[i],
+                          dtype=np.float64).reshape(torch_shapes[k])
+             for i, k in enumerate(keys)}
+
+    p_params, p_stats = _PORTERS[arch](probe, args)
+    probe_tree = {"params": {"backbone": p_params},
+                  "batch_stats": {"backbone": p_stats}}
+
+    # 2. align the real tree's leaves with the probe's id leaves
+    id_leaves = dict(_leaves(probe_tree))
+    val_leaves = dict(_leaves({
+        "params": {"backbone": tree["params"]["backbone"]},
+        "batch_stats": {"backbone": tree.get("batch_stats", {})
+                        .get("backbone", {})}}))
+    missing = set(id_leaves) - set(val_leaves)
+    if missing:
+        raise ValueError(
+            f"checkpoint lacks leaves the {arch} porter produces "
+            f"(wrong family?): {sorted(missing)[:5]}")
+
+    flat = np.full(total, np.nan, dtype=np.float64)
+    for path, ids in id_leaves.items():
+        vals = val_leaves[path]
+        if tuple(vals.shape) != tuple(ids.shape):
+            raise ValueError(
+                f"shape mismatch at {path}: checkpoint "
+                f"{tuple(vals.shape)} vs porter {tuple(ids.shape)}")
+        idx = np.rint(ids).astype(np.int64).ravel()
+        if not (np.asarray(ids, np.float64).ravel() == idx).all():
+            raise ValueError(
+                f"porter for {arch!r} is not a pure layout map at "
+                f"{path} — cannot invert mechanically")
+        prev = flat[idx]
+        vals64 = np.asarray(vals, np.float64).ravel()
+        dup = ~np.isnan(prev)
+        if dup.any() and not np.array_equal(prev[dup], vals64[dup]):
+            raise ValueError(
+                f"inconsistent values for shared torch elements at {path}")
+        flat[idx] = vals64
+
+    # 3. slice back into torch keys; synthesize never-consumed entries
+    fill = dict(_strip_reference_prefixes(fill_from)) if fill_from else {}
+    sd, dropped = {}, []
+    for i, k in enumerate(keys):
+        chunk = flat[offsets[i]:offsets[i + 1]]
+        holes = np.isnan(chunk)
+        if holes.all():
+            if k in fill:
+                v = fill[k]
+                sd[k] = np.asarray(
+                    v.detach().cpu().numpy() if hasattr(v, "detach") else v,
+                    np.float32).reshape(torch_shapes[k])
+                continue
+            dropped.append(k)
+            chunk = np.zeros_like(chunk)
+        elif holes.any():
+            raise ValueError(
+                f"torch key {k} only partially reconstructed "
+                f"({int(holes.sum())}/{chunk.size} elements missing)")
+        sd[k] = chunk.reshape(torch_shapes[k]).astype(np.float32)
+    for k in torch_shapes:
+        if k.endswith("num_batches_tracked"):
+            sd[k] = np.zeros(torch_shapes[k], dtype=np.int64)
+    if dropped:
+        print(f"note: zero-filled torch keys the porter never reads: "
+              f"{sorted(dropped)[:8]}")
+
+    # loss head (margin-family class centers) if present in the tree
+    loss = tree.get("params", {}).get("loss", {})
+    for name in ("weight", "W"):
+        if name in loss:
+            sd[f"__L__.{name}"] = np.asarray(loss[name], np.float32)
+
+    if verify:
+        r_params, r_stats = _PORTERS[arch](
+            {k: v for k, v in sd.items() if not k.startswith("__L__.")},
+            args)
+        for path, vals in _leaves({"params": {"backbone": r_params},
+                                   "batch_stats": {"backbone": r_stats}}):
+            np.testing.assert_array_equal(
+                vals.astype(np.float32),
+                np.asarray(val_leaves[path], np.float32),
+                err_msg=f"round-trip mismatch at {path}")
+    return sd
+
+
+def _main() -> None:
+    """Reverse checkpoint converter CLI:
+
+        python -m speakerverification_tpu.compat.torch_export \\
+            --arch ECAPA_TDNN --input ours.msgpack \\
+            --like reference_best_state.pt --output state_dict.pt
+
+    Writes a torch ``state_dict`` (``--prefix __S__.`` etc. available
+    for WrappedModel-shaped consumers) that the reference's MainModel
+    loads directly — the supported route to ``torch.onnx.export``."""
+    import argparse
+
+    from flax import serialization as fser
+
+    p = argparse.ArgumentParser(description=_main.__doc__)
+    p.add_argument("--arch", required=True, choices=sorted(_PORTERS))
+    p.add_argument("--input", required=True, help="our msgpack checkpoint")
+    p.add_argument("--output", required=True, help=".pt state_dict output")
+    p.add_argument("--like", help="torch checkpoint to take key/shapes from")
+    p.add_argument("--shapes", help="key->shape JSON manifest "
+                   "(written by the forward converter CLI)")
+    p.add_argument("--prefix", default="",
+                   help="prepend to backbone keys (e.g. '__S__.')")
+    p.add_argument("--n_blocks", type=int, default=4)
+    p.add_argument("--res2net_scale", type=int, default=8)
+    p.add_argument("--model_scale", type=int, default=8)
+    p.add_argument("--n_mega_blocks", type=int, default=None)
+    p.add_argument("--no_verify", action="store_true")
+    a = p.parse_args()
+
+    if bool(a.like) == bool(a.shapes):
+        p.error("exactly one of --like / --shapes is required")
+    ref = None
+    if a.like:
+        import torch
+        ref = torch.load(a.like, map_location="cpu", weights_only=True)
+        if isinstance(ref, dict) and "state_dict" in ref:
+            ref = ref["state_dict"]
+        torch_shapes = shapes_of_state_dict(ref)
+    else:
+        torch_shapes = json.loads(Path(a.shapes).read_text())
+
+    tree = fser.msgpack_restore(Path(a.input).read_bytes())
+    sd = reverse_port(tree, torch_shapes, a.arch,
+                      porter_args(n_blocks=a.n_blocks,
+                                  res2net_scale=a.res2net_scale,
+                                  model_scale=a.model_scale,
+                                  n_mega_blocks=a.n_mega_blocks),
+                      verify=not a.no_verify, fill_from=ref)
+
+    import torch
+    out = {a.prefix + k if not k.startswith("__L__.") else k:
+           torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()}
+    Path(a.output).parent.mkdir(parents=True, exist_ok=True)
+    torch.save(out, a.output)
+    n = sum(v.numel() for v in out.values())
+    print(f"wrote {a.output} ({n:,} elements, arch {a.arch}, "
+          f"{'verified round-trip' if not a.no_verify else 'unverified'})")
+
+
+if __name__ == "__main__":
+    _main()

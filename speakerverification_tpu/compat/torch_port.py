@@ -1262,6 +1262,12 @@ def _main() -> None:
     out = Path(args.output)
     out.parent.mkdir(parents=True, exist_ok=True)
     out.write_bytes(fser.msgpack_serialize(tree))
+    # torch-side key/shape manifest so compat/torch_export.py can later
+    # invert this conversion without the original checkpoint (--shapes)
+    import json
+    (out.parent / (out.name + ".torch_shapes.json")).write_text(
+        json.dumps({k: list(np.asarray(v).shape) for k, v in sd.items()},
+                   indent=0))
     from speakerverification_tpu.utils.summary import count_params
     n = count_params(tree["params"])
     print(f"wrote {out} ({n:,} params, arch {args.arch}"

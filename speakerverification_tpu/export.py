@@ -25,7 +25,7 @@ import flax.serialization as fser
 
 from speakerverification_tpu.inference import InferenceEngine
 
-__all__ = ["export_model", "load_exported"]
+__all__ = ["export_model", "export_onnx", "load_exported"]
 
 
 def export_model(hparams: Mapping, out_dir: str | Path | None = None) -> dict:
@@ -75,6 +75,49 @@ def export_model(hparams: Mapping, out_dir: str | Path | None = None) -> dict:
             "params": str(out_dir / "params.msgpack"),
             "stablehlo": str(out_dir / "model.stablehlo"),
             "config": str(out_dir / "config.json")}
+
+
+def export_onnx(hparams: Mapping, out_dir: str | Path | None = None):
+    """ONNX export — ACCEPTED DIVERGENCE (documented in MIGRATION.md).
+
+    The reference exports via ``torch.onnx.export`` (src/model.py:748-781)
+    and notes in its own comment (src/model.py:756) that the export is
+    broken for every torchaudio/mel-frontend model — only the raw-wave
+    families ever produced an artifact. This framework's programs are
+    JAX/StableHLO; a faithful ONNX emission would require a
+    jaxpr-to-ONNX compiler, and neither ``onnx`` nor ``onnxruntime`` is
+    present in the target image to validate one against. Rather than
+    ship an unverifiable converter, ONNX export is an accepted,
+    documented divergence; this entry point exists so the decision is
+    discoverable at the exact API a reference user would reach for.
+
+    Supported interop routes (both tested):
+      * ``export_model`` — StableHLO + msgpack params + config.json,
+        loadable by any XLA-backed runtime (``load_exported``), with a
+        replay self-check standing in for the reference's onnx.checker
+        pass.
+      * the checkpoint converter CLI — round-trips weights with the
+        torch ecosystem, where ``torch.onnx.export`` can be applied to
+        a reference-side model if an ONNX artifact is truly required.
+    """
+    try:
+        import onnx  # noqa: F401
+    except ImportError:
+        raise RuntimeError(
+            "ONNX export is not supported: the 'onnx' package is not "
+            "installed, and jaxpr->ONNX conversion is an accepted "
+            "divergence from the reference (whose own ONNX export is "
+            "broken for mel-frontend models, src/model.py:756). Use "
+            "export_model() for the StableHLO serving artifact, or the "
+            "checkpoint converter CLI to reach the torch ecosystem. "
+            "See MIGRATION.md 'ONNX export'.") from None
+    raise NotImplementedError(
+        "jaxpr->ONNX conversion is an accepted divergence: no converter "
+        "ships even when 'onnx' is importable, because it cannot be "
+        "validated in the target image (no onnxruntime) and the "
+        "reference's exporter it would mirror is itself broken for "
+        "mel-frontend models (src/model.py:756). See MIGRATION.md "
+        "'ONNX export' for the supported interop routes.")
 
 
 def load_exported(out_dir: str | Path):
