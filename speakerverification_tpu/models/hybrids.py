@@ -127,9 +127,12 @@ def _hybrid_ecapa(n_mels: int, input_norm: bool,
 
 @MODELS.register("Raw3_ECAPA")
 def build_raw3_ecapa(nOut: int = 512, **kwargs) -> RawECAPAHybrid:
-    """MainModel parity (src/models/Raw3_ECAPA.py:58-60)."""
+    """MainModel parity (src/models/Raw3_ECAPA.py:58-60). ``C`` reaches
+    the RawNet3 branch like the reference's ``**kwargs`` do
+    (Raw3_ECAPA.py:25-30 → RawNet3.MainModel(..., **kwargs))."""
     cfg = _frontend_cfg(kwargs)
-    raw = RawNet3(nOut=nOut - 192, model_scale=8, context=True, summed=True,
+    raw = RawNet3(nOut=nOut - 192, C=int(kwargs.get("C", 1024)),
+                  model_scale=8, context=True, summed=True,
                   out_bn=False, log_sinc=True, norm_sinc="mean",
                   encoder_type="ASP", sinc_stride=10,
                   sample_rate=cfg.sample_rate)

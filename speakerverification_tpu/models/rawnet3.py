@@ -58,8 +58,17 @@ class RawNet3(nn.Module):
         # reductions run fp32, exactly the ops torch autocast promotes
         # to fp32, then the features drop back to the compute dtype.
         in_dtype = x.dtype
+        # sample_rate is PINNED to asteroid's 16 kHz default: the
+        # reference never threads its configured rate into ParamSincFB
+        # (RawNet3.py:35-41 passes only n_filters/kernel/stride), so in
+        # the 8 kHz default config its sinc grid and mel-spaced cutoff
+        # init are still parameterized at 16 kHz. Mirroring that quirk
+        # is required for checkpoint portability and trained parity on
+        # the default Raw3_ECAPA path (test_e2e_parity.py; found by its
+        # first-step loss gate, round 5). self.sample_rate stays a
+        # config field for API compatibility but no stage consumes it.
         x = SincConv(self.C // 4, kernel_size=251, stride=self.sinc_stride,
-                     sample_rate=self.sample_rate)(x)       # [B, F, C/4]
+                     sample_rate=16000)(x)                  # [B, F, C/4]
         x = jnp.abs(x).astype(jnp.float32)
         if self.log_sinc:
             x = jnp.log(x + 1e-6)
