@@ -174,8 +174,11 @@ def test_raw_models_bf16_step():
     # Raw3_ECAPA (the crash) gets eval AND train; RawNet2 eval-only
     # covers the second SincConv call site without a third train-step
     # compile (cold-suite budget) — standalone RawNet3 rides inside the
-    # hybrid already.
-    for name, extra, with_train in [("Raw3_ECAPA", {"nOut": 256}, True),
+    # hybrid already. C=128 shrinks the raw branch (the bf16 dtype
+    # crash is width-independent); the hybrid's ECAPA branch stays the
+    # reference-hard-coded 512-channel one.
+    for name, extra, with_train in [("Raw3_ECAPA", {"nOut": 256, "C": 128},
+                                     True),
                                     ("RawNet2", {}, False)]:
         hp = {"model": {"name": name, "nOut": 64, **extra},
               "features": "raw", "nClasses": 8, "mixedprec": True,
