@@ -232,7 +232,11 @@ def main():
 
     log(f"compile {variant}")
     c = chained.lower(state).compile()
-    c1 = jax.jit(lambda s: step_fn(s, twave, tlabel, key, lr)[1]["loss"]) \
+    # single-pass compile must return the FULL new state: returning only
+    # the loss metric lets XLA dead-code-eliminate the whole backward
+    # pass + optimizer update, and the "train FLOPs" silently become
+    # forward-only (caught r5: 2999 GFLOP/step vs the real ~9000)
+    c1 = jax.jit(lambda s: step_fn(s, twave, tlabel, key, lr)) \
         .lower(state).compile()
     fl1 = flops_of(c1)
     best = bench_chained(c, (state,), ITERS, tb * 2)
