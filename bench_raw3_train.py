@@ -120,10 +120,16 @@ def main():
             def run(x, v):
                 def body(carry, _):
                     out = apply_fn(v, carry)
-                    # data-dependent carry so XLA cannot hoist the body
-                    return carry + 0.0 * out.mean().astype(carry.dtype), out
-                _, outs = jax.lax.scan(body, x, None, length=ITERS)
-                return outs
+                    # data-dependent carry so XLA cannot hoist the body;
+                    # per-iteration DIGEST only — returning the stacked
+                    # outputs made the np.asarray fence fetch them over
+                    # the ~10-20 MB/s tunnel D2H link, which dominated
+                    # every big-output stage (the r5 prof's "30-80 s
+                    # sinc passes" were 2-4 GB transfers, not compute)
+                    return (carry + 0.0 * out.mean().astype(carry.dtype),
+                            out.astype(jnp.float32).mean())
+                _, digests = jax.lax.scan(body, x, None, length=ITERS)
+                return digests
             # timing on the chained compile; FLOPs + instruction counts on a
             # separate single-pass compile (the scan lowers to a while loop
             # whose body appears once in HLO — counting on the chained text
@@ -161,12 +167,29 @@ def main():
                                       train=False)
         stages["mel_ecapa"] = chained(ecapa_fwd, wave, ec_vars)
 
-        # sinc front alone (the ParamSincFB conv, bf16 like in-model)
+        # mel frontend alone (fp32, as hybrid_featurize runs it)
+        stages["frontend"] = chained(
+            lambda v, x: fe(x.astype(jnp.float32)), wave,
+            {"params": {}})
+
+        # ECAPA branch on PRECOMPUTED mel (isolates the encoder from
+        # the frontend share of the mel_ecapa stage)
+        mel0 = fe(wave.astype(jnp.float32)).astype(jnp.bfloat16)
+        stages["ecapa_on_mel"] = chained(
+            lambda v, m: hybrid.ecapa.apply(v, m, train=False),
+            mel0, ec_vars)
+
+        # sinc front alone (the ParamSincFB conv) in both dtypes — the
+        # r5 prof run recorded a pathological 30.7 s/pass for the bf16
+        # standalone case; measure both to pin whether the conv dtype
+        # or the standalone lowering is at fault
         from speakerverification_tpu.ops.sinc import SincConv
-        sc = SincConv(256, kernel_size=251, stride=10, sample_rate=8000)
+        sc = SincConv(256, kernel_size=251, stride=10, sample_rate=16000)
         sc_vars = jax.jit(sc.init)(jax.random.PRNGKey(0), wave[:2, :])
-        stages["sinc"] = chained(
+        stages["sinc_bf16"] = chained(
             lambda v, x: sc.apply(v, x.astype(jnp.bfloat16)), wave, sc_vars)
+        stages["sinc_f32"] = chained(
+            lambda v, x: sc.apply(v, x.astype(jnp.float32)), wave, sc_vars)
 
         out = {"variant": "prof", "batch": B, "stages": {}}
         for name, (c, c1, cargs) in stages.items():
@@ -197,9 +220,11 @@ def main():
         def chained(x, v):
             def body(carry, _):
                 emb = model.apply(v, carry, train=False)
-                return carry + 0.0 * emb.mean().astype(carry.dtype), emb
-            _, outs = jax.lax.scan(body, x, None, length=ITERS)
-            return outs
+                # digest, not the stacked embeddings — see prof chained()
+                return (carry + 0.0 * emb.mean().astype(carry.dtype),
+                        emb.astype(jnp.float32).mean())
+            _, digests = jax.lax.scan(body, x, None, length=ITERS)
+            return digests
         log(f"compile {variant}")
         c = chained.lower(wave, variables).compile()
         c1 = jax.jit(lambda x, v: model.apply(v, x, train=False)) \
