@@ -23,15 +23,17 @@ inside ONE XLA program via ``lax.scan`` with a data-dependent carry
 (XLA cannot hoist the loop body); the dispatch-inclusive per-call rate
 is kept as ``utts_per_sec_percall``.
 
-Roofline context: this bench also measures the chip's PRACTICAL bf16
-GEMM ceiling with a large matmul (8192×4096×4096) — on the tunneled
-v5-lite chip that ceiling measures ~100 TF/s, ~51 % of nominal — and
-reports throughput as a fraction of it (``pct_of_practical_peak``).
-The residual gap is ECAPA's Res2Net inner convs: shape probes show this
-chip pays ~60 µs of fixed overhead per dependent matmul instruction
-regardless of operand size, and the cascade is 21 inherently sequential
-small convolutions per pass (see ops/pallas_res2net.py for the full
-analysis — a VMEM-fused kernel lands at par, so it ships opt-in).
+Roofline context: this bench measures the chip's PRACTICAL bf16 GEMM
+ceiling with a SHAPE SWEEP of chained large matmuls (8192³ reaches
+~136 TF/s on the tunneled v5-lite; model-shaped K=512 GEMMs are
+HBM-bandwidth-bound at ~51) and reports throughput as a fraction of
+the sweep max (``pct_of_practical_peak``), plus a measured
+per-instruction issue-floor microbench and a per-pass time split
+(MXU-busy / instruction floor / VPU-layout residual) for the embed and
+train points. ECAPA's Res2Net inner convs sit on the instruction
+floor: the cascade is 21 inherently sequential small convolutions per
+pass (see ops/pallas_res2net.py — a VMEM-fused kernel lands at par,
+so it ships opt-in).
 
 ``vs_baseline`` is measured against an assumed 100 utt/s for the
 reference's batch-1 A100 loop (no published numbers exist — see
@@ -119,10 +121,18 @@ def _gemm_rate_tflops(M: int, K: int, N: int, reps: int = 20) -> float:
 def _practical_peak_sweep() -> dict:
     """Defend the practical-peak denominator (VERDICT r4 #4): probe the
     bf16 GEMM ceiling at several square-ish MXU-friendly shapes instead
-    of assuming one. K=N so the chained-carry trick keeps shapes static."""
+    of assuming one. K=N so the chained-carry trick keeps shapes static.
+
+    The last two entries are MODEL-shaped (M = batch×frames, K=N =
+    channel width): on this chip the rate is strongly K-dependent —
+    K=512 GEMMs are HBM-bandwidth-bound (~51 TF/s, r5 measurement)
+    while K=1024 reaches ~114 and 8192³ ~136 — so per-branch
+    "saturation" must be judged against the SHAPE-MATCHED ceiling, not
+    the global max (which remains the reported practical peak)."""
     sweep = {}
     for M, K, N in ((8192, 4096, 4096), (4096, 4096, 4096),
-                    (8192, 8192, 8192), (2048, 2048, 2048)):
+                    (8192, 8192, 8192), (2048, 2048, 2048),
+                    (102912, 512, 512), (102912, 1024, 1024)):
         sweep[f"{M}x{K}x{N}"] = round(_gemm_rate_tflops(M, K, N), 1)
     return sweep
 
