@@ -176,9 +176,17 @@ def test_cli_infer_prepare_and_norm_eval(workspace):
     assert rc == 0
 
 
+@pytest.mark.slow
 def test_cli_infer_eval_int8_quant(workspace):
     """--quant int8 routes extraction through quant.py; trial scores must
-    track the float path (embeddings are cosine-aligned, test_quant.py)."""
+    track the float path (embeddings are cosine-aligned, test_quant.py).
+    Slow tier (r5 cold budget, 11 s cold): the quant lowering itself is
+    covered default-tier in test_quant.py; this is its CLI wiring.
+    Self-sufficient under -m slow: trains first if no checkpoint."""
+    root, cfg = workspace
+    if not (root / "run" / "save" / "ECAPA_TDNN" / "AAmSoftmax" / "model"
+            / "best_state.msgpack").exists():
+        assert cli_main(["--do_train", "--config", str(cfg)]) == 0
     root, cfg = workspace
     result_dir = root / "run" / "save" / "ECAPA_TDNN" / "AAmSoftmax" / "result"
     csv_path = result_dir / "evaluation_results.csv"

@@ -171,14 +171,14 @@ def test_raw_models_bf16_step():
     w = jnp.asarray(rng.normal(0, .1, (2, 8000)).astype(np.float32))
     tw = jnp.asarray(rng.normal(0, .1, (2, 2, 8000)).astype(np.float32))
     tl = jnp.asarray([0, 1])
-    # Raw3_ECAPA (the crash) gets eval AND train; RawNet2 eval-only
-    # covers the second SincConv call site without a third train-step
-    # compile (cold-suite budget) — standalone RawNet3 rides inside the
-    # hybrid already. C=128 shrinks the raw branch (the bf16 dtype
-    # crash is width-independent); the hybrid's ECAPA branch stays the
+    # Raw3_ECAPA (the crash) + RawNet2 eval paths stay default-tier;
+    # the train-step half lives in test_raw3_bf16_train_step (slow —
+    # its cold compile alone cost ~40 s of the default budget, r5).
+    # C=128 shrinks the raw branch (the bf16 dtype crash is
+    # width-independent); the hybrid's ECAPA branch stays the
     # reference-hard-coded 512-channel one.
     for name, extra, with_train in [("Raw3_ECAPA", {"nOut": 256, "C": 128},
-                                     True),
+                                     False),
                                     ("RawNet2", {}, False)]:
         hp = {"model": {"name": name, "nOut": 64, **extra},
               "features": "raw", "nClasses": 8, "mixedprec": True,
@@ -199,3 +199,28 @@ def test_raw_models_bf16_step():
             _, m = jax.jit(step)(state, tw, tl, jax.random.PRNGKey(1),
                                  jnp.float32(1e-3))
             assert np.isfinite(float(m["loss"])), name
+
+
+@pytest.mark.slow
+def test_raw3_bf16_train_step():
+    """Train-step half of the bf16 regression above (fwd+bwd through
+    the sinc front and both fp32-pinned norm segments)."""
+    from speakerverification_tpu.builder import encoder_from_hparams
+    from speakerverification_tpu.optim import build_optimizer
+    from speakerverification_tpu.training.state import create_train_state
+    from speakerverification_tpu.training.train_step import make_train_step
+
+    rng = np.random.default_rng(0)
+    tw = jnp.asarray(rng.normal(0, .1, (2, 2, 8000)).astype(np.float32))
+    tl = jnp.asarray([0, 1])
+    hp = {"model": {"name": "Raw3_ECAPA", "nOut": 256, "C": 128},
+          "features": "raw", "nClasses": 8, "mixedprec": True,
+          "audio_spec": {"sample_rate": 8000},
+          "criterion": {"name": "AAmSoftmax"}}
+    enc = encoder_from_hparams(hp)
+    tx = build_optimizer("adam", learning_rate=1e-3)
+    state = create_train_state(enc, tx, jax.random.PRNGKey(0), tw, tl)
+    step = make_train_step(enc, tx, compute_dtype=jnp.bfloat16)
+    _, m = jax.jit(step)(state, tw, tl, jax.random.PRNGKey(1),
+                         jnp.float32(1e-3))
+    assert np.isfinite(float(m["loss"]))

@@ -1609,7 +1609,13 @@ def _se_resnet_forward_parity(depth: int, x64: bool):
     assert rel < bar, rel
 
 
-@pytest.mark.parametrize("depth", [18, 34, 50])
+@pytest.mark.parametrize("depth", [
+    18,                                   # basic block, default tier
+    # 34 re-proves the basic block; 50 (bottleneck) costs 35 s cold —
+    # both ride the slow tier for the r5 cold-suite budget
+    pytest.param(34, marks=pytest.mark.slow),
+    pytest.param(50, marks=pytest.mark.slow),
+])
 def test_se_resnet_forward_parity(depth):
     """se_resnet18/34/50 forward-exact with ported vendored weights:
     torchvision-exact stem padding (explicit p3 — SAME shifts windows on
