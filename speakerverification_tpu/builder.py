@@ -39,33 +39,10 @@ def compute_dtype_from_hparams(hparams: Mapping):
 def frontend_from_hparams(hparams: Mapping,
                           feature_type: str = "melspectrogram",
                           ) -> FrontendConfig:
-    spec = hparams.get("audio_spec", {}) or {}
-    # top-level sample_rate is honored like the other frontend overrides
-    # so the encoder-level frontend and the in-model featurizers (which
-    # read the same key via _frontend_cfg) can never disagree
-    sr = int(hparams.get("sample_rate", spec.get("sample_rate", 8000)))
-    # fmin/fmax defaults are keyed on the feature type, matching the
-    # reference's two factories (src/models/FeatureExtraction/feature.py —
-    # mfcc: fmin=10, fmax=4000 at :37; melspectrogram: fmin=0, fmax=None
-    # at :71-72). The default config sets neither key, so a flat default
-    # would shift every mel band edge vs the reference's default runtime
-    # (tests/test_nnaudio_oracle.py). Explicit config keys always win.
-    if feature_type == "mfcc":
-        default_fmin, default_fmax = 10.0, 4000.0
-    else:
-        default_fmin, default_fmax = 0.0, None  # None → sr/2 in the bank
-    return FrontendConfig(
-        sample_rate=sr,
-        n_fft=int(hparams.get("n_fft", 512)),
-        win_length=int(hparams.get("win_length",
-                                   round(spec.get("win_len", 0.025) * sr))),
-        hop_length=int(hparams.get("hop_length",
-                                   round(spec.get("hop_len", 0.01) * sr))),
-        n_mels=int(hparams.get("n_mels", 80)),
-        n_mfcc=int(hparams.get("n_mfcc", 80)),
-        fmin=float(hparams.get("fmin", default_fmin)),
-        fmax=hparams.get("fmax", default_fmax),
-    )
+    """Delegates to the canonical ``FrontendConfig.from_hparams`` —
+    feature-type-keyed fmin/fmax defaults (the reference's two
+    factories differ, feature.py:37 vs :71-72) live in ONE place."""
+    return FrontendConfig.from_hparams(dict(hparams), feature_type)
 
 
 def encoder_from_hparams(hparams: Mapping,

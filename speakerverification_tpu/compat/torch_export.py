@@ -72,10 +72,22 @@ def _leaves(tree, prefix="") -> list:
     return out
 
 
+# Constant buffers the reference registers but no porter consumes
+# (they are fixed values, not learned state): synthesized when no
+# ``fill_from`` checkpoint is available. Keyed by key SUFFIX.
+_CONSTANT_BUFFERS = {
+    # PreEmphasis conv kernel (src/utils.py PreEmphasis: coefficient
+    # 0.97, kernel [-coef, 1] in a [1, 1, 2] conv buffer)
+    "flipped_filter": lambda shape: np.array(
+        [-0.97, 1.0], dtype=np.float32).reshape(shape),
+}
+
+
 def reverse_port(tree: Mapping, torch_shapes: Mapping[str, Sequence[int]],
                  arch: str, args: SimpleNamespace | None = None,
                  verify: bool = True,
-                 fill_from: Mapping | None = None) -> dict:
+                 fill_from: Mapping | None = None,
+                 allow_zero_fill: bool = False) -> dict:
     """Invert the ``arch`` porter: Flax ``tree`` (the converter's
     ``{"params": {"backbone": ...}, "batch_stats": {"backbone": ...}}``
     layout, loss head optional) → bare torch-key ``state_dict`` of
@@ -84,8 +96,11 @@ def reverse_port(tree: Mapping, torch_shapes: Mapping[str, Sequence[int]],
     ``fill_from``: source for torch keys the porter never consumes —
     constant buffers (PreEmphasis ``flipped_filter``, precomputed
     filterbanks) and dead modules. With the CLI's ``--like`` checkpoint
-    these inherit the reference values; otherwise they are zero-filled
-    with a printed note.
+    these inherit the reference values; without one, KNOWN constant
+    buffers are synthesized (``_CONSTANT_BUFFERS``) and anything else
+    unfilled raises unless ``allow_zero_fill`` — a zero-filled
+    functional buffer would load ``strict=True`` and then silently
+    compute garbage.
     """
     if arch not in _PORTERS:
         raise KeyError(f"unknown arch {arch!r}; known: {sorted(_PORTERS)}")
@@ -151,6 +166,10 @@ def reverse_port(tree: Mapping, torch_shapes: Mapping[str, Sequence[int]],
                     v.detach().cpu().numpy() if hasattr(v, "detach") else v,
                     np.float32).reshape(torch_shapes[k])
                 continue
+            suffix = k.rsplit(".", 1)[-1]
+            if suffix in _CONSTANT_BUFFERS:
+                sd[k] = _CONSTANT_BUFFERS[suffix](tuple(torch_shapes[k]))
+                continue
             dropped.append(k)
             chunk = np.zeros_like(chunk)
         elif holes.any():
@@ -161,6 +180,18 @@ def reverse_port(tree: Mapping, torch_shapes: Mapping[str, Sequence[int]],
     for k in torch_shapes:
         if k.endswith("num_batches_tracked"):
             sd[k] = np.zeros(torch_shapes[k], dtype=np.int64)
+    if dropped and not (fill_from or allow_zero_fill):
+        # Without a donor checkpoint we cannot tell dead modules from
+        # load-bearing constant buffers — a zero-filled buffer would
+        # load strict=True and then silently compute garbage (review
+        # finding r5). Make the user choose.
+        raise ValueError(
+            f"{len(dropped)} torch keys are never read by the {arch} "
+            f"porter and have no known constant value: "
+            f"{sorted(dropped)[:8]}. Re-run with --like "
+            f"<reference checkpoint> to inherit their values, or pass "
+            f"--zero_fill_missing / allow_zero_fill=True if you know "
+            f"they are dead modules (e.g. out_bn=False BN layers).")
     if dropped:
         print(f"note: zero-filled torch keys the porter never reads: "
               f"{sorted(dropped)[:8]}")
@@ -212,6 +243,10 @@ def _main() -> None:
     p.add_argument("--model_scale", type=int, default=8)
     p.add_argument("--n_mega_blocks", type=int, default=None)
     p.add_argument("--no_verify", action="store_true")
+    p.add_argument("--zero_fill_missing", action="store_true",
+                   help="with --shapes: zero-fill torch keys the porter "
+                        "never reads instead of erroring (only safe when "
+                        "they are dead modules)")
     a = p.parse_args()
 
     if bool(a.like) == bool(a.shapes):
@@ -232,7 +267,8 @@ def _main() -> None:
                                   res2net_scale=a.res2net_scale,
                                   model_scale=a.model_scale,
                                   n_mega_blocks=a.n_mega_blocks),
-                      verify=not a.no_verify, fill_from=ref)
+                      verify=not a.no_verify, fill_from=ref,
+                      allow_zero_fill=a.zero_fill_missing)
 
     import torch
     out = {a.prefix + k if not k.startswith("__L__.") else k:

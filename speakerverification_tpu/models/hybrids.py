@@ -97,23 +97,11 @@ class RawECAPAHybrid(nn.Module):
 
 
 def _frontend_cfg(kwargs) -> FrontendConfig:
-    spec = kwargs.get("audio_spec") or {}
-    sr = int(kwargs.get("sample_rate", spec.get("sample_rate", 8000)))
-    return FrontendConfig(
-        sample_rate=sr,
-        n_fft=int(kwargs.get("n_fft", 512)),
-        win_length=int(kwargs.get("win_length",
-                                  round(spec.get("win_len", 0.025) * sr))),
-        hop_length=int(kwargs.get("hop_length",
-                                  round(spec.get("hop_len", 0.01) * sr))),
-        n_mels=int(kwargs.get("n_mels", 80)),
-        # the hybrids' in-model branch is always 'melspectrogram'
-        # (src/models/Raw3_ECAPA.py:33), whose factory defaults are
-        # fmin=0, fmax=None (feature.py:71-72) — NOT the mfcc factory's
-        # 10/4000. Explicit config keys win (threaded by the builder).
-        fmin=float(kwargs.get("fmin", 0.0)),
-        fmax=kwargs.get("fmax", None),
-    )
+    # the hybrids' in-model branch is always 'melspectrogram'
+    # (src/models/Raw3_ECAPA.py:33); the canonical helper keys the
+    # fmin/fmax defaults on that (feature.py:71-72 — NOT the mfcc
+    # factory's 10/4000). Explicit config keys win.
+    return FrontendConfig.from_hparams(dict(kwargs), "melspectrogram")
 
 
 def _hybrid_ecapa(n_mels: int, input_norm: bool,
@@ -135,6 +123,8 @@ def build_raw3_ecapa(nOut: int = 512, **kwargs) -> RawECAPAHybrid:
                   model_scale=8, context=True, summed=True,
                   out_bn=False, log_sinc=True, norm_sinc="mean",
                   encoder_type="ASP", sinc_stride=10,
+                  # carried for parity only — RawNet3 pins its sinc
+                  # grid to 16 kHz like the reference (rawnet3.py)
                   sample_rate=cfg.sample_rate)
     return RawECAPAHybrid(raw_branch=raw,
                           ecapa=_hybrid_ecapa(cfg.n_mels, input_norm=True,

@@ -32,6 +32,10 @@ class RawNet3(nn.Module):
     norm_sinc: str = "mean"          # 'mean' | 'mean_std' | 'none'
     encoder_type: str = "ASP"        # 'ASP' | 'ECA'
     sinc_stride: int = 10
+    # Accepted for config/API parity but INTENTIONALLY UNUSED: the
+    # reference never threads its configured rate into ParamSincFB, so
+    # the sinc grid is pinned to asteroid's 16 kHz default regardless
+    # (see the comment at the SincConv call below).
     sample_rate: int = 16000
     context_dim: int = 1536
 

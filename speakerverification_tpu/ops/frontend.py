@@ -227,22 +227,34 @@ class FrontendConfig:
     @classmethod
     def from_hparams(cls, hparams: dict,
                      feature_type: str = "melspectrogram") -> "FrontendConfig":
-        """Build from the reference YAML schema keys.
+        """Build from the reference YAML schema keys — the ONE canonical
+        implementation (``builder.frontend_from_hparams`` and the
+        hybrids' ``_frontend_cfg`` both delegate here, so the
+        feature-type-keyed band-edge defaults live in exactly one
+        place).
 
-        fmin/fmax defaults follow the reference factory for the given
-        ``feature_type`` (feature.py — mfcc: 10/4000 at :37;
+        Top-level ``sample_rate`` wins over ``audio_spec``'s so the
+        encoder-level frontend and the in-model featurizers can never
+        disagree; win/hop default from ``audio_spec``'s win_len/hop_len
+        seconds. fmin/fmax defaults follow the reference factory for
+        the given ``feature_type`` (feature.py — mfcc: 10/4000 at :37;
         melspectrogram: 0/None at :71-72); explicit keys win.
         """
         spec = hparams.get("audio_spec", {}) or {}
+        sr = int(hparams.get("sample_rate", spec.get("sample_rate", 8000)))
         if feature_type == "mfcc":
             default_fmin, default_fmax = 10.0, 4000.0
         else:
-            default_fmin, default_fmax = 0.0, None
+            default_fmin, default_fmax = 0.0, None  # None → sr/2 in the bank
         return cls(
-            sample_rate=int(spec.get("sample_rate", 8000)),
+            sample_rate=sr,
             n_fft=int(hparams.get("n_fft", 512)),
-            win_length=int(hparams.get("win_length", 200)),
-            hop_length=int(hparams.get("hop_length", 80)),
+            win_length=int(hparams.get("win_length",
+                                       round(spec.get("win_len", 0.025)
+                                             * sr))),
+            hop_length=int(hparams.get("hop_length",
+                                       round(spec.get("hop_len", 0.01)
+                                             * sr))),
             n_mels=int(hparams.get("n_mels", 80)),
             n_mfcc=int(hparams.get("n_mfcc", 80)),
             fmin=float(hparams.get("fmin", default_fmin)),
@@ -268,6 +280,12 @@ def make_frontend(cfg: FrontendConfig = FrontendConfig(),
     (parity with the reference's feature factory,
     src/models/FeatureExtraction/feature.py:34-94; ``raw`` is a passthrough,
     src/model.py:96-102).
+
+    Direct-API mfcc callers: build ``cfg`` with
+    ``FrontendConfig.from_hparams({...}, "mfcc")`` — the bare dataclass
+    defaults carry the MEL factory's 0/None band edges, not the mfcc
+    factory's 10/4000 (the defaults are feature-type-dependent in the
+    reference and only ``from_hparams`` knows the type).
     """
     if feature_type == "raw":
         return lambda x: x

@@ -187,7 +187,6 @@ def test_cli_infer_eval_int8_quant(workspace):
     if not (root / "run" / "save" / "ECAPA_TDNN" / "AAmSoftmax" / "model"
             / "best_state.msgpack").exists():
         assert cli_main(["--do_train", "--config", str(cfg)]) == 0
-    root, cfg = workspace
     result_dir = root / "run" / "save" / "ECAPA_TDNN" / "AAmSoftmax" / "result"
     csv_path = result_dir / "evaluation_results.csv"
 

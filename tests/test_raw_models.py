@@ -201,6 +201,36 @@ def test_raw_models_bf16_step():
             assert np.isfinite(float(m["loss"])), name
 
 
+def test_rawnet3_bf16_train_step_small():
+    """Default-tier guard for the bf16 TRAIN crash path (59f0b58): a
+    fwd+bwd step through the sinc front's fp32-pinned construction and
+    norm segments under mixedprec. Standalone small RawNet3 — the sinc
+    conv's dtype handling is where the crash lived, and compiling it
+    without the hybrid's reference-hard-coded ECAPA-512 branch keeps
+    this in the cold default budget (the full-hybrid train step rides
+    the slow tier below)."""
+    from speakerverification_tpu.builder import encoder_from_hparams
+    from speakerverification_tpu.optim import build_optimizer
+    from speakerverification_tpu.training.state import create_train_state
+    from speakerverification_tpu.training.train_step import make_train_step
+
+    rng = np.random.default_rng(0)
+    tw = jnp.asarray(rng.normal(0, .1, (2, 2, 8000)).astype(np.float32))
+    tl = jnp.asarray([0, 1])
+    hp = {"model": {"name": "RawNet3", "nOut": 32, "C": 64,
+                    "model_scale": 4},
+          "features": "raw", "nClasses": 8, "mixedprec": True,
+          "audio_spec": {"sample_rate": 8000},
+          "criterion": {"name": "AAmSoftmax"}}
+    enc = encoder_from_hparams(hp)
+    tx = build_optimizer("adam", learning_rate=1e-3)
+    state = create_train_state(enc, tx, jax.random.PRNGKey(0), tw, tl)
+    step = make_train_step(enc, tx, compute_dtype=jnp.bfloat16)
+    _, m = jax.jit(step)(state, tw, tl, jax.random.PRNGKey(1),
+                         jnp.float32(1e-3))
+    assert np.isfinite(float(m["loss"]))
+
+
 @pytest.mark.slow
 def test_raw3_bf16_train_step():
     """Train-step half of the bf16 regression above (fwd+bwd through

@@ -127,6 +127,42 @@ def test_rawnet3_roundtrip_exact():
 
 
 @pytest.mark.slow
+def test_shapes_route_synthesizes_constants_and_guards_zero_fill():
+    """Without a --like donor: known constant buffers (PreEmphasis
+    flipped_filter) are synthesized exactly; unknown never-consumed
+    keys (RawNet3's dead bn1/bn6) raise unless explicitly allowed
+    (review finding r5 — a zero-filled functional buffer loads strict
+    and computes garbage)."""
+    from test_torch_parity import _install_asteroid_stub
+    _install_asteroid_stub()
+    _reference_path()
+    import torch
+    from models import RawNet3 as RefR
+
+    from speakerverification_tpu.compat.torch_port import (
+        rawnet3_from_torch_state_dict,
+    )
+
+    torch.manual_seed(0)
+    net = RefR.MainModel(nOut=64, model_scale=8, context=True, summed=True,
+                         out_bn=False, log_sinc=True, norm_sinc="mean",
+                         encoder_type="ASP", sinc_stride=10)
+    sd0 = net.state_dict()
+    params, stats = rawnet3_from_torch_state_dict(sd0, model_scale=8)
+    tree = {"params": {"backbone": params},
+            "batch_stats": {"backbone": stats}}
+    shapes = shapes_of_state_dict(sd0)
+
+    with pytest.raises(ValueError, match="never read|zero_fill"):
+        reverse_port(tree, shapes, "RawNet3", porter_args(model_scale=8))
+
+    sd1 = reverse_port(tree, shapes, "RawNet3", porter_args(model_scale=8),
+                       allow_zero_fill=True)
+    key = [k for k in sd0 if k.endswith("flipped_filter")][0]
+    np.testing.assert_array_equal(sd1[key], sd0[key].numpy())
+
+
+@pytest.mark.slow
 def test_reverse_cli_roundtrip(tmp_path, small_ref_ecapa):
     """CLI: msgpack + --like reference ckpt → state_dict.pt that the
     reference model loads strict (subprocess, the user-facing path)."""
