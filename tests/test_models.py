@@ -150,8 +150,9 @@ def test_log_input_clamps_warp_overshoot_negatives():
     feats = np.abs(np.random.default_rng(0).normal(
         0.5, 0.2, (2, 32, 24))).astype(np.float32)
     feats[0, 3, 5] = -1e-4                     # warp-overshoot artifact
-    v = m.init(jax.random.PRNGKey(0), jnp.asarray(np.abs(feats)))
-    out = m.apply(v, jnp.asarray(feats), train=False)
+    v = jax.jit(m.init)(jax.random.PRNGKey(0), jnp.asarray(np.abs(feats)))
+    out = jax.jit(lambda v, x: m.apply(v, x, train=False))(
+        v, jnp.asarray(feats))
     assert np.isfinite(np.asarray(out)).all()
     # and clean inputs are bit-identical to the unclamped formula
     clean = jnp.asarray(np.abs(feats))

@@ -67,7 +67,10 @@ def test_titanet_s_forward():
     assert np.all(np.isfinite(np.asarray(out)))
 
 
+@pytest.mark.slow
 def test_titanet_train_dropout_rng():
+    """Slow tier (r5 cold budget, 7 s compile): TitaNet forward
+    coverage stays default in the parametrized forwards above."""
     model = build_model("TitaNet", nOut=16, model_size="s", n_mega_blocks=1)
     x = _feats(seed=4)
     variables = model.init(

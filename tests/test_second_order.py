@@ -135,11 +135,16 @@ def test_adaptive_softmax():
     def f(p):
         l, _ = loss_mod.apply({"params": p}, x, label)
         return l
-    l0 = float(f(p))
-    for _ in range(30):
+
+    @jax.jit
+    def step(p, s):
         g = jax.grad(f)(p)
         u, s = tx.update(g, s, p)
-        p = optax.apply_updates(p, u)
+        return optax.apply_updates(p, u), s
+
+    l0 = float(f(p))
+    for _ in range(30):
+        p, s = step(p, s)
     assert float(f(p)) < l0 * 0.5
 
 

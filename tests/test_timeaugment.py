@@ -164,7 +164,11 @@ def test_time_augment_jits_and_changes_signal(mode):
     assert not np.allclose(np.asarray(out), np.asarray(out2))
 
 
+@pytest.mark.slow
 def test_time_augment_no_banks_and_3d_shape():
+    """Slow tier (r5 cold budget, 6 s of extra-shape compiles): both
+    modes' 2-D default paths stay default-tier in
+    test_time_augment_jits_and_changes_signal."""
     x = jax.random.normal(jax.random.key(9), (2, 3, 400)) * 0.3
     out = ta.time_augment(x, jax.random.key(1), banks=None, mode="np")
     assert out.shape == x.shape
