@@ -106,23 +106,32 @@ def reverse_port(tree: Mapping, torch_shapes: Mapping[str, Sequence[int]],
         raise KeyError(f"unknown arch {arch!r}; known: {sorted(_PORTERS)}")
     args = args or porter_args()
 
-    # 1. probe: unique global ids per torch element (float64 is exact
-    #    far beyond any checkpoint's element count)
+    # 1. probe TWICE: ids 1..N and their squares (shifted by 1 so id 0
+    #    is distinguishable inside sums). A pure-layout porter gives
+    #    every output element (v1, v2) with v2 == v1². A porter that
+    #    FOLDS two torch elements a+b (the GRU r/z bias fold,
+    #    torch_port._gru_at) gives power sums s1 = a+b, s2 = a²+b² —
+    #    exactly solvable: a, b are the integer roots of
+    #    t² − s1·t + (s1²−s2)/2. float64 is exact here far beyond any
+    #    checkpoint's element count (ids < 2^26, squares < 2^52).
     keys = [k for k in torch_shapes if not k.endswith("num_batches_tracked")]
     sizes = np.array([int(np.prod(torch_shapes[k])) for k in keys],
                      dtype=np.int64)
     offsets = np.concatenate([[0], np.cumsum(sizes)])
     total = int(offsets[-1])
-    probe = {k: np.arange(offsets[i], offsets[i] + sizes[i],
-                          dtype=np.float64).reshape(torch_shapes[k])
-             for i, k in enumerate(keys)}
 
-    p_params, p_stats = _PORTERS[arch](probe, args)
-    probe_tree = {"params": {"backbone": p_params},
-                  "batch_stats": {"backbone": p_stats}}
+    def run_probe(values: np.ndarray) -> dict:
+        probe = {k: values[offsets[i]:offsets[i] + sizes[i]]
+                 .reshape(torch_shapes[k]) for i, k in enumerate(keys)}
+        pp, ps = _PORTERS[arch](probe, args)
+        return dict(_leaves({"params": {"backbone": pp},
+                             "batch_stats": {"backbone": ps}}))
 
-    # 2. align the real tree's leaves with the probe's id leaves
-    id_leaves = dict(_leaves(probe_tree))
+    base = np.arange(1, total + 1, dtype=np.float64)
+    id_leaves = run_probe(base)
+    sq_leaves = run_probe(base * base)
+
+    # 2. align the real tree's leaves with the probe leaves
     val_leaves = dict(_leaves({
         "params": {"backbone": tree["params"]["backbone"]},
         "batch_stats": {"backbone": tree.get("batch_stats", {})
@@ -134,24 +143,52 @@ def reverse_port(tree: Mapping, torch_shapes: Mapping[str, Sequence[int]],
             f"(wrong family?): {sorted(missing)[:5]}")
 
     flat = np.full(total, np.nan, dtype=np.float64)
+
+    def scatter(idx, vals64):
+        prev = flat[idx]
+        dup = ~np.isnan(prev)
+        if dup.any() and not np.array_equal(prev[dup], vals64[dup]):
+            raise ValueError(
+                "inconsistent values for shared torch elements")
+        flat[idx] = vals64
+
     for path, ids in id_leaves.items():
         vals = val_leaves[path]
         if tuple(vals.shape) != tuple(ids.shape):
             raise ValueError(
                 f"shape mismatch at {path}: checkpoint "
                 f"{tuple(vals.shape)} vs porter {tuple(ids.shape)}")
-        idx = np.rint(ids).astype(np.int64).ravel()
-        if not (np.asarray(ids, np.float64).ravel() == idx).all():
-            raise ValueError(
-                f"porter for {arch!r} is not a pure layout map at "
-                f"{path} — cannot invert mechanically")
-        prev = flat[idx]
+        v1 = np.asarray(ids, np.float64).ravel()
+        v2 = np.asarray(sq_leaves[path], np.float64).ravel()
         vals64 = np.asarray(vals, np.float64).ravel()
-        dup = ~np.isnan(prev)
-        if dup.any() and not np.array_equal(prev[dup], vals64[dup]):
+        ints = np.rint(v1)
+        single = (v1 == ints) & (ints >= 1) & (ints <= total) \
+            & (v2 == v1 * v1)
+        if single.all():
+            scatter(ints.astype(np.int64) - 1, vals64)
+            continue
+        # 2-term folds: solve the power sums for {a, b}
+        rest = ~single
+        s1, s2 = v1[rest], v2[rest]
+        disc = 2.0 * s2 - s1 * s1          # (a-b)^2
+        root = np.sqrt(np.maximum(disc, 0.0))
+        a = np.rint((s1 + root) / 2.0)
+        b = np.rint((s1 - root) / 2.0)
+        ok = ((a + b == s1) & (a * a + b * b == s2)
+              & (a >= 1) & (a <= total) & (b >= 1) & (b <= total)
+              & (a != b))
+        if not ok.all():
             raise ValueError(
-                f"inconsistent values for shared torch elements at {path}")
-        flat[idx] = vals64
+                f"porter for {arch!r} applies a transform at {path} that "
+                f"is neither a layout map nor a 2-term fold — cannot "
+                f"invert mechanically")
+        scatter(ints[single].astype(np.int64) - 1, vals64[single])
+        # underdetermined by construction (torch only ever uses the
+        # SUM of the folded pair): put the full value in the first
+        # source and zero in the second — functionally exact, and the
+        # verify pass below re-checks through the forward porter
+        scatter(a.astype(np.int64) - 1, vals64[rest])
+        scatter(b.astype(np.int64) - 1, np.zeros_like(vals64[rest]))
 
     # 3. slice back into torch keys; synthesize never-consumed entries
     fill = dict(_strip_reference_prefixes(fill_from)) if fill_from else {}

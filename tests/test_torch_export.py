@@ -127,6 +127,43 @@ def test_rawnet3_roundtrip_exact():
 
 
 @pytest.mark.slow
+@pytest.mark.parametrize("arch", ["ResNetSE34", "SCnet", "RawNet3",
+                                  "RawNet2", "TitaNet", "RawNeXt"])
+def test_reverse_roundtrip_across_families(arch):
+    """The id-tracing inverse is porter-GENERIC: exact round-trip for
+    every family the converter CLI is tested on (same builders as
+    test_converter_cli_families; with a --like donor every torch key —
+    learned, constant buffer, or dead module — reconstructs exactly)."""
+    from test_converter_cli_families import FAMILIES
+
+    sd0, extra, direct = FAMILIES[arch]()
+    params, stats = direct(sd0)
+    tree = {"params": {"backbone": params},
+            "batch_stats": {"backbone": stats}}
+    pa = porter_args(model_scale=4) if arch == "RawNet3" else porter_args()
+    sd1 = reverse_port(tree, shapes_of_state_dict(sd0), arch, pa,
+                       fill_from=sd0)
+    for k, v in sd0.items():
+        v = v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+        assert k in sd1, f"{arch}: missing {k}"
+        if ".bias_ih_l" in k or ".bias_hh_l" in k:
+            # the GRU r/z gate biases are FOLDED (bi+bh) by the porter
+            # (torch_port._gru_at) — torch only ever uses their sum, so
+            # the reverse reconstructs an equivalent split; compare sums
+            if ".bias_hh_l" in k:
+                continue
+            hh = k.replace(".bias_ih_l", ".bias_hh_l")
+            ref_sum = v + (sd0[hh].numpy() if hasattr(sd0[hh], "numpy")
+                           else np.asarray(sd0[hh]))
+            np.testing.assert_allclose(sd1[k] + sd1[hh],
+                                       ref_sum.astype(np.float32),
+                                       rtol=1e-6, err_msg=f"{arch}:{k}+hh")
+            continue
+        np.testing.assert_array_equal(sd1[k], v.astype(sd1[k].dtype),
+                                      err_msg=f"{arch}:{k}")
+
+
+@pytest.mark.slow
 def test_shapes_route_synthesizes_constants_and_guards_zero_fill():
     """Without a --like donor: known constant buffers (PreEmphasis
     flipped_filter) are synthesized exactly; unknown never-consumed
